@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with the noop sink (full execution, no driver
+transfer) — the honest analog of writing results out on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from currency_etl_spark.catalog import load_catalog
+from currency_etl_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    only = set(sys.argv[1:])  # optional: bench a subset by name
+
+    spark = get_spark("currency_etl_spark-bench")
+    catalog = load_catalog()
+
+    # JVM/scan warmup (not timed): touch each table once
+    from currency_etl_spark.sources import CORPUS_TABLES, table
+
+    for t in CORPUS_TABLES:
+        table(spark, sf_dir, t).count()
+
+    times: dict[str, float] = {}
+    for name in sorted(catalog):
+        if only and name not in only:
+            continue
+        spec = catalog[name]
+        t0 = time.perf_counter()
+        materialize(spec.spark_fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,596 @@
+"""Generalized operator surface over the TPC-H-shaped corpus (SURVEY.md §7.2.6).
+
+The reference's analytics are single-table; the engine still exposes the
+full relational surface — multi-way joins (broadcast + shuffle), semi/anti
+joins, grouping sets, set ops, pivot, per-group top-k, sessionization and
+as-of joins — all as Catalyst-planned DataFrame ops.
+
+Scale notes per query are inline. Common themes:
+  * dimension tables (region/nation/supplier/customer at TPC-H ratios) are
+    broadcast — no shuffle of the fact table on the dim key;
+  * fact-fact joins shuffle once on the join key and reuse that
+    partitioning for the following aggregate where possible;
+  * per-group top-k uses rank-filter (WindowExec) instead of global sorts;
+  * money sums run through DECIMAL so results are exact and reproducible
+    across partition orders (catalog.py determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from currency_etl_spark.catalog import register
+from currency_etl_spark.sources import table
+
+
+def _dec_sum(col: F.Column, scale: str = "decimal(18,4)") -> F.Column:
+    return F.sum(col.cast(scale)).cast("double")
+
+
+# Money columns in the corpus are 2-decimal values, so casting the *inputs*
+# to decimal is lossless and all downstream arithmetic is exact — the sums
+# are bit-identical to the oracle regardless of partition/summation order.
+# (Casting a double *product* to a high-scale decimal is NOT portable: Spark
+# rounds the exact binary expansion, DuckDB scales in double first.)
+def _disc_price_dec() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+def _revenue_dec(df: DataFrame) -> F.Column:
+    return F.sum(_disc_price_dec()).cast("double")
+
+
+#: DuckDB twin of _revenue_dec's summand.
+_SQL_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+_SQL_REVENUE = f"CAST(sum({_SQL_DISC_PRICE}) AS DOUBLE)"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "aggregate"),
+    doc=(
+        "TPC-H Q1 pricing summary: scan-heavy groupBy with 8 aggregates in one "
+        "pass. Partial (map-side) + final hash aggregation; the shipdate filter "
+        "and 7-column projection push into the parquet scan."
+    ),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_disc_price_dec()).cast("double").alias("sum_disc_price"),
+            F.sum(
+                _disc_price_dec() * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(_dec_sum(F.col("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
+            F.round(_dec_sum(F.col("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
+            F.round(_dec_sum(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+    doc=(
+        "TPC-H Q3: 3-way join + agg + top-10. customer is a dimension at TPC-H "
+        "ratios → broadcast (no shuffle of orders); orders⋈lineitem shuffles on "
+        "orderkey, and the groupBy reuses that same key so no second shuffle. "
+        "LIMIT plans as TakeOrderedAndProject — no global sort at scale."
+    ),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_revenue_dec(li).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    tags=("tpch", "join", "aggregate"),
+    doc=(
+        "TPC-H Q5: 6-way join. region/nation/supplier/customer all broadcast — "
+        "the only shuffle in the whole plan is orders⋈lineitem on orderkey. "
+        "The local-supplier predicate (c_nationkey = s_nationkey) rides the "
+        "broadcast join condition."
+    ),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_revenue_dec(li).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "semijoin"),
+    doc=(
+        "TPC-H Q4: EXISTS → left-semi join. The semi join deduplicates on the "
+        "build side before probing, so no fact-side row multiplication."
+    ),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "top_customers",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
+               count(*) AS n_orders
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spend DESC, c_custkey
+        LIMIT 10
+    """,
+    tags=("join", "topk"),
+    doc=(
+        "Aggregate-then-join top-k: orders aggregates on o_custkey first "
+        "(shrinks the fact table to one row per customer) and only then joins "
+        "the customer dim — the join input is |customers|, not |orders|."
+    ),
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        _dec_sum(F.col("o_totalprice")).alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), "c_custkey")
+        .limit(10)
+    )
+
+
+@register(
+    "topk_orders_per_segment",
+    oracle="""
+        SELECT segment, o_orderkey, o_totalprice, rnk
+        FROM (
+            SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        WHERE rnk <= 3
+        ORDER BY segment, rnk
+    """,
+    tags=("window", "topk"),
+    doc=(
+        "Per-group top-k via rank-filter: one shuffle on the group key, "
+        "WindowExec keeps only k rows per group — never a global sort. The "
+        "100 TB form of 'ORDER BY LIMIT k per group'."
+    ),
+)
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("segment").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("segment", "rnk")
+    )
+
+
+@register(
+    "rollup_segment_nation",
+    oracle="""
+        SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (c_mktsegment, n_name)
+        ORDER BY segment, nation
+    """,
+    tags=("aggregate", "groupingsets"),
+    doc=(
+        "ROLLUP grouping sets (reference has none — §2.5 notes they come free): "
+        "one shuffle produces all three grouping levels via Expand."
+    ),
+)
+def rollup_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("n_customers"), _dec_sum(F.col("c_acctbal")).alias("total_acctbal"))
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+        .orderBy("segment", "nation")
+    )
+
+
+@register(
+    "set_customers_both_statuses",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY custkey
+    """,
+    tags=("setop",),
+    doc="INTERSECT (SURVEY §2.8): customers with both finished and open orders.",
+)
+def set_customers_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.intersect(o).orderBy("custkey")
+
+
+@register(
+    "set_customers_no_open_orders",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY custkey
+    """,
+    tags=("setop", "antijoin"),
+    doc="EXCEPT (≡ distinct + left-anti join): finished-order customers with no open orders.",
+)
+def set_customers_no_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f.subtract(o).orderBy("custkey")  # subtract == EXCEPT DISTINCT
+
+
+@register(
+    "cust_above_nation_avg",
+    oracle="""
+        WITH nav AS (
+            SELECT c_nationkey,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS nation_avg
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_custkey, c_name, c_acctbal, round(nation_avg, 6) AS nation_avg
+        FROM customer JOIN nav USING (c_nationkey)
+        WHERE c_acctbal > nation_avg
+        ORDER BY c_custkey
+    """,
+    tags=("join", "subquery"),
+    doc=(
+        "Correlated-aggregate pattern (customers above their nation's average "
+        "balance): decorrelated into agg + broadcast join — the form Catalyst "
+        "rewrites correlated scalar subqueries into."
+    ),
+)
+def cust_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nav = cust.groupBy("c_nationkey").agg(
+        (_dec_sum(F.col("c_acctbal")) / F.count("*")).alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nav), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour_bucket, event_type
+    """,
+    tags=("window", "time"),
+    doc=(
+        "Tumbling 1-hour aggregation — the batch twin of the Structured "
+        "Streaming windowed agg (streaming/jobs.py); date_trunc keeps the "
+        "bucket a plain column so it groups in one shuffle."
+    ),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_bucket"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dec_sum(F.col("value")).alias("total_value"))
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+@register(
+    "events_pivot_by_type",
+    oracle="""
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS value_click,
+               CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS value_view,
+               CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS value_signup,
+               CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS value_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS value_purchase
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("pivot",),
+    doc=(
+        "Pivot with an explicit value list (explicit list = single pass, no "
+        "extra distinct-values job; required form at scale)."
+    ),
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "view", "signup", "error", "purchase"]
+    piv = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"))
+    )
+    return piv.select(
+        "user_id", *[F.col(t).alias(f"value_{t}") for t in types]
+    ).orderBy("user_id")
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                             OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    tags=("window", "sessionization"),
+    doc=(
+        "Sessionization (30-min inactivity gap) via lag + running sum — one "
+        "shuffle on user_id shared by both window specs and the final groupBy. "
+        "The streaming twin is session_window() (streaming/jobs.py)."
+    ),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", F.unix_micros("ts").alias("us"))
+    g = e.withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > gap_us) | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    s = g.withColumn("session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "asof_purchase_last_click",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+               c.ts AS click_ts, c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    tags=("asof", "window"),
+    doc=(
+        "As-of join (Spark lacks a native one — SURVEY guide 'common OLAP "
+        "patterns'): for each purchase, the most recent click of the same user "
+        "at-or-before it. Implemented by the union-sort trick: tag both sides, "
+        "union, one sort per user_id, carry the last click forward with "
+        "last_value(ignorenulls). One shuffle total — no range-join explosion, "
+        "no per-group pandas. Scales as a single sort, exactly how a 100 TB "
+        "as-of must run."
+    ),
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),  # clicks sort before a purchase at the same ts → '>=' semantics
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("p_event_id"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "side",
+        "p_event_id",
+        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+        F.last("c_value", ignorenulls=True).over(w).alias("click_value"),
+    )
+    return (
+        merged.filter(F.col("side") == 1)
+        .select(
+            F.col("p_event_id").alias("event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_ts",
+            "click_value",
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "part_brand_revenue",
+    oracle="""
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               count(*) AS n_lineitems,
+               round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_retail
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY revenue DESC, p_brand
+    """,
+    tags=("join", "aggregate"),
+    doc="Fact⋈dim revenue rollup: part broadcasts; lineitem never shuffles before the agg.",
+)
+def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            _revenue_dec(li).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+            F.round(_dec_sum(F.col("p_retailprice")) / F.count("*"), 6).alias("avg_retail"),
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+    )

@@ -1,0 +1,446 @@
+"""Training-data-pipeline operators over `documents` (SURVEY.md §7.2.7).
+
+Beyond the reference's surface: the operations a 100 TB LLM-data pipeline
+needs — text statistics / quality scoring, language ID, document
+fingerprinting, and the dedup family (exact, n-gram Jaccard, MinHash+LSH,
+SimHash). All are pure built-in-function compositions (zero Python UDFs):
+tokenize with split(), hash with md5(), fold with transform()/aggregate().
+
+Determinism across engines: every hash derives from md5 (identical hex in
+Spark and DuckDB); MinHash/SimHash arithmetic is generated from the SAME
+Python constants into both the Spark builder and the oracle SQL, with
+operand widths chosen so every product fits in int64.
+
+Scale design:
+  * dedup keys shuffle as md5 digests, never full texts;
+  * pair generation is blocked (same lang+source) / LSH-banded — the
+    all-pairs cross join never materializes;
+  * shingle inverted-index joins carry (digest, doc_id) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_spark.catalog import register
+from currency_etl_spark.sources import table
+
+# ---------------------------------------------------------------------------
+# Shared tokenize / shingle builders (Spark + DuckDB forms of the same logic)
+# ---------------------------------------------------------------------------
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _shingles(tokens: Column) -> Column:
+    """Word 3-grams, 1-based window over the token list."""
+    n = F.size(tokens)
+    mk = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tokens, i), F.element_at(tokens, i + 1), F.element_at(tokens, i + 2)
+        ),
+    )
+    return F.when(n >= 3, mk).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+#: DuckDB twin of _shingles over a token-list column named {t}.
+_SQL_SHINGLES = (
+    "CASE WHEN len({t}) >= 3 THEN "
+    "list_transform(generate_series(1, len({t}) - 2), "
+    "i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]) "
+    "ELSE [] END"
+)
+
+# MinHash constants — shared verbatim by the Spark builder and the oracle.
+# h_i(x) = (A[i]*x + B[i]) mod P over x = int(md5(shingle)[:7], 16) (28 bits,
+# so A[i]*x < 2^59 never overflows int64 in either engine).
+MINHASH_P = 2_147_483_647
+MINHASH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869, 3145739, 6291469, 12582917, 25165843]
+MINHASH_B = [12582917, 25165843, 50331653, 100663319, 201326611, 402653189, 805306457, 1610612741, 7, 131, 1031, 8209, 65537, 524309, 4194319, 33554467]
+MINHASH_BANDS = 4  # 16 hashes → 4 bands of 4 rows
+
+SIMHASH_BITS = 16
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "a", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents)
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               len(t) AS n_tokens,
+               CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_tokens_bpe,
+               round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t), 6) AS avg_token_len,
+               round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                     / length(text), 6) AS punct_ratio,
+               round(CAST(len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) AS DOUBLE)
+                     / len(t), 6) AS stopword_ratio
+        FROM toks
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+    doc=(
+        "Per-document text statistics & quality signals: byte/token counts, a "
+        "BPE-ish token estimate (bytes/4), mean token length, punctuation "
+        "ratio, stopword ratio. Pure narrow map — no shuffle; at 100 TB this "
+        "runs at scan speed inside whole-stage codegen."
+    ),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.size(t).cast("long").alias("n_tokens"),
+            F.ceil(F.octet_length("text") / 4.0).alias("n_tokens_bpe"),
+            F.round(
+                F.aggregate(F.transform(t, F.length), F.lit(0), lambda acc, x: acc + x).cast("double")
+                / F.size(t),
+                6,
+            ).alias("avg_token_len"),
+            F.round(
+                F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double") / F.length("text"), 6
+            ).alias("punct_ratio"),
+            F.round(
+                F.size(F.filter(t, lambda x: x.isin(*STOPWORDS["en"]))).cast("double") / F.size(t), 6
+            ).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        hits AS (
+            SELECT doc_id, lang AS labeled_lang,
+                   len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) AS en_hits,
+                   len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['de'])}))) AS de_hits,
+                   len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['fr'])}))) AS fr_hits
+            FROM toks
+        )
+        SELECT doc_id, labeled_lang, en_hits, de_hits, fr_hits,
+               CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                    WHEN de_hits >= fr_hits THEN 'de'
+                    ELSE 'fr' END AS predicted_lang
+        FROM hits
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text"),
+    doc=(
+        "Language ID by stopword-overlap heuristic (argmax over per-language "
+        "hit counts, deterministic tie-break en>de>fr). Narrow map, no shuffle."
+    ),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    def hits_col(lang: str):
+        words = STOPWORDS[lang]
+        # one-arg lambda: F.filter treats two-arg lambdas as (element, index)
+        return F.size(F.filter(t, lambda x: x.isin(*words))).cast("long").alias(f"{lang}_hits")
+
+    hits = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[hits_col(lang) for lang in ("en", "de", "fr")],
+    )
+    return hits.select(
+        "*",
+        F.when((F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")), "en")
+        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        SELECT doc_id,
+               CAST(list_sum(list_transform(t, (x, i) -> (ascii(x) * 31 + length(x)) * i)) AS BIGINT)
+                   % 1000000007 AS fingerprint,
+               md5(text) AS content_digest
+        FROM toks
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "hash"),
+    doc=(
+        "Document fingerprinting: a position-weighted rolling hash (order-"
+        "sensitive, so shuffled word order changes it) plus the exact md5 "
+        "content digest. DuckDB lambda indexes are 1-based; Spark's are "
+        "0-based — the Spark side uses (i+1) to match."
+    ),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    weighted = F.transform(t, lambda x, i: (F.ascii(x) * 31 + F.length(x)) * (i + 1))
+    return docs.select(
+        "doc_id",
+        (F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x) % 1_000_000_007).alias(
+            "fingerprint"
+        ),
+        F.md5("text").alias("content_digest"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT md5(lower(trim(text))) AS content_key,
+               min(doc_id) AS kept_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY content_key
+        ORDER BY kept_doc_id
+    """,
+    tags=("llm", "dedup"),
+    doc=(
+        "Exact dedup: group on md5 of normalized text, keep the lowest doc_id. "
+        "The shuffle key is the 32-char digest, never the document body — at "
+        "100 TB the shuffle is O(|docs| × 40 bytes) regardless of text size."
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"), "doc_id")
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("kept_doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, lang, source,
+                   unnest(list_distinct({_SQL_SHINGLES.format(t='t')})) AS s
+            FROM toks
+        ),
+        cnt AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.s = b.s AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               round(n_common / (ca.nsh + cb.nsh - n_common), 6) AS jaccard
+        FROM pairs
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        ORDER BY jaccard DESC, doc_a, doc_b
+        LIMIT 20
+    """,
+    tags=("llm", "dedup", "join"),
+    doc=(
+        "Near-dup detection via word-3-gram Jaccard: shingle inverted index "
+        "(explode distinct shingles → self-equi-join on shingle) with "
+        "(lang, source) blocking so the candidate space is per-block, not "
+        "all-pairs. Top-20 most similar pairs, fully tie-broken."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(_shingles(_tokens(F.col("text"))))).alias("s"),
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
+    return (
+        pairs.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / (F.col("nsh_a") + F.col("nsh_b") - F.col("n_common")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+def _minhash_sig_sql() -> str:
+    """DuckDB aggregate exprs for the 16 min-hash values over shingle ints."""
+    return ",\n                   ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+
+
+def _band_key_sql(band: int) -> str:
+    cols = ", ".join(f"h{band * 4 + j}" for j in range(4))
+    return f"concat_ws('-', {cols})"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(unnest(list_distinct({_SQL_SHINGLES.format(t='t')}))), 1, 7)) AS BIGINT) AS x
+            FROM toks
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sig_sql()}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_idx, {_band_key_sql(band)} AS band_key FROM sig" for band in range(MINHASH_BANDS))}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    tags=("llm", "dedup", "minhash"),
+    doc=(
+        "MinHash + LSH candidate generation: 16 permutation hashes "
+        "h_i(x) = (A[i]*x + B[i]) mod P over 28-bit md5-derived shingle ints, "
+        "banded 4×4; docs sharing any band signature become candidate pairs. "
+        "This is the 100 TB near-dup path: cost is O(docs × 16) + a band-key "
+        "equi-join, never an all-pairs comparison. Same constants drive the "
+        "oracle SQL, so the signatures match bit-for-bit."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles(_tokens(F.col("text"))))).alias("s"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("x"),
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    bands = None
+    for band in range(MINHASH_BANDS):
+        cols = [f"h{band * 4 + j}" for j in range(4)]
+        part = sig.select(
+            "doc_id",
+            F.lit(band).alias("band_idx"),
+            F.concat_ws("-", *cols).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_bit_sql(b: int) -> str:
+    return f"sum(((x >> {b}) & 1) * 2 - 1)"
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        words AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(unnest(list_distinct(t))), 1, 15)) AS BIGINT) AS x
+            FROM toks
+        ),
+        bits AS (
+            SELECT doc_id,
+                   {", ".join(f"{_simhash_bit_sql(b)} AS s{b}" for b in range(SIMHASH_BITS))}
+            FROM words GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST({" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+        FROM bits
+        ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "simhash"),
+    doc=(
+        f"{SIMHASH_BITS}-bit SimHash over distinct-word 60-bit md5-derived "
+        "hashes: each output bit is the sign of the ±1 vote sum across words. "
+        "Near-dups then cluster by small Hamming distance on the signature — "
+        "one narrow agg per doc, no pair joins until bucketing."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w"),
+    ).select("doc_id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("x"))
+    bits = words.groupBy("doc_id").agg(
+        *[
+            F.sum((F.shiftright(F.col("x"), b).bitwiseAND(1)) * 2 - 1).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    packed = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return bits.select("doc_id", packed.cast("long").alias("simhash")).orderBy("doc_id")

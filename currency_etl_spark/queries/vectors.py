@@ -1,0 +1,171 @@
+"""Similarity search over `embeddings(vec_id, embedding: array<float>, label)`.
+
+ANN surface (SURVEY.md §7.2.7 / north-star):
+  * knn_brute  — exact brute-force cosine top-k (the correctness baseline);
+  * knn_ivf    — IVF-style bucketed ANN: assign every vector to its nearest
+                 of 8 deterministic centroids, search only the query's cell.
+                 The 100 TB path: candidate set shrinks by the cell count,
+                 the centroid table broadcasts, and the per-cell layout can
+                 be a partition key so a query touches one partition.
+  * embedding_norms — per-label norm statistics (array fold exercise).
+
+Numeric determinism: both engines compute dot products as an explicit
+sequential left fold over index order in DOUBLE (Spark `aggregate`,
+DuckDB `list_reduce`), with cosine = dot / (sqrt(na) * sqrt(nb)) written
+identically — so results are bit-identical before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from currency_etl_spark.catalog import register
+from currency_etl_spark.sources import table
+
+N_CENTROIDS = 8
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product: 0.0 + a1*b1 + a2*b2 + ..."""
+    prods = F.zip_with(
+        F.transform(a, lambda x: x.cast("double")),
+        F.transform(b, lambda x: x.cast("double")),
+        lambda x, y: x * y,
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _fold_dot(a, b) / (F.sqrt(_fold_dot(a, a)) * F.sqrt(_fold_dot(b, b)))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of _fold_dot (list_reduce starts at the first element;
+    0.0 + x == x in IEEE, so the fold orders agree)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+@register(
+    "knn_brute",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               round({_sql_cosine('e.embedding', 'qe')}, 6) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id
+        LIMIT 10
+    """,
+    tags=("llm", "vector", "topk"),
+    doc=(
+        "Brute-force cosine top-10 around vec_id 0. The 1-row query vector "
+        "broadcasts; the scan stays narrow (vec_id, label, embedding); top-k "
+        "plans as TakeOrderedAndProject — no global sort of all similarities."
+    ),
+)
+def knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(_cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "knn_ivf",
+    oracle=f"""
+        WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+        sims AS (
+            SELECT e.vec_id, e.label, e.embedding, c.cid,
+                   {_sql_cosine('e.embedding', 'c.ce')} AS sim
+            FROM embeddings e, c
+        ),
+        assign AS (
+            SELECT vec_id, label, embedding, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+            FROM sims
+        ),
+        bucketed AS (SELECT vec_id, label, embedding, cid FROM assign WHERE rn = 1),
+        qb AS (SELECT cid AS qcid, embedding AS qe FROM bucketed WHERE vec_id = 0)
+        SELECT b.vec_id, b.label, b.cid,
+               round({_sql_cosine('b.embedding', 'qe')}, 6) AS cos_sim
+        FROM bucketed b JOIN qb ON b.cid = qb.qcid
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id
+        LIMIT 5
+    """,
+    tags=("llm", "vector", "ann"),
+    doc=(
+        "IVF-bucketed ANN: 8 deterministic 'centroids' (vec_id < 8), argmax-"
+        "cosine assignment via a broadcast cross join + per-vector rank, then "
+        "top-5 within the query's cell only. At scale: centroids broadcast, "
+        "assignment is a narrow map, and writing the corpus partitioned by "
+        "cell id makes the probe a single-partition scan."
+    ),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    sims = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "embedding", "cid", _cosine(F.col("embedding"), F.col("ce")).alias("sim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    bucketed = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn", "sim")
+    qb = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("cid").alias("qcid"), F.col("embedding").alias("qe")
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qb), F.col("cid") == F.col("qcid"))
+        .select("vec_id", "label", "cid", F.round(_cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+        SELECT label,
+               count(*) AS n_vectors,
+               round(CAST(sum(CAST(sqrt({_sql_dot('embedding', 'embedding')}) AS DECIMAL(18,9)) ) AS DOUBLE)
+                     / count(*), 6) AS avg_norm
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    tags=("llm", "vector", "aggregate"),
+    doc=(
+        "Per-label L2-norm statistics. Norms go through DECIMAL(18,9) before "
+        "summing so the cross-row summation order (Spark partitions vs DuckDB "
+        "sequential) cannot perturb the average."
+    ),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_fold_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum(F.col("nrm").cast("decimal(18,9)")).cast("double") / F.count("*"), 6).alias(
+                "avg_norm"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is a single JVM with N threads; on a real cluster the same
+configs hold except memory/shuffle sizing scales with executors. AQE is
+on so shuffle partition counts and join strategies re-plan at runtime —
+the key knob for surviving a 100x scale-up without retuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "currency_etl_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` governs local parallelism (default 32, matching
+    the driver's bench environment). Shuffle partitions track core count
+    for local mode — the 200 default over-parallelizes small data and
+    under-parallelizes 100 TB; AQE coalescing fixes the rest at runtime.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,92 @@
+"""Sources: parquet table loaders for the synthetic corpus + NBU-shaped JSON.
+
+Reference mapping (SURVEY.md §2.1): S2 JSON scan, S3 latest-partition
+discovery via partition pruning, S4 parquet scan, S6 multi-file glob scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+CORPUS_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Raw NBU exchange-rate record (reference src/extract.py:13-18 payload shape).
+#: Explicit schema — production paths never rely on JSON inference (SURVEY §1.3).
+NBU_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("r030", T.LongType()),
+        T.StructField("txt", T.StringType()),
+        T.StructField("rate", T.DoubleType()),
+        T.StructField("cc", T.StringType()),
+        T.StructField("exchangedate", T.StringType()),
+    ]
+)
+
+#: Warehouse table (reference sql/create_tables.sql:1-10; FIXTURES.md A2).
+EXCHANGE_RATES_SCHEMA = T.StructType(
+    [
+        T.StructField("cc", T.StringType(), False),
+        T.StructField("txt", T.StringType()),
+        T.StructField("rate", T.DoubleType()),
+        T.StructField("rate_per_100", T.DoubleType()),
+        T.StructField("exchangedate", T.DateType(), False),
+        T.StructField("ingest_date", T.DateType()),
+    ]
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one corpus table. Columnar parquet scan: Catalyst pushes filters
+    and prunes columns into this (verify with .explain → PushedFilters).
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
+    we read it as raw nanos (legacy conf) and truncate to microseconds —
+    exactly what DuckDB's reader does, so oracle comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view so catalog queries can be
+    written in Spark SQL. Re-registration per call keeps sf_dir switchable."""
+    for name in CORPUS_TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_nbu_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read NBU-shaped raw JSON (a JSON *array* file → multiLine).
+
+    Reference: src/transform.py:19-21 (single file) and
+    src/additional/load_all.py:21-23 (glob) — one parallel Spark scan
+    replaces the reference's per-file Python loop (SURVEY §2.1 S2/S6).
+    """
+    return spark.read.schema(NBU_RAW_SCHEMA).option("multiLine", "true").json(path)
+
+
+def latest_partition(df: DataFrame, part_col: str = "ingest_date") -> DataFrame:
+    """Latest-partition selection via max() + filter — Catalyst turns this
+    into partition pruning on a Hive-layout table, replacing the reference's
+    lexicographic glob sort (src/transform.py:12-15; SURVEY §2.1 S3)."""
+    latest = df.select(F.max(part_col).alias("p")).collect()[0]["p"]
+    return df.filter(F.col(part_col) == F.lit(latest))

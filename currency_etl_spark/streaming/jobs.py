@@ -1,0 +1,82 @@
+"""Structured Streaming jobs (SURVEY.md §2.10 / §7.2.8).
+
+The reference's daily cron'd micro-batch (dags/currency_etl.py:113-121, T1)
+maps to a file-source stream with Trigger.AvailableNow: each arriving raw
+partition is one micro-batch, late/corrected records are last-write-wins
+via the foreachBatch upsert (warehouse.merge_upsert). The graded entry here
+is the windowed-aggregation twin of `events_hourly`: a tumbling 1-hour
+aggregation driven end-to-end through the streaming engine into a memory
+sink, which must agree exactly with the batch oracle.
+
+At scale the same topology reads Kafka/cloud storage, keeps the window
+state in the state store partitioned by (window, event_type), and emits
+with a watermark instead of complete mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_spark.catalog import register
+
+
+@register(
+    "streaming_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY hour_bucket, event_type
+    """,
+    tags=("streaming", "window"),
+    doc=(
+        "Tumbling 1-hour windowed aggregation executed by the streaming "
+        "engine (file source → groupBy(window) → memory sink, "
+        "Trigger.AvailableNow). Epoch-aligned windows make window.start "
+        "equal date_trunc('hour'), so the batch SQL is an exact oracle."
+    ),
+)
+def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    # events.ts is TIMESTAMP(NANOS) parquet → read as raw nanos and truncate
+    # to micros, same convention as sources.table (and DuckDB's reader).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema  # explicit schema: streams never infer
+    # The file stream source wants a directory; expose the single file through
+    # a stable symlink dir (what a landing/bronze dir is in production).
+    stream_dir = os.path.join("/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    name = "streaming_hourly_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.col("win.start").alias("hour_bucket"), "event_type", "n_events", "total_value")
+        .orderBy("hour_bucket", "event_type")
+    )

