@@ -31,14 +31,20 @@ def transform_rates(
     raw: DataFrame,
     currencies: tuple[str, ...] = DEFAULT_CURRENCIES,
     strict: bool = True,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """raw NBU records → processed rates table.
 
-    Output schema: (cc, rate, txt, exchangedate: date, rate_per_100).
+    Output schema: (cc, rate, txt, exchangedate: date, rate_per_100 [, *keep]).
+    `keep` carries pipeline bookkeeping columns (e.g. ingest ordering)
+    through the projection.
     """
     out = (
-        raw.select("cc", "rate", "txt", "exchangedate")  # P1
-        .withColumn("exchangedate", F.to_date("exchangedate", DATE_FMT))  # P2
+        # P2 uses try_to_date: under Spark 4's default ANSI mode a plain
+        # to_date throws mid-task on the first bad row; try_to_date yields
+        # null so strict mode can count and report all bad rows itself.
+        raw.select("cc", "rate", "txt", "exchangedate", *keep)  # P1
+        .withColumn("exchangedate", F.try_to_date("exchangedate", DATE_FMT))  # P2
         .withColumn("rate_per_100", F.col("rate") * F.lit(100))  # P3
         .filter(F.col("cc").isin(*currencies))  # P4
     )

@@ -1,0 +1,42 @@
+"""Deterministic NBU-shaped fixtures (FIXTURES.md §A): multi-day,
+multi-currency raw records with extra upstream fields the transform must
+drop, plus malformed/duplicate variants for strict-parse and upsert tests."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+
+BASE_RATE = {"USD": 41.0, "EUR": 45.0, "GBP": 52.0, "PLN": 10.0}
+NAMES = {"USD": "Долар США", "EUR": "Євро", "GBP": "Фунт стерлінгів", "PLN": "Злотий"}
+START = _dt.date(2024, 1, 1)
+
+
+def rate_for(cc: str, day: int) -> float:
+    """Deterministic, slightly wiggly series (2-decimal values)."""
+    return round(BASE_RATE[cc] + 0.07 * day + (0.31 if day % 3 == 0 else -0.11), 2)
+
+
+def nbu_records(days: int = 40, currencies=("USD", "EUR", "GBP", "PLN")) -> list[dict]:
+    out = []
+    for d in range(days):
+        date = START + _dt.timedelta(days=d)
+        for i, cc in enumerate(currencies):
+            out.append(
+                {
+                    "r030": 840 + i,  # extra upstream field — must be dropped
+                    "txt": NAMES[cc],
+                    "rate": rate_for(cc, d),
+                    "cc": cc,
+                    "exchangedate": date.strftime("%d.%m.%Y"),
+                }
+            )
+    return out
+
+
+def write_raw_json(records: list[dict], path: str) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(records, f, ensure_ascii=False, indent=2)
+    return path
