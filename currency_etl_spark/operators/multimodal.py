@@ -1,0 +1,130 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed
+with Arrow-batched `mapInPandas` (SURVEY.md §7.2.7 / north-star).
+
+Model: an image/audio/video asset is a `binary` column plus a metadata
+struct (mime, n_bytes, checksum). The Spark-side plumbing — schema,
+partition sizing, UDF signatures, Arrow batch shapes — is real and tested;
+the codec itself is STUBBED: `decode_image` raises NotImplementedError
+(image/audio libs aren't in this container), and `fake_decode_features`
+is the deterministic stand-in used by tests, computing a 16-bin byte
+histogram per blob so the whole path has verifiable output.
+
+Scale design:
+  * blobs stay opaque bytes end-to-end — no JVM<->Python row serde; Arrow
+    moves them to pandas in columnar batches (`mapInPandas`);
+  * decode parallelism is partition-level: `repartition` by a size budget
+    so one executor core handles ~`target_mb` of blobs per task;
+  * metadata lives in a separate narrow struct column, so metadata-only
+    queries (counts, mime filters) never touch the bytes (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HIST_BINS = 16
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, checksum string, features array<double>"
+)
+
+
+def attach_blob(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, blob: binary, meta: struct).
+
+    In production the blob is the raw image/audio bytes from the lake; here
+    it is the UTF-8 payload of `text` (deterministic, real binary column).
+    """
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        blob.alias("blob"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.md5(blob).alias("checksum"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def size_balanced(blobs: DataFrame, target_mb: int = 128) -> DataFrame:
+    """Repartition so each decode task handles ~target_mb of blob bytes —
+    the knob that keeps 100 TB of mixed-size assets from skewing a few
+    executors. One metadata aggregation (sum of n_bytes, no blob read
+    thanks to column pruning) sizes the shuffle."""
+    total = blobs.agg(F.sum(F.octet_length("blob")).alias("b")).collect()[0]["b"] or 0
+    parts = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
+    return blobs.repartition(parts)
+
+def decode_image(blob: bytes) -> "object":
+    """Real image decode — requires PIL/cv2, not present in this container.
+
+    The Spark plumbing around this stub (attach_blob → mapInPandas →
+    FEATURE_SCHEMA) is the deliverable; swap this function for a real codec
+    on a cluster with the libs installed.
+    """
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _byte_histogram(b: bytes) -> list[float]:
+    """Deterministic fake 'feature extractor': 16-bin histogram of byte
+    values, L1-normalized. Stands in for embedding/decoding output."""
+    counts = [0] * N_HIST_BINS
+    for x in b:
+        counts[x % N_HIST_BINS] += 1
+    total = float(len(b)) or 1.0
+    return [c / total for c in counts]
+
+
+def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batch of (doc_id, blob, meta) → features.
+
+    Shape contract: each incoming batch is a pandas DataFrame whose `blob`
+    column holds Python bytes; output conforms to FEATURE_SCHEMA.
+    """
+    import hashlib
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["blob"].map(len).astype("int64"),
+                "checksum": pdf["blob"].map(lambda b: hashlib.md5(b).hexdigest()),
+                "features": pdf["blob"].map(_byte_histogram),
+            }
+        )
+
+
+def extract_features(
+    blobs: DataFrame,
+    fn: Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]] = fake_decode_features,
+) -> DataFrame:
+    """Run the (stub) decoder over the blob column in Arrow batches."""
+    return blobs.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(blobs: DataFrame, frame_bytes: int = 64, every: int = 4) -> DataFrame:
+    """'Video' frame sampling as deterministic binary slicing: treat the blob
+    as fixed-size frames, keep every k-th — pure built-ins (substring on
+    binary), no Python. Output one row per kept frame."""
+    n_frames = F.floor(F.octet_length("blob") / F.lit(frame_bytes)).cast("int")
+    # guard: sequence(0, -1) would generate a DESCENDING range, not empty
+    frames = F.when(n_frames >= 1, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.expr("CAST(array() AS ARRAY<INT>)")
+    )
+    return (
+        blobs.select("doc_id", "blob", F.explode(frames).alias("f"))
+        .filter(F.col("f") % every == 0)
+        .select(
+            "doc_id",
+            F.col("f").cast("long").alias("frame_idx"),
+            F.substring(F.col("blob"), F.col("f") * frame_bytes + 1, frame_bytes).alias("frame"),
+        )
+    )

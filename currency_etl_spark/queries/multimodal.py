@@ -1,0 +1,109 @@
+"""Catalog entries for the multimodal column plumbing
+(currency_etl_spark/operators/multimodal.py).
+
+`multimodal_meta_stats` and `multimodal_frame_sample` are fully oracle'd —
+blob construction, metadata structs, and binary frame slicing are exact in
+both engines. `multimodal_features` runs the Arrow-batched mapInPandas
+decode path with the deterministic stub extractor; its output is checked
+rows-only by the driver (the real codec is a NotImplementedError stub —
+operators/multimodal.py:decode_image) and value-checked in
+tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_spark.catalog import register
+from currency_etl_spark.operators.multimodal import (
+    attach_blob,
+    extract_features,
+    frame_sample,
+)
+from currency_etl_spark.sources import table
+
+
+@register(
+    "multimodal_meta_stats",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_assets,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+               count(DISTINCT md5(text)) AS n_distinct_payloads
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("llm", "multimodal"),
+    doc=(
+        "Metadata-only rollup over binary assets: counts/sizes/distinct "
+        "checksums per language, grouped on the metadata struct. The blob "
+        "column is never read (column pruning) — at 100 TB this runs at "
+        "footer/metadata speed."
+    ),
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_blob(table(spark, sf_dir, "documents"))
+    return (
+        blobs.groupBy(F.col("meta.lang").alias("lang"))
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.max("meta.n_bytes").alias("max_bytes"),
+            F.countDistinct("meta.checksum").alias("n_distinct_payloads"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        -- DuckDB substring() has no BLOB overload; the corpus text is pure
+        -- ASCII (verified octet_length == length at every SF), so VARCHAR
+        -- character slicing is byte-identical to Spark's binary slicing.
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, CAST(floor(octet_length(encode(text)) / 64) AS INTEGER) - 1)) AS fi
+            FROM documents
+            WHERE octet_length(encode(text)) >= 64
+        )
+        SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+               md5(substring(text, fi * 64 + 1, 64)) AS frame_digest
+        FROM f
+        WHERE fi % 4 = 0
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("llm", "multimodal"),
+    doc=(
+        "Deterministic 'video' frame sampling: slice each blob into 64-byte "
+        "frames, keep every 4th (emitted as md5 digests for a compact "
+        "compare). Pure built-ins — binary substring + explode — no Python."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+    return (
+        frame_sample(blobs, frame_bytes=64, every=4)
+        .select("doc_id", "frame_idx", F.md5("frame").alias("frame_digest"))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas decode path — rows-only for the driver;
+    # value-checked against a pure-Python oracle in tests/test_multimodal.py
+    tags=("llm", "multimodal", "pandas-udf"),
+    doc=(
+        "Arrow-batched feature extraction over the blob column via "
+        "mapInPandas with the deterministic stub decoder (16-bin byte "
+        "histogram). The real image codec is stubbed (NotImplementedError) — "
+        "the schema/batching/partition plumbing is the deliverable."
+    ),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+    return extract_features(blobs).orderBy("doc_id")

@@ -80,3 +80,70 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("win.start").alias("hour_bucket"), "event_type", "n_events", "total_value")
         .orderBy("hour_bucket", "event_type")
     )
+
+
+@register(
+    "streaming_sessions",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                             OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM g
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    tags=("streaming", "session"),
+    doc=(
+        "session_window(ts, 30 min) executed by the streaming engine — the "
+        "native stateful twin of the batch lag+cumsum sessionization "
+        "(events_sessionize), which doubles as its oracle: gap-based session "
+        "starts and event counts must agree exactly."
+    ),
+)
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream_dir = os.path.join(
+        "/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = "streaming_sessions_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
