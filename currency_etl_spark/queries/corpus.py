@@ -92,7 +92,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dec_sum(F.col("l_discount")) / F.count("*"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -181,7 +180,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
         .groupBy("n_name")
         .agg(_revenue_dec(li).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -219,7 +217,6 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -285,7 +282,6 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice")
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
-        .orderBy("segment", "rnk")
     )
 
 
@@ -319,7 +315,6 @@ def rollup_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "total_acctbal",
         )
-        .orderBy("segment", "nation")
     )
 
 
@@ -338,7 +333,7 @@ def set_customers_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
-    return f.intersect(o).orderBy("custkey")
+    return f.intersect(o)
 
 
 @register(
@@ -356,7 +351,7 @@ def set_customers_no_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
-    return f.subtract(o).orderBy("custkey")  # subtract == EXCEPT DISTINCT
+    return f.subtract(o)  # subtract == EXCEPT DISTINCT
 
 
 @register(
@@ -388,7 +383,6 @@ def cust_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(nav), "c_nationkey")
         .filter(F.col("c_acctbal") > F.col("nation_avg"))
         .select("c_custkey", "c_name", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
-        .orderBy("c_custkey")
     )
 
 
@@ -414,7 +408,6 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_bucket"), "event_type")
         .agg(F.count("*").alias("n_events"), _dec_sum(F.col("value")).alias("total_value"))
-        .orderBy("hour_bucket", "event_type")
     )
 
 
@@ -447,7 +440,7 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return piv.select(
         "user_id", *[F.col(t).alias(f"value_{t}") for t in types]
-    ).orderBy("user_id")
+    )
 
 
 @register(
@@ -498,7 +491,6 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -563,7 +555,6 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_ts",
             "click_value",
         )
-        .orderBy("event_id")
     )
 
 
@@ -592,5 +583,4 @@ def part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
             F.round(_dec_sum(F.col("p_retailprice")) / F.count("*"), 6).alias("avg_retail"),
         )
-        .orderBy(F.desc("revenue"), "p_brand")
     )

@@ -76,6 +76,20 @@ def _sql_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def _ordered_pairs(docs: Column) -> Column:
+    """All (doc_a < doc_b) pairs from a sorted id list, as an array of
+    structs — built-ins only (nested transform + slice + flatten)."""
+    return F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.size(docs)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -126,7 +140,6 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(F.filter(t, lambda x: x.isin(*STOPWORDS["en"]))).cast("double") / F.size(t), 6
             ).alias("stopword_ratio"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -173,7 +186,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("de_hits") >= F.col("fr_hits"), "de")
         .otherwise("fr")
         .alias("predicted_lang"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -205,7 +218,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         ),
         F.md5("text").alias("content_digest"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -236,7 +249,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.md5(F.lower(F.trim(F.col("text")))).alias("content_key"), "doc_id")
         .groupBy("content_key")
         .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
-        .orderBy("kept_doc_id")
     )
 
 
@@ -283,16 +295,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(_shingles(_tokens(F.col("text"))))).alias("s"),
     )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Pair generation WITHOUT a self-join: group the inverted index by
+    # shingle, then explode ordered pairs from each posting list. One scan
+    # and one shuffle instead of two scans + a two-sided join shuffle; the
+    # posting lists are naturally bounded by the (lang, source) blocking.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        sh.groupBy("lang", "source", "s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
@@ -373,26 +385,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
     )
-    bands = None
-    for band in range(MINHASH_BANDS):
-        cols = [f"h{band * 4 + j}" for j in range(4)]
-        part = sig.select(
-            "doc_id",
-            F.lit(band).alias("band_idx"),
-            F.concat_ws("-", *cols).alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a, b = bands.alias("a"), bands.alias("b")
+    # One posexplode over an array of band keys — NOT a 4-way union of
+    # selects from `sig`, which would recompute the signature aggregation
+    # once per band (4 scans + 4 shuffles instead of 1).
+    band_keys = F.array(
+        *[
+            F.concat_ws("-", *[f"h{band * 4 + j}" for j in range(4)])
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+    # same join-free pair generation as dedup_ngram_jaccard: bucket by band,
+    # explode ordered pairs from each bucket's posting list
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -443,4 +454,4 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
-    return bits.select("doc_id", packed.cast("long").alias("simhash")).orderBy("doc_id")
+    return bits.select("doc_id", packed.cast("long").alias("simhash"))

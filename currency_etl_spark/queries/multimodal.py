@@ -54,7 +54,6 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("meta.n_bytes").alias("max_bytes"),
             F.countDistinct("meta.checksum").alias("n_distinct_payloads"),
         )
-        .orderBy("lang")
     )
 
 
@@ -88,7 +87,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         frame_sample(blobs, frame_bytes=64, every=4)
         .select("doc_id", "frame_idx", F.md5("frame").alias("frame_digest"))
-        .orderBy("doc_id", "frame_idx")
     )
 
 
@@ -106,4 +104,4 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
-    return extract_features(blobs).orderBy("doc_id")
+    return extract_features(blobs)

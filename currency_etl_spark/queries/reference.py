@@ -68,7 +68,6 @@ def ref_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_exact_avg(F.col("value")), 6).alias("avg_value"),
             F.count("*").alias("n_events"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -93,7 +92,6 @@ def ref_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(_w_desc()))
         .filter(F.col("rn") == 1)
         .select("event_type", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
-        .orderBy("event_type")
     )
 
 
@@ -125,7 +123,6 @@ def ref_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("mts") - F.expr("INTERVAL 14 DAYS"))
         .groupBy("event_type")
         .agg(F.min("value").alias("min_value"), F.max("value").alias("max_value"))
-        .orderBy("event_type")
     )
 
 
@@ -156,7 +153,6 @@ def ref_days_available(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
             F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -201,7 +197,6 @@ def ref_change_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         last.join(ago, "event_type")
         .select("event_type", F.round(F.col("last_value") - F.col("ago_value"), 6).alias("change"))
-        .orderBy("event_type")
     )
 
 
@@ -260,7 +255,6 @@ def ref_rolling_avg7(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("avg7"),
         )
-        .orderBy("event_type", "ts", "event_id")
     )
 
 
@@ -323,5 +317,4 @@ def ref_forecast5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "forecast_value",
         )
-        .orderBy("event_type", "day_offset")
     )

@@ -167,5 +167,4 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_norm"
             ),
         )
-        .orderBy("label")
     )

@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: lock in the properties that make these
+queries scale — predicate pushdown, column pruning, broadcast joins, top-k
+without global sorts, and absence of needless shuffles. A refactor that
+silently drops one of these still returns correct rows; these tests are
+what catches the 100 TB regression at sf0.001."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from currency_etl_spark.queries.corpus import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+    top_customers,
+    topk_orders_per_segment,
+)
+from currency_etl_spark.queries.llm_ops import dedup_exact, text_stats
+from currency_etl_spark.queries.vectors import knn_brute
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    p = plan_of(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # unused columns pruned from the scan
+    assert "l_partkey" not in read_schema
+
+
+def test_q3_broadcasts_customer_and_topk(spark, sf_dir):
+    p = plan_of(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # LIMIT 10 never global-sorts
+
+
+def test_q5_single_shuffle_join_tree(spark, sf_dir):
+    p = plan_of(q5_local_supplier_volume(spark, sf_dir))
+    # all four dims broadcast; at most the fact-fact join shuffles
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", p)) <= 1
+    assert p.count("BroadcastHashJoin") >= 4
+
+
+def test_top_customers_aggregates_before_join(spark, sf_dir):
+    p = plan_of(top_customers(spark, sf_dir))
+    # the orders aggregate must sit BELOW the customer join in the plan tree:
+    # join input is |customers|, not |orders|
+    agg_pos = p.find("HashAggregate")
+    join_pos = p.find("BroadcastHashJoin")
+    assert agg_pos != -1 and join_pos != -1
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_per_group_no_global_sort(spark, sf_dir):
+    p = plan_of(topk_orders_per_segment(spark, sf_dir))
+    assert "Window" in p
+    # exactly the window shuffle on the group key; no rangepartitioning sort
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_narrow_maps_have_no_shuffle(spark, sf_dir):
+    for q in (text_stats,):
+        p = plan_of(q(spark, sf_dir))
+        assert "Exchange" not in p, f"{q.__name__} should be shuffle-free"
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark, sf_dir):
+    p = plan_of(dedup_exact(spark, sf_dir))
+    # the detail block "(N) Exchange\nInput [...]" lists what actually shuffles
+    m = re.search(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p)
+    assert m, p
+    shuffled_cols = m.group(1)
+    assert "content_key" in shuffled_cols  # keyed on the md5 digest
+    assert "text#" not in shuffled_cols  # the document body never shuffles
+
+
+def test_knn_brute_broadcasts_query_vector(spark, sf_dir):
+    p = plan_of(knn_brute(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
