@@ -48,7 +48,14 @@ def register(name: str, oracle: Optional[str], tags: tuple = (), doc: str = ""):
 
 def load_catalog() -> dict[str, QuerySpec]:
     """Import all query modules (registration side effect) and return CATALOG."""
-    from currency_etl_spark.queries import corpus, llm_ops, multimodal, reference, vectors  # noqa: F401
+    from currency_etl_spark.queries import (  # noqa: F401
+        corpus,
+        extras,
+        llm_ops,
+        multimodal,
+        reference,
+        vectors,
+    )
     from currency_etl_spark import streaming  # noqa: F401
 
     return CATALOG

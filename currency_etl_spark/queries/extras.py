@@ -1,0 +1,225 @@
+"""Breadth operators beyond the core corpus set: exact percentiles, JSON
+scalar extraction, outer-join coverage, argmin subqueries, regex/string
+functions, and CUBE grouping sets.
+
+Parity notes:
+  * exact `percentile` (Spark) and `quantile_cont` (DuckDB) use the same
+    linear interpolation over sorted doubles — verified bit-identical on
+    the corpus;
+  * get_json_object / json_extract agree on simple paths;
+  * regexp_extract group semantics agree (Java vs RE2-style for these
+    simple patterns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_spark.catalog import register
+from currency_etl_spark.sources import table
+
+
+@register(
+    "events_value_percentiles",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.90) AS p90
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("aggregate", "percentile"),
+    doc=(
+        "Exact interpolated percentiles per entity. At 100 TB the exact sort-"
+        "based form gives way to approx_percentile (t-digest) — the exact "
+        "version is the correctness baseline the approximation is judged "
+        "against."
+    ),
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.50)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+        F.expr("percentile(value, 0.90)").alias("p90"),
+    )
+
+
+@register(
+    "events_props_stats",
+    oracle="""
+        WITH parsed AS (
+            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
+            FROM events
+        )
+        SELECT k % 10 AS k_bucket,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM parsed
+        GROUP BY k_bucket
+        ORDER BY k_bucket
+    """,
+    tags=("json", "aggregate"),
+    doc=(
+        "JSON scalar extraction from the semi-structured props column "
+        "(get_json_object — JVM-side, no UDF), bucketed aggregation over the "
+        "extracted key. The schema-on-read path every event pipeline needs."
+    ),
+)
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    parsed = e.select(
+        F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+    )
+    return parsed.groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "customers_order_coverage",
+    oracle="""
+        SELECT n_name,
+               count(*) AS n_customers,
+               count(o.first_order) AS n_with_orders,
+               round(count(o.first_order) / count(*), 6) AS coverage
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        LEFT JOIN (
+            SELECT o_custkey, min(o_orderdate) AS first_order FROM orders GROUP BY o_custkey
+        ) o ON o.o_custkey = c_custkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    tags=("join", "outer"),
+    doc=(
+        "LEFT OUTER join coverage: which customers have never ordered, per "
+        "nation. Orders pre-aggregates to one row per customer before the "
+        "join (no row multiplication); nation broadcasts."
+    ),
+)
+def customers_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    first_orders = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_order"))
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(first_orders, cust.c_custkey == first_orders.o_custkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.count("first_order").alias("n_with_orders"),
+            F.round(F.count("first_order") / F.count("*"), 6).alias("coverage"),
+        )
+    )
+
+
+@register(
+    "part_min_price_per_brand",
+    oracle="""
+        SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+        FROM part p
+        JOIN (
+            SELECT p_brand, min(p_retailprice) AS min_price FROM part GROUP BY p_brand
+        ) m ON p.p_brand = m.p_brand AND p.p_retailprice = m.min_price
+        ORDER BY p.p_brand, p.p_partkey
+    """,
+    tags=("subquery", "argmin"),
+    doc=(
+        "TPC-H Q2-style argmin: rows matching their group's minimum — the "
+        "correlated-min subquery decorrelated into agg + broadcast join "
+        "(keeps ties, exactly like the SQL form)."
+    ),
+)
+def part_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    mins = (
+        part.groupBy("p_brand")
+        .agg(F.min("p_retailprice").alias("min_price"))
+        .withColumnRenamed("p_brand", "mb")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (part.p_brand == mins.mb) & (part.p_retailprice == mins.min_price),
+        )
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "cust_name_parse",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_mktsegment) AS segment_uc,
+               CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS parsed_id,
+               length(c_name) AS name_len,
+               concat_ws('|', c_mktsegment, substring(c_name, 1, 8)) AS tag,
+               CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) = c_custkey AS id_matches
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    tags=("string", "regex"),
+    doc=(
+        "String/regex scalar surface: regexp_extract with capture group, "
+        "upper, substring, length, concat_ws — all codegen'd JVM expressions "
+        "(the reference needs only date formatting; this is the generalized "
+        "string toolkit)."
+    ),
+)
+def cust_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    parsed = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("segment_uc"),
+        parsed.alias("parsed_id"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", F.substring("c_name", 1, 8)).alias("tag"),
+        (parsed == F.col("c_custkey")).alias("id_matches"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+    """,
+    tags=("aggregate", "groupingsets"),
+    doc="CUBE over (status, priority): all four grouping levels in one Expand + shuffle.",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )

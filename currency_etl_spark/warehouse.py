@@ -31,12 +31,24 @@ from pyspark.sql import functions as F
 
 class ParquetUpsertTable:
     """An upsert-able parquet table keyed on `key_cols`, with atomic
-    swap-directory rewrites (write new version → rename)."""
+    swap-directory rewrites (write new version → rename).
 
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str]):
+    With `partition_cols`, the table is Hive-layout partitioned and MERGE
+    rewrites ONLY the partitions present in the updates (dynamic partition
+    overwrite + partition-pruned read of the current side) — the difference
+    between rewriting 100 TB and rewriting one day's partition."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        partition_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
+        self.partition_cols = list(partition_cols or [])
 
     # -- read ---------------------------------------------------------------
     def exists(self) -> bool:
@@ -76,7 +88,23 @@ class ParquetUpsertTable:
             seq = "__seq"
         updates = updates.withColumn("__src", F.lit(1))
         if self.exists():
-            current = self.read().withColumn("__src", F.lit(0)).withColumn(seq, F.lit(None).cast("long"))
+            current = self.read()
+            if self.partition_cols:
+                # partition pruning: only the partitions the updates touch
+                # participate in the merge — everything else is untouched
+                touched = [
+                    tuple(r) for r in updates.select(*self.partition_cols).distinct().collect()
+                ]
+                cond = None
+                for values in touched:
+                    clause = F.lit(True)
+                    for col, v in zip(self.partition_cols, values):
+                        clause = clause & (F.col(col) == F.lit(v))
+                    cond = clause if cond is None else (cond | clause)
+                current = current.filter(cond if cond is not None else F.lit(False))
+            current = current.withColumn("__src", F.lit(0)).withColumn(
+                seq, F.lit(None).cast("long")
+            )
             merged = updates.unionByName(current)
         else:
             merged = updates
@@ -94,4 +122,15 @@ class ParquetUpsertTable:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src", seq)
         )
-        self._atomic_overwrite(deduped)
+        if self.partition_cols and self.exists():
+            # rewrite only the touched partitions in place
+            (
+                deduped.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_cols)
+                .parquet(self.path)
+            )
+        elif self.partition_cols:
+            deduped.write.mode("overwrite").partitionBy(*self.partition_cols).parquet(self.path)
+        else:
+            self._atomic_overwrite(deduped)
