@@ -195,6 +195,73 @@ def cust_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_daily_gapfill",
+    oracle="""
+        WITH bounds AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+        days AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS tv
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (SELECT t.event_type, d.day FROM types t, days d)
+        SELECT g.event_type,
+               strftime(g.day, '%Y-%m-%d') AS day,
+               coalesce(n, 0) AS n_events,
+               coalesce(tv, 0.0) AS total_value,
+               coalesce(last_value(tv IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
+        FROM grid g LEFT JOIN daily USING (event_type, day)
+        ORDER BY event_type, day
+    """,
+    tags=("time", "gapfill", "generator"),
+    doc=(
+        "Time-series densification: generate the full (entity × day) grid "
+        "with sequence(), left-join daily aggregates, zero-fill counts and "
+        "forward-fill values (last_value ignorenulls). The resample/gap-fill "
+        "operator every daily-rates pipeline (like the reference's) needs "
+        "when upstream skips days."
+    ),
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("tv"),
+        )
+    )
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"), F.max(F.col("ts").cast("date")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+            F.coalesce(F.last("tv", ignorenulls=True).over(w), F.lit(0.0)).alias("filled_value"),
+        )
+    )
+
+
+@register(
     "cube_status_priority",
     oracle="""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -407,6 +407,126 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH b AS (
+            SELECT vec_id, label, embedding,
+                   list_sum(list_transform(generate_series(1, 8),
+                       i -> CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END)) AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.embedding AS ea, c.embedding AS eb
+            FROM b a JOIN b c
+              ON a.label = c.label AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+        )
+        SELECT vec_a, vec_b,
+               round(list_reduce(list_transform(generate_series(1, len(ea)), i -> ea[i]::DOUBLE * eb[i]::DOUBLE), (x, y) -> x + y)
+                     / (sqrt(list_reduce(list_transform(generate_series(1, len(ea)), i -> ea[i]::DOUBLE * ea[i]::DOUBLE), (x, y) -> x + y))
+                        * sqrt(list_reduce(list_transform(generate_series(1, len(eb)), i -> eb[i]::DOUBLE * eb[i]::DOUBLE), (x, y) -> x + y))), 6) AS cos_sim
+        FROM pairs
+        ORDER BY cos_sim DESC, vec_a, vec_b
+        LIMIT 20
+    """,
+    tags=("llm", "dedup", "vector"),
+    doc=(
+        "Embedding-cosine near-dup candidates: block by (label, 8-bit "
+        "sign-LSH bucket over the first dimensions), compare only within "
+        "blocks, emit the top-20 most similar pairs. The blocking bounds the "
+        "pair count to bucket-local work — the all-pairs cosine matrix never "
+        "exists, which is the entire 100 TB story for embedding dedup."
+    ),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.vectors import _cosine  # shared fold-exact cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    bucket = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            # shiftleft() wants a literal bit count — use pow(2, i-1) instead
+            lambda i: F.when(
+                F.element_at(F.col("embedding"), i) > 0,
+                F.pow(F.lit(2.0), (i - 1).cast("double")).cast("int"),
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    b = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
+    pairs = (
+        b.groupBy("label", "bucket")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("vs")
+        )
+        .filter(F.size("vs") > 1)
+        .select(F.explode(_ordered_pairs(F.col("vs"))).alias("p"))
+        .select(
+            F.col("p.doc_a.vec_id").alias("vec_a"),
+            F.col("p.doc_b.vec_id").alias("vec_b"),
+            F.round(_cosine(F.col("p.doc_a.embedding"), F.col("p.doc_b.embedding")), 6).alias("cos_sim"),
+        )
+    )
+    return pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(20)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS w
+            FROM documents
+        ),
+        dfreq AS (SELECT w, count(*) AS dfq FROM words GROUP BY w),
+        ndocs AS (SELECT count(*) AS nd FROM documents),
+        tf AS (SELECT lang, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        scored AS (
+            SELECT lang, w, tf,
+                   round(tf * ln(CAST(nd AS DOUBLE) / dfq), 6) AS tfidf
+            FROM tf JOIN dfreq USING (w), ndocs
+        )
+        SELECT lang, w AS term, tf, tfidf, rnk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, w) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 5
+        ORDER BY lang, rnk
+    """,
+    tags=("llm", "text", "tfidf"),
+    doc=(
+        "TF-IDF top terms per language slice: document frequency over the "
+        "whole corpus (distinct-word explode → count), term frequency per "
+        "slice, idf = ln(N/df), per-group top-5 via rank-filter. The "
+        "classic two-aggregation text-statistics shape; idf joins back as a "
+        "broadcast."
+    ),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w")
+    )
+    dfreq = words.groupBy("w").agg(F.count("*").alias("dfq"))
+    nd = docs.count()  # one scalar; driver-side like the oracle's CTE
+    tf = words.groupBy("lang", "w").agg(F.count("*").alias("tf"))
+    scored = tf.join(F.broadcast(dfreq), "w").select(
+        "lang",
+        F.col("w").alias("term"),
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(nd)) / F.col("dfq")), 6).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.partitionBy("lang").orderBy(F.desc("tfidf"), "term")).cast("long")
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    )
+
+
 def _simhash_bit_sql(b: int) -> str:
     return f"sum(((x >> {b}) & 1) * 2 - 1)"
 
