@@ -262,6 +262,181 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trend",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+                   CAST(value AS DECIMAL(18,4)) AS y
+            FROM events
+        ),
+        s AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(y * x) AS DOUBLE) AS sxy
+            FROM d GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+        FROM s
+        ORDER BY event_type
+    """,
+    tags=("aggregate", "regression"),
+    doc=(
+        "Per-entity linear trend (least-squares slope/intercept of value "
+        "over day index) from decimal-exact moment sums — one aggregation "
+        "pass, closed-form solve, no iteration and no UDF. The manual-"
+        "moments form is used instead of regr_slope so both engines compute "
+        "from identical exact sums."
+    ),
+)
+def events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(18,4)").alias("y"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("y") * F.col("x")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+    """,
+    tags=("tpch", "filter"),
+    doc=(
+        "TPC-H Q6: pure filter + aggregate — every predicate pushes into the "
+        "parquet scan; the whole query is one codegen'd scan stage plus a "
+        "1-row aggregate."
+    ),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    tags=("tpch", "join", "conditional-agg"),
+    doc=(
+        "TPC-H Q12 shape: join + conditional aggregation (CASE inside SUM) — "
+        "the branchy-counting pattern, one shuffle."
+    ),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle="""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+           OR (p_brand = 'Brand#5'  AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+           OR (p_type  = 'ECONOMY'  AND l_quantity < 5)
+    """,
+    tags=("tpch", "join", "disjunction"),
+    doc=(
+        "TPC-H Q19 shape: disjunctive multi-column predicates across both "
+        "join sides — exercises Catalyst's OR-predicate handling and "
+        "post-join filtering; part broadcasts."
+    ),
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_type") == "ECONOMY") & (F.col("l_quantity") < 5))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
     "cube_status_priority",
     oracle="""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
