@@ -262,6 +262,68 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS click,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, metric, amount FROM (
+            SELECT user_id, 'click' AS metric, click AS amount FROM wide
+            UNION ALL
+            SELECT user_id, 'purchase' AS metric, purchase AS amount FROM wide
+        )
+        WHERE amount IS NOT NULL
+        ORDER BY user_id, metric
+    """,
+    tags=("unpivot",),
+    doc=(
+        "Unpivot (melt) via stack(): wide per-user metric columns back to "
+        "long form — the inverse of events_pivot_by_type, dropping null "
+        "cells like the UNION ALL oracle."
+    ),
+)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase"])
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"))
+    )
+    return (
+        wide.select(
+            "user_id",
+            F.expr("stack(2, 'click', click, 'purchase', purchase) AS (metric, amount)"),
+        )
+        .filter(F.col("amount").isNotNull())
+    )
+
+
+@register(
+    "approx_distinct_stats",
+    oracle=None,  # approximate by design — exactness asserted with tolerance
+    # against the exact answers in tests/test_approx.py; rows-only here
+    tags=("aggregate", "approx"),
+    doc=(
+        "The 100 TB forms of the exact aggregates: approx_count_distinct "
+        "(HyperLogLog++) and approx_percentile (t-digest-style sketch) per "
+        "event_type. Sketches are mergeable, so partial aggregation works "
+        "across any partitioning; accuracy vs the exact operators is "
+        "asserted within rsd-tolerance in tests."
+    ),
+)
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_median"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
     "events_trend",
     oracle="""
         WITH d AS (

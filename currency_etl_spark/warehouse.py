@@ -44,11 +44,18 @@ class ParquetUpsertTable:
         path: str,
         key_cols: list[str],
         partition_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.partition_cols = list(partition_cols or [])
+        # sort files by these columns on write → better min/max pruning and
+        # run-length locality for key-ordered scans (a poor man's clustering)
+        self.cluster_by = list(cluster_by or [])
+
+    def _maybe_cluster(self, df: DataFrame) -> DataFrame:
+        return df.sortWithinPartitions(*self.cluster_by) if self.cluster_by else df
 
     # -- read ---------------------------------------------------------------
     def exists(self) -> bool:
@@ -122,6 +129,32 @@ class ParquetUpsertTable:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__src", seq)
         )
+        deduped = self._maybe_cluster(deduped)
+
+        self._write(deduped)
+
+    def compact(self, target_files: int = 1) -> None:
+        """Small-file compaction: incremental MERGEs leave one file per
+        shuffle partition; periodic compaction rewrites each partition into
+        `target_files` files (coalesce — no shuffle). The 100 TB hygiene job
+        that keeps scan task counts proportional to data, not to merge
+        history."""
+        if not self.exists():
+            return
+        df = self._maybe_cluster(self.read().coalesce(target_files))
+        if self.partition_cols:
+            tmp_cols = self.partition_cols
+            df.write.mode("overwrite").partitionBy(*tmp_cols).parquet(self.path + "__compact")
+            import shutil
+
+            old = self.path + "__pre_compact"
+            os.rename(self.path, old)
+            os.rename(self.path + "__compact", self.path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            self._atomic_overwrite(df)
+
+    def _write(self, deduped: DataFrame) -> None:
         if self.partition_cols and self.exists():
             # rewrite only the touched partitions in place
             (

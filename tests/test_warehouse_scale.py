@@ -93,3 +93,28 @@ def test_latest_silver_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan
     pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "ingest_date" in pf_line  # pruning on the partition column, not a post-scan filter
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    raw = write_raw_json(nbu_records(days=30), str(tmp_path / "raw" / "r.json"))
+    df = _month_partitioned(spark, read_nbu_json(spark, raw))
+    wh = str(tmp_path / "wh_compact")
+    t = ParquetUpsertTable(
+        spark, wh, ["cc", "exchangedate"], partition_cols=["month"], cluster_by=["cc", "exchangedate"]
+    )
+    # several small merges → small-file buildup
+    for d in range(0, 30, 10):
+        chunk = df.filter(
+            (F.col("exchangedate") >= START + _dt.timedelta(days=d))
+            & (F.col("exchangedate") < START + _dt.timedelta(days=d + 10))
+        )
+        t.merge_upsert(chunk)
+    before = t.read().orderBy("cc", "exchangedate").collect()
+    n_files_before = len(glob.glob(f"{wh}/month=*/*.parquet"))
+
+    t.compact(target_files=1)
+    after = t.read().orderBy("cc", "exchangedate").collect()
+    n_files_after = len(glob.glob(f"{wh}/month=*/*.parquet"))
+    assert after == before
+    assert n_files_after <= n_files_before
+    assert n_files_after <= 2  # one file per month partition
