@@ -35,6 +35,7 @@ def get_spark(app_name: str = "currency_etl_spark", cpus: int | None = None) -> 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ces_spark_warehouse"))
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
     spark = builder.getOrCreate()
