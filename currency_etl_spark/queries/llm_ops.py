@@ -527,6 +527,65 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_clean_corpus",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, source, text,
+                   lower(regexp_replace(trim(text), ' +', ' ', 'g')) AS norm,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '), x -> x IN ({_sql_list(STOPWORDS['en'])}))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE n_tokens BETWEEN 10 AND 2000 AND stop_ratio >= 0.01
+        ),
+        deduped AS (
+            SELECT md5(norm) AS k, min(doc_id) AS kept_doc_id, count(*) AS n_copies
+            FROM kept GROUP BY md5(norm)
+        )
+        SELECT d.kept_doc_id AS doc_id, s.lang, s.source, s.n_tokens, d.n_copies
+        FROM deduped d JOIN kept s ON s.doc_id = d.kept_doc_id
+        ORDER BY doc_id
+    """,
+    tags=("llm", "pipeline", "dedup"),
+    doc=(
+        "The canonical training-corpus cleaning composition as ONE lazy "
+        "plan: quality gate (token-count bounds + stopword-ratio floor) → "
+        "whitespace/case normalization → exact dedup on the normalized "
+        "digest → surviving docs with copy counts. Filters run before the "
+        "dedup shuffle, and the shuffle carries digests — the order a 100 TB "
+        "cleaning pass must apply its stages."
+    ),
+)
+def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lower(F.regexp_replace(F.trim("text"), " +", " ")).alias("norm"),
+        F.size(t).cast("long").alias("n_tokens"),
+        (
+            F.size(F.filter(t, lambda x: x.isin(*STOPWORDS["en"]))).cast("double") / F.size(t)
+        ).alias("stop_ratio"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 2000) & (F.col("stop_ratio") >= 0.01)
+    )
+    deduped = (
+        kept.groupBy(F.md5("norm").alias("k"))
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+    return (
+        deduped.join(kept, deduped.kept_doc_id == kept.doc_id)
+        .select(F.col("kept_doc_id").alias("doc_id"), "lang", "source", "n_tokens", "n_copies")
+    )
+
+
 def _simhash_bit_sql(b: int) -> str:
     return f"sum(((x >> {b}) & 1) * 2 - 1)"
 
