@@ -499,6 +499,120 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_value_deciles",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey, o_totalprice,
+                   ntile(10) OVER w AS decile,
+                   round(coalesce(o_totalprice - lag(o_totalprice) OVER w, 0.0), 6) AS step_up,
+                   lead(o_orderkey) OVER w AS next_orderkey
+            FROM orders
+            WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        )
+        SELECT decile,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+               round(CAST(sum(CAST(step_up AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_steps,
+               CAST(count(next_orderkey) AS BIGINT) AS n_with_next
+        FROM t
+        GROUP BY decile
+        ORDER BY decile
+    """,
+    tags=("window", "ntile"),
+    doc=(
+        "ntile/lag/lead surface: global deciles of order value with "
+        "neighbor deltas, rolled up per decile. The global ORDER BY window "
+        "is the one legitimately sorted plan in the catalog — at scale this "
+        "becomes approx_percentile bucketing instead of a total sort."
+    ),
+)
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(
+            F.coalesce(F.col("o_totalprice") - F.lag("o_totalprice").over(w), F.lit(0.0)), 6
+        ).alias("step_up"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+            F.round(F.sum(F.col("step_up").cast("decimal(18,6)")).cast("double"), 6).alias("sum_steps"),
+            F.count("next_orderkey").alias("n_with_next"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "events_rolling_24h",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS value_24h,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_24h
+        FROM events
+        ORDER BY user_id, ts, event_id
+    """,
+    tags=("window", "range-frame", "time"),
+    doc=(
+        "True RANGE window frame (not rows): per-user trailing-24-hour sum/"
+        "count over microsecond epochs — the time-based sliding aggregate "
+        "rows-frames can't express when events are irregularly spaced. One "
+        "shuffle on user_id; the range frame evaluates incrementally."
+    ),
+)
+def events_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    day_us = 24 * 3600 * 1_000_000
+    w = W.partitionBy("user_id").orderBy("us").rangeBetween(-day_us, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("value_24h"),
+        F.count("*").over(w).alias("n_24h"),
+    )
+
+
+@register(
+    "docs_deterministic_sample",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE ('0x' || substring(md5(text), 1, 4))::BIGINT % 10 = 0
+        ORDER BY doc_id
+    """,
+    tags=("llm", "sampling"),
+    doc=(
+        "Reproducible ~10% sampling by content hash (md5 prefix mod k) — "
+        "unlike TABLESAMPLE/rand(), the sample is stable across engines, "
+        "runs, partitionings, and cluster sizes, which is what a training-"
+        "data ablation needs. Filter pushes to the scan; no shuffle."
+    ),
+)
+def docs_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 10
+    return docs.filter(bucket == 0).select("doc_id", "lang", "n_chars")
+
+
+@register(
     "cube_status_priority",
     oracle="""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
