@@ -586,6 +586,104 @@ def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LSH candidate-pair builder (used by dedup_minhash_lsh and
+    dedup_clusters)."""
+    return dedup_minhash_lsh(spark, sf_dir)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(unnest(list_distinct({_SQL_SHINGLES.format(t='t')}))), 1, 7)) AS BIGINT) AS x
+            FROM toks
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sig_sql()}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_idx, {_band_key_sql(band)} AS band_key FROM sig" for band in range(MINHASH_BANDS))}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach AS (
+            WITH RECURSIVE r(node, root) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.node
+            )
+            SELECT * FROM r
+        )
+        SELECT node AS doc_id, min(root) AS cluster_id
+        FROM reach
+        GROUP BY node
+        ORDER BY doc_id
+    """,
+    tags=("llm", "dedup", "iterative"),
+    doc=(
+        "Near-dup clustering: connected components over the MinHash-LSH "
+        "candidate graph, so 'keep one per duplicate group' has its groups. "
+        "Spark side is iterative min-label propagation (converges in "
+        "O(graph diameter) joins — the candidate graph is tiny relative to "
+        "the corpus, so iterations are cheap broadcastable joins); the "
+        "oracle walks the same graph with a recursive CTE. cluster_id = "
+        "min doc_id in the component."
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_candidate_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # the candidate graph is small → keep it in memory across iterations
+    edges = edges.cache()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "cluster_id", F.col("node")
+    )
+    # min-label propagation until fixpoint (diameter-bounded; typically 2-4)
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(edges.src)
+            .agg(F.min("cluster_id").alias("nbr_min"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
 def _simhash_bit_sql(b: int) -> str:
     return f"sum(((x >> {b}) & 1) * 2 - 1)"
 
