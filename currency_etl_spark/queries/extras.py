@@ -613,6 +613,90 @@ def docs_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_lineitem",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               CAST(min(l_shipdate) AS TIMESTAMP) AS min_shipdate,
+               CAST(max(l_shipdate) AS TIMESTAMP) AS max_shipdate,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS mean_discount
+        FROM lineitem
+    """,
+    tags=("quality", "profile"),
+    doc=(
+        "Single-pass table profiling: row/distinct/null counts, ranges, and "
+        "means for the fact table in ONE aggregation (no per-column jobs). "
+        "The data-quality gate that runs before a 100 TB pipeline stage "
+        "commits; every stat is a partial-aggregable expression."
+    ),
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(F.when(F.col("l_returnflag").isNull(), 1).otherwise(0)).alias("null_returnflag"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double") / F.count("*"), 6
+        ).alias("mean_discount"),
+    )
+
+
+@register(
+    "integrity_checks",
+    oracle="""
+        SELECT 'lineitem_orphan_orders' AS check_name,
+               CAST((SELECT count(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'orders_orphan_customers',
+               CAST((SELECT count(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+        UNION ALL
+        SELECT 'customer_orphan_nations',
+               CAST((SELECT count(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+        ORDER BY check_name
+    """,
+    tags=("quality", "antijoin"),
+    doc=(
+        "Referential-integrity audit: orphan counts across the star "
+        "schema's foreign keys via left-anti joins (NOT EXISTS). Each check "
+        "is a broadcast anti join against the (smaller) referenced side — "
+        "the constraint validation a lake has to run itself, since parquet "
+        "enforces nothing."
+    ),
+)
+def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+
+    def orphans(name, child, parent, ckey, pkey):
+        n = child.join(
+            F.broadcast(parent.select(pkey)), child[ckey] == parent[pkey], "left_anti"
+        ).count()
+        return (name, n)
+
+    rows = [
+        orphans("lineitem_orphan_orders", li, orders, "l_orderkey", "o_orderkey"),
+        orphans("orders_orphan_customers", orders, cust, "o_custkey", "c_custkey"),
+        orphans("customer_orphan_nations", cust, nation, "c_nationkey", "n_nationkey"),
+    ]
+    return spark.createDataFrame(rows, "check_name string, n_violations long").orderBy("check_name")
+
+
+@register(
     "cube_status_priority",
     oracle="""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
