@@ -649,12 +649,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    # the candidate graph is small → keep it in memory across iterations
-    edges = edges.cache()
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "cluster_id", F.col("node")
+    # the candidate graph is small → materialize it once across iterations
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    # min-label propagation until fixpoint (diameter-bounded; typically 2-4)
+    # min-label propagation until fixpoint (diameter-bounded; typically 2-4).
+    # Each iteration localCheckpoints — without lineage truncation, iteration
+    # k replays all k-1 predecessors and the loop goes quadratic.
     for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -670,6 +675,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cluster_id"
                 ),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -680,7 +686,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 
