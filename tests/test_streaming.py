@@ -70,3 +70,55 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert got[uid][1] == pytest.approx(want[uid][1])
+
+
+def test_append_mode_watermark_emits_closed_windows(spark, tmp_path):
+    """Watermark + append mode: hourly windows are emitted only once the
+    watermark passes their end — late rows inside the watermark still count,
+    and the emitted finals match a batch aggregation of the same data."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "wm_stream"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    batch1 = [(i, base + dt.timedelta(minutes=10 * i), 1.0) for i in range(6)]  # 00:00-00:50
+    batch2 = [
+        (100, base + dt.timedelta(minutes=55), 2.0),   # late-but-in-watermark for hour 0
+        (101, base + dt.timedelta(hours=3), 5.0),      # advances watermark far past hour 0+1
+        (102, base + dt.timedelta(hours=3, minutes=5), 7.0),
+    ]
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b1")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "b2")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch → watermark advances between
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {
+        str(r["win"]["start"]): (r["n"], r["v"]) for r in spark.table("wm_out").collect()
+    }
+    # hour-0 window closed (watermark at ~03:05-10min) and includes ALL 7 rows
+    assert emitted.get("2024-01-01 00:00:00") == (7, 8.0)
+    # hour-3 window is still open (watermark hasn't passed 04:00) → not emitted
+    assert "2024-01-01 03:00:00" not in emitted
