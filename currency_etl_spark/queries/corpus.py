@@ -559,6 +559,151 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_volume",
+    oracle="""
+        SELECT supp_nation, cust_nation, yr,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS yr,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        )
+        GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr
+    """,
+    tags=("tpch", "join", "aggregate"),
+    doc=(
+        "TPC-H Q7 shape: bidirectional nation-pair volume by year. Two "
+        "aliases of the same broadcast nation dim with a symmetric OR "
+        "predicate; the only shuffle is orders⋈lineitem."
+    ),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1k"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2k"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("yr")
+        )
+        .agg(_revenue_dec(li).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("tpch", "join", "topk"),
+    doc=(
+        "TPC-H Q10: returned-item revenue ranking — selective flag + date "
+        "filters push to the scans, customer/nation broadcast, top-20 via "
+        "TakeOrderedAndProject."
+    ),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_revenue_dec(li).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150
+        )
+        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    tags=("tpch", "semijoin", "having"),
+    doc=(
+        "TPC-H Q18: large-volume orders — IN over a HAVING aggregate becomes "
+        "aggregate → filter → left-semi join; the qualifying-key set is tiny "
+        "so it broadcasts into the probe."
+    ),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(_dec_sum(F.col("l_quantity")).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
     "part_brand_revenue",
     oracle="""
         SELECT p_brand,
