@@ -1,0 +1,70 @@
+"""Catalog-wide invariants: guard rails that keep every graded query
+deterministic and contract-compliant, independent of its specific logic.
+
+These catch the regressions the per-query oracle tests can't see coming:
+someone adds current_date() to a new query and it passes today's oracle
+run but diverges the day the driver re-runs it."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from currency_etl_spark.catalog import load_catalog
+
+CATALOG = load_catalog()
+
+#: expressions that make results time- or randomness-dependent
+FORBIDDEN_PLAN_TOKENS = (
+    "current_timestamp",
+    "current_date",
+    "now()",
+    "rand(",
+    "randn(",
+    "uuid(",
+    "shuffle(",  # array shuffle — nondeterministic order
+)
+
+# streaming queries build sinks eagerly; analyzed-plan text is checked for
+# the batch queries where the logical plan is cheap to render
+_PLAN_CHECKED = [
+    name for name, spec in CATALOG.items() if "streaming" not in (spec.tags or ())
+]
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_CHECKED))
+def test_no_nondeterministic_expressions(name, spark, sf_dir):
+    df = CATALOG[name].spark_fn(spark, sf_dir)
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "extended").lower()
+    for token in FORBIDDEN_PLAN_TOKENS:
+        assert token not in plan, f"{name}: nondeterministic expression {token!r} in plan"
+
+
+def test_oracles_reference_only_corpus_tables():
+    corpus = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    for name, spec in CATALOG.items():
+        if spec.oracle is None:
+            continue
+        # FROM/JOIN targets must be corpus views or inline subqueries
+        for tbl in re.findall(r"(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", spec.oracle):
+            assert tbl.lower() in corpus or tbl.lower() in {"", "r"} or tbl in (
+                # CTE names are fine — they must be defined in the same query
+                *re.findall(r"(\w+)\s+AS\s*\(", spec.oracle),
+            ), f"{name}: oracle references unknown table {tbl!r}"
+
+
+def test_every_query_has_doc_and_tags():
+    for name, spec in CATALOG.items():
+        assert spec.doc and len(spec.doc) > 30, f"{name}: missing doc"
+        assert spec.tags, f"{name}: missing tags"
+
+
+def test_catalog_size_monotonic():
+    # round-1 floor: future rounds must not silently drop operators
+    assert len(CATALOG) >= 63
+    assert sum(1 for s in CATALOG.values() if s.oracle) >= 61
