@@ -83,6 +83,70 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding",
+    oracle="""
+        -- every event belongs to two 2-hour windows sliding by 1 hour:
+        -- the ones starting at trunc_hour(ts) and trunc_hour(ts) - 1h
+        WITH exploded AS (
+            SELECT date_trunc('hour', ts) - to_hours(off) AS win_start,
+                   event_type, value
+            FROM events, (SELECT unnest([0, 1]) AS off)
+        )
+        SELECT win_start, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM exploded
+        GROUP BY win_start, event_type
+        ORDER BY win_start, event_type
+    """,
+    tags=("streaming", "window", "sliding"),
+    doc=(
+        "Sliding 2-hour/1-hour windowed aggregation through the streaming "
+        "engine — each event lands in two overlapping windows. Completes the "
+        "window-type coverage (tumbling, session, sliding); the oracle "
+        "derives each event's two containing window starts arithmetically."
+    ),
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream_dir = os.path.join(
+        "/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+    name = "streaming_sliding_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@register(
     "streaming_sessions",
     oracle="""
         WITH g AS (
