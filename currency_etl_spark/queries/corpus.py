@@ -704,6 +704,142 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    oracle="""
+        WITH all_rev AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS vol,
+                   n_name
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+        )
+        SELECT yr,
+               round(CAST(sum(CASE WHEN n_name = 'NATION_3' THEN vol END) AS DOUBLE)
+                     / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
+               CAST(sum(vol) AS DOUBLE) AS total_volume
+        FROM all_rev
+        GROUP BY yr
+        ORDER BY yr
+    """,
+    tags=("tpch", "join", "ratio"),
+    doc=(
+        "TPC-H Q8 shape: one nation's market share of yearly volume — "
+        "conditional decimal sum over total decimal sum, both exact, one "
+        "shuffle; dims broadcast."
+    ),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    vol = _disc_price_dec()
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("yr")
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+        SELECT round(
+                 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                                  END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+               6) AS promo_revenue_pct,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    tags=("tpch", "join", "ratio"),
+    doc=(
+        "TPC-H Q14: promotion revenue percentage in a month — conditional/"
+        "total exact-decimal ratio after a broadcast part join; the date "
+        "filter prunes the fact scan."
+    ),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    vol = _disc_price_dec()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol)).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    oracle="""
+        WITH avg_bal AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS ab
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM customer, avg_bal
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+        ORDER BY segment
+    """,
+    tags=("tpch", "antijoin", "subquery"),
+    doc=(
+        "TPC-H Q22 shape: above-average-balance customers who never ordered "
+        "— a scalar aggregate broadcast into the filter plus a left-anti "
+        "join against orders' key set."
+    ),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double") / F.count("*")).alias("ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dec_sum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
     "part_brand_revenue",
     oracle="""
         SELECT p_brand,
