@@ -840,6 +840,197 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_customer_distribution",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch", "outer", "distribution"),
+    doc=(
+        "TPC-H Q13: order-count distribution over customers — left outer "
+        "join (zero-order customers count at c_count=0) then a second "
+        "aggregation over the first's result."
+    ),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    tags=("tpch", "subquery", "argmax"),
+    doc=(
+        "TPC-H Q15: top supplier by quarterly revenue — the view + scalar "
+        "max subquery decorrelated to agg → broadcast max → equality filter "
+        "(keeps ties, exact decimal revenue so ties are real ties)."
+    ),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _revenue_dec(li).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        supp.join(F.broadcast(revenue), supp.s_suppkey == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13' AND p_size IN (5, 10, 15, 20, 25, 30)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch", "distinct-agg"),
+    doc=(
+        "TPC-H Q16 shape (partsupp approximated by observed lineitem "
+        "supplier-part pairs): distinct-supplier counts per part group with "
+        "negated/IN predicates on the broadcast dim."
+    ),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        WITH part_avg AS (
+            SELECT l_partkey AS pk,
+                   0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS half_avg
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem JOIN part_avg ON l_partkey = pk
+        WHERE l_quantity < half_avg
+    """,
+    tags=("tpch", "subquery", "correlated"),
+    doc=(
+        "TPC-H Q17: below-half-average-quantity revenue — the correlated "
+        "per-part AVG subquery decorrelated into a per-part aggregate joined "
+        "back on partkey (exact decimal average so the < comparison is "
+        "engine-identical)."
+    ),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.5)
+            * F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part_avg), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(_dec_sum(F.col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                        - CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.10 AS DECIMAL(3,2))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, yr
+        ORDER BY nation, yr DESC
+    """,
+    tags=("tpch", "join", "aggregate"),
+    doc=(
+        "TPC-H Q9 shape (supply cost approximated as 10% of retail price — "
+        "the corpus has no partsupp): product-line profit by supplier nation "
+        "and year, LIKE predicate on the part dim, four broadcasts + the "
+        "orders⋈lineitem shuffle."
+    ),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    profit = _disc_price_dec() - (
+        F.col("l_quantity").cast("decimal(18,2)")
+        * F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit(0.10).cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("yr"))
+    )
+
+
+@register(
     "part_brand_revenue",
     oracle="""
         SELECT p_brand,
