@@ -697,6 +697,132 @@ def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_rfm",
+    oracle="""
+        WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+        base AS (
+            SELECT o_custkey,
+                   CAST(CAST(mxd AS DATE) - CAST(max(o_orderdate) AS DATE) AS BIGINT) AS recency_days,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+            FROM orders, mx
+            GROUP BY o_custkey, mxd
+        ),
+        scored AS (
+            SELECT o_custkey AS c_custkey, recency_days, frequency, monetary,
+                   ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+                   ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+                   ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+            FROM base
+        )
+        SELECT CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+                    WHEN r_score <= 2 AND f_score <= 2 THEN 'loyal'
+                    WHEN r_score >= 3 AND m_score <= 2 THEN 'at_risk_big_spender'
+                    ELSE 'other' END AS segment,
+               count(*) AS n_customers,
+               CAST(sum(CAST(monetary AS DECIMAL(18,4))) AS DOUBLE) AS total_monetary
+        FROM scored
+        GROUP BY segment
+        ORDER BY segment
+    """,
+    tags=("analytics", "rfm", "window"),
+    doc=(
+        "RFM customer segmentation: recency anchored to max(o_orderdate) "
+        "(no wall clock), frequency, exact-decimal monetary; quartile scores "
+        "via fully tie-broken ntile windows; rule-based segment rollup. The "
+        "standard lifecycle-marketing workload as one plan."
+    ),
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+    base = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "mxd")
+        .agg(
+            F.datediff(F.col("mxd").cast("date"), F.max("o_orderdate").cast("date"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("monetary"),
+        )
+    )
+    scored = base.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), "o_custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), "o_custkey")).alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2), "champion")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "loyal")
+        .when((F.col("r_score") >= 3) & (F.col("m_score") <= 2), "at_risk_big_spender")
+        .otherwise("other")
+    )
+    return (
+        scored.groupBy(segment.alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(18,4)")).cast("double").alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "orders_monthly_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT month, n_orders, revenue,
+               round(CASE WHEN lag(revenue) OVER w IS NOT NULL AND lag(revenue) OVER w <> 0
+                          THEN 100.0 * (revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+                     END, 6) AS growth_pct
+        FROM monthly
+        WINDOW w AS (ORDER BY month)
+        ORDER BY month
+    """,
+    tags=("analytics", "time", "window"),
+    doc=(
+        "Month-over-month revenue growth: monthly rollup (exact decimal "
+        "sums) then lag-based percentage change — the KPI-dashboard shape; "
+        "first month yields null growth."
+    ),
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round(
+            F.when(prev.isNotNull() & (prev != 0), F.lit(100.0) * (F.col("revenue") - prev) / prev),
+            6,
+        ).alias("growth_pct"),
+    )
+
+
+@register(
     "cube_status_priority",
     oracle="""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
