@@ -823,6 +823,95 @@ def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_signup,
+               CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS stage_click_after_signup,
+               CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup AND t_purchase > t_click
+                             THEN 1 ELSE 0 END) AS BIGINT) AS stage_full_funnel
+        FROM firsts
+    """,
+    tags=("analytics", "funnel", "events"),
+    doc=(
+        "Sequential conversion funnel (signup → click → purchase, in time "
+        "order): one aggregation computes each user's first event per stage, "
+        "ordering predicates gate each stage. No joins, no window sorts — "
+        "the funnel is a conditional-min + conditional-count pass."
+    ),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(signed, 1).otherwise(0)).alias("stage_signup"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("stage_click_after_signup"),
+        F.sum(F.when(purchased, 1).otherwise(0)).alias("stage_full_funnel"),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+        WITH cohorts AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+        )
+        SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+               -- // is integer division; / on ints is float division in DuckDB
+               CAST(active_day - cohort_day AS BIGINT) // 7 AS week_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+        FROM cohorts c JOIN activity a USING (user_id)
+        WHERE active_day >= cohort_day
+        GROUP BY cohort_day, week_offset
+        ORDER BY cohort, week_offset
+    """,
+    tags=("analytics", "cohort", "events"),
+    doc=(
+        "Cohort retention: users grouped by first-seen day, distinct-active "
+        "counts per week offset since the cohort day. Two aggregations and "
+        "one join on user_id — the matrix every growth dashboard draws."
+    ),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    activity = e.select("user_id", F.col("ts").cast("date").alias("active_day")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff("active_day", "cohort_day").cast("long") / 7).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort", "week_offset")
+    )
+
+
+@register(
     "cube_status_priority",
     oracle="""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
