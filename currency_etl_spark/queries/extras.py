@@ -912,6 +912,97 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_rank_metrics",
+    oracle="""
+        WITH t AS (
+            SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume,
+                   first_value(o_orderkey) OVER w AS cheapest_order
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey)
+        )
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(pct_rank AS DECIMAL(12,6))) AS DOUBLE), 6) AS sum_pct_rank,
+               round(CAST(sum(CAST(cume AS DECIMAL(12,6))) AS DOUBLE), 6) AS sum_cume,
+               CAST(min(cheapest_order) AS BIGINT) AS cheapest_order
+        FROM t
+        GROUP BY segment
+        ORDER BY segment
+    """,
+    tags=("window", "rank-metrics"),
+    doc=(
+        "Rank-metric window functions (percent_rank, cume_dist, first_value) "
+        "over fully tie-broken per-segment orderings, rolled up through "
+        "decimal-exact sums so both engines agree to the bit."
+    ),
+)
+def order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    w = W.partitionBy("segment").orderBy("o_totalprice", "o_orderkey")
+    t = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice")
+        .select(
+            "segment",
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("o_orderkey").over(w).alias("cheapest_order"),
+        )
+    )
+    return (
+        t.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("pct_rank").cast("decimal(12,6)")).cast("double"), 6).alias(
+                "sum_pct_rank"
+            ),
+            F.round(F.sum(F.col("cume").cast("decimal(12,6)")).cast("double"), 6).alias("sum_cume"),
+            F.min("cheapest_order").alias("cheapest_order"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "grouping_sets_custom",
+    oracle="""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority
+    """,
+    tags=("aggregate", "groupingsets"),
+    doc=(
+        "Raw GROUPING SETS (neither rollup nor cube): two independent "
+        "grouping levels in one Expand + shuffle — completes the grouping-"
+        "sets trio alongside rollup_segment_nation and cube_status_priority."
+    ),
+)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame API has rollup/cube but not raw grouping sets → Spark SQL
+    orders = table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority
+        """
+    )
+
+
+@register(
     "cube_status_priority",
     oracle="""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
