@@ -689,6 +689,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 
+@register(
+    "similar_part_names",
+    oracle="""
+        WITH b AS (SELECT p_partkey, p_brand, p_size, p_name FROM part),
+        pairs AS (
+            SELECT a.p_partkey AS key_a, c.p_partkey AS key_b,
+                   a.p_name AS name_a, c.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS edit_dist
+            FROM b a JOIN b c
+              ON a.p_brand = c.p_brand AND a.p_size = c.p_size AND a.p_partkey < c.p_partkey
+        )
+        SELECT key_a, key_b, name_a, name_b, edit_dist
+        FROM pairs
+        WHERE edit_dist <= 6
+        ORDER BY edit_dist, key_a, key_b
+        LIMIT 20
+    """,
+    tags=("llm", "string", "similarity"),
+    doc=(
+        "Edit-distance near-dup detection on short strings: levenshtein "
+        "over pairs blocked by (brand, size) so the comparison set is "
+        "block-local — the fuzzy-matching cousin of the shingle/Jaccard "
+        "path, for keys/titles instead of documents. Spark and DuckDB "
+        "implement the same Levenshtein definition."
+    ),
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    b = part.select("p_partkey", "p_brand", "p_size", "p_name")
+    pairs = (
+        b.groupBy("p_brand", "p_size")
+        .agg(F.sort_array(F.collect_list(F.struct("p_partkey", "p_name"))).alias("ps"))
+        .filter(F.size("ps") > 1)
+        .select(F.explode(_ordered_pairs(F.col("ps"))).alias("p"))
+        .select(
+            F.col("p.doc_a.p_partkey").alias("key_a"),
+            F.col("p.doc_b.p_partkey").alias("key_b"),
+            F.col("p.doc_a.p_name").alias("name_a"),
+            F.col("p.doc_b.p_name").alias("name_b"),
+            F.levenshtein(F.col("p.doc_a.p_name"), F.col("p.doc_b.p_name"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )
+    return (
+        pairs.filter(F.col("edit_dist") <= 6)
+        .orderBy("edit_dist", "key_a", "key_b")
+        .limit(20)
+    )
+
+
 def _simhash_bit_sql(b: int) -> str:
     return f"sum(((x >> {b}) & 1) * 2 - 1)"
 
