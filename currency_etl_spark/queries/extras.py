@@ -1003,6 +1003,98 @@ def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "acctbal_dispersion",
+    oracle="""
+        WITH s AS (
+            SELECT n_name,
+                   count(*) AS n,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, n,
+               round(sx / n, 6) AS mean_bal,
+               round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_bal
+        FROM s
+        WHERE n > 1
+        ORDER BY n_name
+    """,
+    tags=("aggregate", "statistics"),
+    doc=(
+        "Per-nation balance dispersion from decimal-exact moment sums "
+        "(sample stddev via the closed form) — built-in stddev_samp uses "
+        "order-dependent streaming updates that differ across engines in "
+        "the last ulp; exact moments make both engines agree to the bit."
+    ),
+)
+def acctbal_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(18,4)")
+    s = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(bal).cast("double").alias("sx"),
+            F.sum(bal * bal).cast("double").alias("sxx"),
+        )
+    )
+    var = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / (
+        F.col("n") * (F.col("n") - F.lit(1.0))
+    )
+    return (
+        s.filter(F.col("n") > 1)
+        .select(
+            "n_name",
+            "n",
+            F.round(F.col("sx") / F.col("n"), 6).alias("mean_bal"),
+            F.round(F.sqrt(var), 6).alias("stddev_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+        ORDER BY prev_type, next_type
+    """,
+    tags=("analytics", "sequence", "window"),
+    doc=(
+        "Event-type transition matrix (Markov counts): lag over each user's "
+        "time-ordered stream, then a pair-count aggregation — the sequence-"
+        "mining primitive behind next-action models; one shuffle on user_id "
+        "plus one on the pair key."
+    ),
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
     "cube_status_priority",
     oracle="""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,

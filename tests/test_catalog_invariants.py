@@ -66,5 +66,5 @@ def test_every_query_has_doc_and_tags():
 
 def test_catalog_size_monotonic():
     # round-1 floor: future rounds must not silently drop operators
-    assert len(CATALOG) >= 79
-    assert sum(1 for s in CATALOG.values() if s.oracle) >= 77
+    assert len(CATALOG) >= 81
+    assert sum(1 for s in CATALOG.values() if s.oracle) >= 79
