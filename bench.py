@@ -49,6 +49,9 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # Detailed per-query line first; a SHORT summary line LAST so the
+    # driver's tail capture always parses a complete JSON object (round 1's
+    # single ~4 KB line was truncated mid-object → "parsed": null).
     print(
         json.dumps(
             {
@@ -58,6 +61,11 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
             }
+        )
+    )
+    print(
+        json.dumps(
+            {"metric": "catalog_total_runtime", "value": total, "unit": "sec", "sf": sf, "n_queries": len(times)}
         )
     )
 

@@ -447,8 +447,10 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     oracle="""
         WITH g AS (
+            -- >= not >: matches session_window's half-open [ts, ts+gap)
+            -- windows, so the streaming twin agrees at exact-gap boundaries
             SELECT user_id, ts, event_id,
-                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                              OR lag(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events
@@ -480,7 +482,8 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = e.withColumn(
         "is_new",
         F.when(
-            (F.col("us") - F.lag("us").over(w) > gap_us) | F.lag("ts").over(w).isNull(), 1
+            # >= matches session_window's half-open [ts, ts+gap) windows
+            (F.col("us") - F.lag("us").over(w) >= gap_us) | F.lag("ts").over(w).isNull(), 1
         ).otherwise(0),
     )
     s = g.withColumn("session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))

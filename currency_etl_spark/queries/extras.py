@@ -671,9 +671,10 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Referential-integrity audit: orphan counts across the star "
         "schema's foreign keys via left-anti joins (NOT EXISTS). Each check "
-        "is a broadcast anti join against the (smaller) referenced side — "
-        "the constraint validation a lake has to run itself, since parquet "
-        "enforces nothing."
+        "is a broadcast anti join against the (smaller) referenced side, and "
+        "the three checks union into ONE lazy plan — a single Spark job, not "
+        "three eager .count() round-trips — the constraint validation a lake "
+        "has to run itself, since parquet enforces nothing."
     ),
 )
 def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,17 +684,21 @@ def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
 
     def orphans(name, child, parent, ckey, pkey):
-        n = child.join(
-            F.broadcast(parent.select(pkey)), child[ckey] == parent[pkey], "left_anti"
-        ).count()
-        return (name, n)
+        return (
+            child.join(F.broadcast(parent.select(pkey)), child[ckey] == parent[pkey], "left_anti")
+            .agg(F.count("*").cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("check_name"), "n_violations")
+        )
 
-    rows = [
+    checks = [
         orphans("lineitem_orphan_orders", li, orders, "l_orderkey", "o_orderkey"),
         orphans("orders_orphan_customers", orders, cust, "o_custkey", "c_custkey"),
         orphans("customer_orphan_nations", cust, nation, "c_nationkey", "n_nationkey"),
     ]
-    return spark.createDataFrame(rows, "check_name string, n_violations long").orderBy("check_name")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
 
 
 @register(

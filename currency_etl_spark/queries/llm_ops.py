@@ -76,6 +76,37 @@ def _sql_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+#: Document-frequency cap for posting-list pair generation. A shingle /
+#: LSH band / blocking bucket shared by more than DF_CAP members is dropped
+#: BEFORE pair explosion: a single hot key (boilerplate shingle, dominant
+#: band) would otherwise produce an unbounded collect_list and an O(k²)
+#: pair blow-up — the classic LSH scale-killer at 100 TB. Standard df-cap
+#: semantics (ultra-common keys carry no near-dup signal anyway). The SAME
+#: cap is applied in every oracle (QUALIFY count(*) OVER (...) <= DF_CAP)
+#: so Spark and DuckDB stay bit-identical. At the test SFs (max observed
+#: group size: 28 at sf0.1) the cap is a no-op; property tests pin the
+#: drop behavior explicitly.
+DF_CAP = 64
+
+
+def _cap_groups(df: DataFrame, keys: list[str], cap: int = DF_CAP) -> DataFrame:
+    """Drop rows whose group on `keys` exceeds `cap` members.
+
+    Implemented as a window count + filter rather than a post-collect_list
+    size filter: WindowExec buffers per-key rows in a spillable array, so a
+    hot key degrades to disk instead of blowing the agg buffer, and the
+    window's hash exchange on `keys` is reused by the downstream groupBy on
+    the same keys (one shuffle total — verified in tests/test_plans.py)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys)
+    return (
+        df.withColumn("__gcnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("__gcnt") <= cap)
+        .drop("__gcnt")
+    )
+
+
 def _ordered_pairs(docs: Column) -> Column:
     """All (doc_a < doc_b) pairs from a sorted id list, as an array of
     structs — built-ins only (nested transform + slice + flatten)."""
@@ -264,9 +295,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks
         ),
         cnt AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        -- document-frequency cap: shingles shared by > {DF_CAP} docs carry no
+        -- near-dup signal and would explode the candidate pairs (DF_CAP)
+        shc AS (
+            SELECT * FROM sh
+            QUALIFY count(*) OVER (PARTITION BY lang, source, s) <= {DF_CAP}
+        ),
         pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM sh a JOIN sh b
+            FROM shc a JOIN shc b
               ON a.s = b.s AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
@@ -297,10 +334,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     # Pair generation WITHOUT a self-join: group the inverted index by
     # shingle, then explode ordered pairs from each posting list. One scan
-    # and one shuffle instead of two scans + a two-sided join shuffle; the
-    # posting lists are naturally bounded by the (lang, source) blocking.
+    # and one shuffle instead of two scans + a two-sided join shuffle. The
+    # df-cap (_cap_groups) bounds every posting list to DF_CAP BEFORE the
+    # collect, so no hot shingle can blow up an agg buffer or the pair count;
+    # Jaccard denominators (cnt) stay the true per-doc shingle counts.
     pairs = (
-        sh.groupBy("lang", "source", "s")
+        _cap_groups(sh, ["lang", "source", "s"])
+        .groupBy("lang", "source", "s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") > 1)
         .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
@@ -354,9 +394,15 @@ def _band_key_sql(band: int) -> str:
         ),
         bands AS (
             {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_idx, {_band_key_sql(band)} AS band_key FROM sig" for band in range(MINHASH_BANDS))}
+        ),
+        -- frequency cap: a band bucket shared by > {DF_CAP} docs would pair
+        -- O(k²); drop it (same DF_CAP the Spark side applies)
+        bands_capped AS (
+            SELECT * FROM bands
+            QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {DF_CAP}
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands_capped a JOIN bands_capped b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b
     """,
@@ -396,9 +442,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
     # same join-free pair generation as dedup_ngram_jaccard: bucket by band,
-    # explode ordered pairs from each bucket's posting list
+    # explode ordered pairs from each bucket's posting list, with the df-cap
+    # bounding every bucket to DF_CAP before the collect
     return (
-        bands.groupBy("band_idx", "band_key")
+        _cap_groups(bands, ["band_idx", "band_key"])
+        .groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") > 1)
         .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
@@ -409,16 +457,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
         WITH b AS (
             SELECT vec_id, label, embedding,
                    list_sum(list_transform(generate_series(1, 8),
                        i -> CASE WHEN embedding[i] > 0 THEN 1 << (i - 1) ELSE 0 END)) AS bucket
             FROM embeddings
         ),
+        bc AS (
+            SELECT * FROM b
+            QUALIFY count(*) OVER (PARTITION BY label, bucket) <= {DF_CAP}
+        ),
         pairs AS (
             SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.embedding AS ea, c.embedding AS eb
-            FROM b a JOIN b c
+            FROM bc a JOIN bc c
               ON a.label = c.label AND a.bucket = c.bucket AND a.vec_id < c.vec_id
         )
         SELECT vec_a, vec_b,
@@ -454,19 +506,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    b = emb.select("vec_id", "label", "embedding", bucket.alias("bucket"))
-    pairs = (
-        b.groupBy("label", "bucket")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("vs")
-        )
+    # Bucket rows stay NARROW: cap the bucket, collect only vec_id, and
+    # re-join the embedding arrays per pair side afterwards — no embedding
+    # vectors ever sit inside a collect_list buffer. The pair table is
+    # bounded (≤ DF_CAP²/2 per bucket), so the two re-joins are cheap
+    # equi-joins on vec_id.
+    b = emb.select("vec_id", "label", bucket.alias("bucket"))
+    pair_ids = (
+        _cap_groups(b, ["label", "bucket"])
+        .groupBy("label", "bucket")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("vs"))
         .filter(F.size("vs") > 1)
         .select(F.explode(_ordered_pairs(F.col("vs"))).alias("p"))
-        .select(
-            F.col("p.doc_a.vec_id").alias("vec_a"),
-            F.col("p.doc_b.vec_id").alias("vec_b"),
-            F.round(_cosine(F.col("p.doc_a.embedding"), F.col("p.doc_b.embedding")), 6).alias("cos_sim"),
-        )
+        .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        pair_ids.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(_cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
     )
     return pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(20)
 
@@ -509,13 +568,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w")
     )
     dfreq = words.groupBy("w").agg(F.count("*").alias("dfq"))
-    nd = docs.count()  # one scalar; driver-side like the oracle's CTE
+    # corpus size as a broadcast 1-row agg crossJoin — stays in the SAME lazy
+    # plan (no eager driver-side count job; pattern from queries/reference.py)
+    ndocs = docs.agg(F.count("*").alias("nd"))
     tf = words.groupBy("lang", "w").agg(F.count("*").alias("tf"))
-    scored = tf.join(F.broadcast(dfreq), "w").select(
-        "lang",
-        F.col("w").alias("term"),
-        "tf",
-        F.round(F.col("tf") * F.log(F.lit(float(nd)) / F.col("dfq")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "lang",
+            F.col("w").alias("term"),
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("nd").cast("double") / F.col("dfq")), 6).alias("tfidf"),
+        )
     )
     from pyspark.sql import Window as W
 
@@ -609,9 +674,13 @@ def _minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands AS (
             {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_idx, {_band_key_sql(band)} AS band_key FROM sig" for band in range(MINHASH_BANDS))}
         ),
+        bands_capped AS (
+            SELECT * FROM bands
+            QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {DF_CAP}
+        ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM bands_capped a JOIN bands_capped b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         ),
         edges AS (
@@ -691,13 +760,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similar_part_names",
-    oracle="""
+    oracle=f"""
         WITH b AS (SELECT p_partkey, p_brand, p_size, p_name FROM part),
+        bc AS (
+            SELECT * FROM b
+            QUALIFY count(*) OVER (PARTITION BY p_brand, p_size) <= {DF_CAP}
+        ),
         pairs AS (
             SELECT a.p_partkey AS key_a, c.p_partkey AS key_b,
                    a.p_name AS name_a, c.p_name AS name_b,
                    CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS edit_dist
-            FROM b a JOIN b c
+            FROM bc a JOIN bc c
               ON a.p_brand = c.p_brand AND a.p_size = c.p_size AND a.p_partkey < c.p_partkey
         )
         SELECT key_a, key_b, name_a, name_b, edit_dist
@@ -719,7 +792,8 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     b = part.select("p_partkey", "p_brand", "p_size", "p_name")
     pairs = (
-        b.groupBy("p_brand", "p_size")
+        _cap_groups(b, ["p_brand", "p_size"])
+        .groupBy("p_brand", "p_size")
         .agg(F.sort_array(F.collect_list(F.struct("p_partkey", "p_name"))).alias("ps"))
         .filter(F.size("ps") > 1)
         .select(F.explode(_ordered_pairs(F.col("ps"))).alias("p"))

@@ -150,8 +150,10 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_sessions",
     oracle="""
         WITH g AS (
+            -- >= not >: session_window's windows are half-open [ts, ts+gap),
+            -- so an event exactly `gap` later starts a NEW session
             SELECT user_id, ts, event_id,
-                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
                              OR lag(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events

@@ -106,7 +106,12 @@ class ParquetUpsertTable:
                 for values in touched:
                     clause = F.lit(True)
                     for col, v in zip(self.partition_cols, values):
-                        clause = clause & (F.col(col) == F.lit(v))
+                        # eqNullSafe (<=>): a NULL partition value must still
+                        # select its existing rows, or dynamic partition
+                        # overwrite would rewrite __HIVE_DEFAULT_PARTITION__
+                        # with only the update rows — silently dropping the
+                        # partition's pre-existing keys.
+                        clause = clause & F.col(col).eqNullSafe(F.lit(v))
                     cond = clause if cond is None else (cond | clause)
                 current = current.filter(cond if cond is not None else F.lit(False))
             current = current.withColumn("__src", F.lit(0)).withColumn(

@@ -118,3 +118,23 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert after == before
     assert n_files_after <= n_files_before
     assert n_files_after <= 2  # one file per month partition
+
+
+def test_partitioned_upsert_null_partition_value_preserves_rows(spark, tmp_path):
+    # a NULL partition value lands in __HIVE_DEFAULT_PARTITION__; the merge's
+    # partition-pruning predicate must still select those existing rows
+    # (eqNullSafe) or dynamic overwrite would rewrite the null partition with
+    # only the update rows, silently deleting its other keys
+    wh = str(tmp_path / "wh_nullpart")
+    t = ParquetUpsertTable(spark, wh, ["k"], partition_cols=["month"])
+    base = spark.createDataFrame(
+        [("a", 1.0, None), ("b", 2.0, None), ("c", 3.0, "2024-01")],
+        "k string, v double, month string",
+    )
+    t.merge_upsert(base)
+    assert t.read().count() == 3
+
+    fix = spark.createDataFrame([("a", 9.0, None)], "k string, v double, month string")
+    t.merge_upsert(fix)
+    after = {r["k"]: r["v"] for r in t.read().collect()}
+    assert after == {"a": 9.0, "b": 2.0, "c": 3.0}  # 'b' must survive
