@@ -33,11 +33,18 @@ def main() -> None:
     spark = get_spark("currency_etl_spark-bench")
     catalog = load_catalog()
 
-    # JVM/scan warmup (not timed): touch each table once
+    # JVM/scan warmup (not timed): touch each table once, then run two
+    # cheap representative queries so whole-stage codegen, the broadcast
+    # machinery, and the window path are compiled before the first timed
+    # entry (otherwise the alphabetically-first query absorbs ~2 s of
+    # one-time JIT/codegen cost).
     from currency_etl_spark.sources import CORPUS_TABLES, table
 
     for t in CORPUS_TABLES:
         table(spark, sf_dir, t).count()
+    for warm in ("top_customers", "topk_orders_per_segment"):
+        if warm in catalog:
+            materialize(catalog[warm].spark_fn(spark, sf_dir))
 
     times: dict[str, float] = {}
     for name in sorted(catalog):

@@ -35,6 +35,16 @@ def _tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+def _with_tokens(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Project doc_id (+extras) and the token array `t` FIRST, behind a
+    projection boundary. Referencing ``split(text)`` from several
+    expressions — or from inside higher-order-function lambdas, which run
+    interpreted, outside whole-stage codegen's subexpression elimination —
+    re-tokenizes the document once per reference: measured 3.5-6x slower on
+    the shingle/stats paths. One materialized token column fixes it."""
+    return docs.select("doc_id", *extra_cols, _tokens(F.col("text")).alias("t"))
+
+
 def _shingles(tokens: Column) -> Column:
     """Word 3-grams, 1-based window over the token list."""
     n = F.size(tokens)
@@ -151,8 +161,8 @@ def _ordered_pairs(docs: Column) -> Column:
     ),
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
+    docs = _with_tokens(table(spark, sf_dir, "documents"), "text")
+    t = F.col("t")
     return (
         docs.select(
             "doc_id",
@@ -199,8 +209,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
+    docs = _with_tokens(table(spark, sf_dir, "documents"), "lang")
+    t = F.col("t")
     def hits_col(lang: str):
         words = STOPWORDS[lang]
         # one-arg lambda: F.filter treats two-arg lambdas as (element, index)
@@ -240,8 +250,8 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
+    docs = _with_tokens(table(spark, sf_dir, "documents"), "text")
+    t = F.col("t")
     weighted = F.transform(t, lambda x, i: (F.ascii(x) * 31 + F.length(x)) * (i + 1))
     return docs.select(
         "doc_id",
@@ -324,12 +334,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _with_tokens(table(spark, sf_dir, "documents"), "lang", "source")
     sh = docs.select(
         "doc_id",
         "lang",
         "source",
-        F.explode(F.array_distinct(_shingles(_tokens(F.col("text"))))).alias("s"),
+        F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s"),
     )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     # Pair generation WITHOUT a self-join: group the inverted index by
@@ -417,10 +427,10 @@ def _band_key_sql(band: int) -> str:
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _with_tokens(table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(_shingles(_tokens(F.col("text"))))).alias("s"),
+        F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s"),
     ).select(
         "doc_id",
         F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("x"),
@@ -564,8 +574,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", "lang", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w")
+    words = _with_tokens(docs, "lang").select(
+        "doc_id", "lang", F.explode(F.array_distinct(F.col("t"))).alias("w")
     )
     dfreq = words.groupBy("w").agg(F.count("*").alias("dfq"))
     # corpus size as a broadcast 1-row agg crossJoin — stays in the SAME lazy
@@ -626,8 +636,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
+    docs = _with_tokens(table(spark, sf_dir, "documents"), "lang", "source", "text")
+    t = F.col("t")
     scored = docs.select(
         "doc_id",
         "lang",
@@ -726,35 +736,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # min-label propagation until fixpoint (diameter-bounded; typically 2-4).
-    # Each iteration localCheckpoints — without lineage truncation, iteration
-    # k replays all k-1 predecessors and the loop goes quadratic.
+    # Min-label propagation until fixpoint (diameter-bounded; typically 2-4).
+    # One join + union + min-agg per iteration (message passing), not the
+    # two-join least/coalesce form. Convergence check rides on monotonicity:
+    # labels only ever DECREASE, so sum(cluster_id) is strictly decreasing
+    # until the fixpoint — a 1-row agg over the just-checkpointed labels
+    # replaces a join-based changed-row count (one cheap action, no join).
+    # Each iteration localCheckpoints — without lineage truncation,
+    # iteration k replays all k-1 predecessors and the loop goes quadratic.
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy(edges.src)
-            .agg(F.min("cluster_id").alias("nbr_min"))
-            .withColumnRenamed("src", "node")
+        msgs = edges.join(labels, edges.dst == labels.node).select(
+            edges.src.alias("node"), "cluster_id"
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
-            )
+        labels = (
+            msgs.unionByName(labels.select("node", "cluster_id"))
+            .groupBy("node")
+            .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), "cluster_id").orderBy("doc_id")
 
 
@@ -846,10 +850,10 @@ def _simhash_bit_sql(b: int) -> str:
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = _with_tokens(table(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(_tokens(F.col("text")))).alias("w"),
+        F.explode(F.array_distinct(F.col("t"))).alias("w"),
     ).select("doc_id", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("x"))
     bits = words.groupBy("doc_id").agg(
         *[

@@ -22,6 +22,55 @@ from pyspark.sql import functions as F
 
 from currency_etl_spark.catalog import register
 
+#: State-store / shuffle partition count for the graded streaming jobs.
+#: Stateful streaming creates one state store per shuffle partition per
+#: micro-batch; the right number tracks stateful-key cardinality and
+#: cluster size (hundreds-thousands on a real cluster — set the env var),
+#: while the local harness default of 32 is pure per-query fixed cost.
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (explicit schema — streams
+    never infer). events.ts is TIMESTAMP(NANOS) parquet: read as raw nanos
+    and truncate to micros, same convention as sources.table. The file
+    stream source wants a directory; expose the single file through a
+    stable symlink dir (what a landing/bronze dir is in production)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream_dir = os.path.join("/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return (
+        spark.readStream.schema(schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+    """Run a streaming aggregation to completion (Trigger.AvailableNow,
+    complete mode) into a memory sink and return the sink table. Shuffle
+    partitions are narrowed to STREAM_SHUFFLE_PARTITIONS for the stream's
+    lifetime (state-store count = shuffle partitions) and restored after."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
 
 @register(
     "streaming_hourly",
@@ -42,23 +91,7 @@ from currency_etl_spark.catalog import register
     ),
 )
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(sf_dir, "events.parquet")
-    # events.ts is TIMESTAMP(NANOS) parquet → read as raw nanos and truncate
-    # to micros, same convention as sources.table (and DuckDB's reader).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema  # explicit schema: streams never infer
-    # The file stream source wants a directory; expose the single file through
-    # a stable symlink dir (what a landing/bronze dir is in production).
-    stream_dir = os.path.join("/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
@@ -66,17 +99,8 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
     )
-    name = "streaming_hourly_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        _run_to_memory(spark, agg, "streaming_hourly_out")
         .select(F.col("win.start").alias("hour_bucket"), "event_type", "n_events", "total_value")
         .orderBy("hour_bucket", "event_type")
     )
@@ -108,21 +132,7 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    stream_dir = os.path.join(
-        "/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
         .agg(
@@ -130,17 +140,8 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
     )
-    name = "streaming_sliding_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        _run_to_memory(spark, agg, "streaming_sliding_out")
         .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
         .orderBy("win_start", "event_type")
     )
@@ -179,37 +180,14 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    stream_dir = os.path.join(
-        "/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(F.count("*").alias("n_events"))
     )
-    name = "streaming_sessions_out"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        _run_to_memory(spark, agg, "streaming_sessions_out")
         .select("user_id", F.col("win.start").alias("session_start"), "n_events")
         .orderBy("user_id", "session_start")
     )
