@@ -74,11 +74,14 @@ PRIORITY_ORDER = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "minhash_jaccard_est",
     "docs_clean_corpus",
+    "docs_stratified_sample",
     "similar_part_names",
     # vectors / ANN
     "knn_brute",
     "knn_ivf",
+    "knn_lsh",
     "embedding_norms",
     # multimodal
     "multimodal_meta_stats",
@@ -91,6 +94,8 @@ PRIORITY_ORDER = [
     # remaining round-1-ungraded analytics entries
     "events_type_transitions",
     "cube_status_priority",
+    # new in round 2
+    "events_range_join_binned",
 ]
 
 

@@ -1128,3 +1128,67 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "events_range_join_binned",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+        ),
+        top3 AS (SELECT h FROM hourly ORDER BY n DESC, h LIMIT 3),
+        win AS (
+            SELECT h, h - INTERVAL 90 MINUTE AS ws, h + INTERVAL 90 MINUTE AS we
+            FROM top3
+        )
+        SELECT strftime(w.h, '%Y-%m-%d %H:%M:%S') AS win_center,
+               e.event_type,
+               count(*) AS n_events
+        FROM events e JOIN win w ON e.ts >= w.ws AND e.ts < w.we
+        GROUP BY 1, 2
+        ORDER BY win_center, event_type
+    """,
+    tags=("join", "range", "binned"),
+    doc=(
+        "Point-in-interval range join via BINNING — the scale pattern for "
+        "inequality joins Spark would otherwise plan as a BroadcastNestedLoop "
+        "scan of every point against every interval. Intervals here are the "
+        "3-hour spans centered on the 3 busiest hours (derived from the data, "
+        "no wall clock); each interval EXPLODES to the hour bins it covers and "
+        "each event maps to its single bin, so the join is a plain equi-join "
+        "on bin followed by the exact containment filter. Cost is "
+        "O(|points| + |intervals| x bins_per_interval) regardless of interval "
+        "count — at 100 TB the bin key is also the natural partition key. "
+        "The oracle states the semantics with the naive inequality join."
+    ),
+)
+def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(F.count("*").alias("n"))
+    top3 = hourly.orderBy(F.desc("n"), "h").limit(3).select("h")
+    win = top3.select(
+        "h",
+        (F.col("h") - F.expr("INTERVAL 90 MINUTES")).alias("ws"),
+        (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("we"),
+    )
+    # bin granularity = 1 hour: every interval covers a handful of bins,
+    # every point exactly one — the equi-join key
+    bins = win.select(
+        "h",
+        "ws",
+        "we",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("ws")),
+                F.date_trunc("hour", F.col("we") - F.expr("INTERVAL 1 SECOND")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    pts = e.select("event_type", "ts", F.date_trunc("hour", "ts").alias("bin"))
+    joined = pts.join(F.broadcast(bins), "bin").filter(
+        (F.col("ts") >= F.col("ws")) & (F.col("ts") < F.col("we"))
+    )
+    return joined.groupBy(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("win_center"), "event_type"
+    ).agg(F.count("*").alias("n_events"))

@@ -501,21 +501,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from currency_etl_spark.queries.vectors import _cosine  # shared fold-exact cosine
+    # shared fold-exact cosine + sign-LSH bucket (same bucketing as knn_lsh)
+    from currency_etl_spark.queries.vectors import _cosine, _sign_bucket
 
     emb = table(spark, sf_dir, "embeddings")
-    bucket = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(8)),
-            # shiftleft() wants a literal bit count — use pow(2, i-1) instead
-            lambda i: F.when(
-                F.element_at(F.col("embedding"), i) > 0,
-                F.pow(F.lit(2.0), (i - 1).cast("double")).cast("int"),
-            ).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    bucket = _sign_bucket(bits=8)  # this oracle's inline bucket uses 8 bits
     # Bucket rows stay NARROW: cap the bucket, collect only vec_id, and
     # re-join the embedding arrays per pair side afterwards — no embedding
     # vectors ever sit inside a collect_list buffer. The pair table is
@@ -816,6 +806,170 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("edit_dist", "key_a", "key_b")
         .limit(20)
     )
+
+
+#: Per-language sampling rates (percent) for the stratified sampler —
+#: the knob a data-mixture spec turns (e.g. downsample over-represented
+#: languages). Shared verbatim by the Spark builder and the oracle.
+STRATA_RATES = {"en": 50, "de": 30, "fr": 20}
+
+
+def _rate_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items())
+    return f"CASE lang {whens} ELSE 10 END"
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+        SELECT lang, source,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100
+                                  < ({_rate_sql()}) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+               ({_rate_sql()}) AS target_pct
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    tags=("llm", "sampling"),
+    doc=(
+        "Stratified deterministic sampling — the data-mixture primitive: "
+        "per-language keep rates (en 50% / de 30% / fr 20%) applied via a "
+        "key-hash bucket (md5(doc_id) mod 100 < rate), counted per "
+        "(lang, source) stratum in ONE pass with conditional aggregation. "
+        "Hash sampling is stable across runs, engines, partitionings, and "
+        "cluster sizes — rand()/TABLESAMPLE are none of those — so the "
+        "mixture is reproducible at 100 TB; the membership test is a "
+        "narrow map that composes with any downstream filter pushdown."
+    ),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast("long") % 100
+    rate = F.col("lang")
+    expr = None
+    for k, v in STRATA_RATES.items():
+        expr = F.when(rate == k, v) if expr is None else expr.when(rate == k, v)
+    rate_col = expr.otherwise(10)
+    return (
+        docs.select("lang", "source", (bucket < rate_col).cast("int").alias("keep"), rate_col.alias("target_pct"))
+        .groupBy("lang", "source", "target_pct")
+        .agg(F.count("*").alias("n_total"), F.sum("keep").cast("long").alias("n_sampled"))
+        .select("lang", "source", "n_total", "n_sampled", "target_pct")
+    )
+
+
+@register(
+    "minhash_jaccard_est",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct({_SQL_SHINGLES.format(t='t')})) AS s
+            FROM toks
+        ),
+        shx AS (
+            SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 7)) AS BIGINT) AS x
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sig_sql()}
+            FROM shx GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_idx, {_band_key_sql(band)} AS band_key FROM sig" for band in range(MINHASH_BANDS))}
+        ),
+        bands_capped AS (
+            SELECT * FROM bands
+            QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {DF_CAP}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_capped a JOIN bands_capped b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        cnt AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        shc AS (
+            SELECT * FROM sh
+            QUALIFY count(*) OVER (PARTITION BY s) <= {DF_CAP}
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_a, p.doc_b,
+               round(({" + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16))}) / 16.0, 6) AS est_jaccard,
+               round(coalesce(c.n_common, 0) / (ca.nsh + cb.nsh - coalesce(c.n_common, 0)), 6) AS exact_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+        JOIN cnt ca ON ca.doc_id = p.doc_a
+        JOIN cnt cb ON cb.doc_id = p.doc_b
+        LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        ORDER BY p.doc_a, p.doc_b
+    """,
+    tags=("llm", "dedup", "minhash", "verify"),
+    doc=(
+        "The LSH pipeline's verification stage: for every MinHash-LSH "
+        "candidate pair, the signature-estimated Jaccard (fraction of the 16 "
+        "permutation minima that agree) next to the exact shingle-set "
+        "Jaccard. This is how a 100 TB dedup run is audited — the estimate "
+        "costs a signature equi-join over the (bounded) candidate set only, "
+        "and the exact value is computed for exactly those pairs, never "
+        "all-pairs. Signature joins broadcast the (tiny) candidate list."
+    ),
+)
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s"))
+    shx = sh.select("doc_id", F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("x"))
+    sig = shx.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # bounded candidate set
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    # exact overlap for candidate pairs only: posting-list pair-gen (capped
+    # the same way), then inner-joined down to the candidate set
+    common = (
+        _cap_groups(sh, ["s"])
+        .groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)])
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
+    est = None
+    for i in range(16):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    out = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .join(common, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est / 16.0, 6).alias("est_jaccard"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (F.col("nsh_a") + F.col("nsh_b") - F.coalesce(F.col("n_common"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return out  # unordered: the correctness compare is order-insensitive
 
 
 def _simhash_bit_sql(b: int) -> str:

@@ -24,6 +24,36 @@ from currency_etl_spark.catalog import register
 from currency_etl_spark.sources import table
 
 N_CENTROIDS = 8
+#: 4 sign bits → 16 buckets: sized so a bucket holds a meaningful candidate
+#: set at the test corpus sizes; at 100 TB you raise bits (more, smaller
+#: buckets) and add multi-probe/hash tables for recall.
+LSH_BITS = 4
+
+
+def _sql_sign_bucket(e: str, bits: int = LSH_BITS) -> str:
+    """DuckDB twin of _sign_bucket."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {bits}), "
+        f"i -> CASE WHEN {e}[i] > 0 THEN 1 << (i - 1) ELSE 0 END))"
+    )
+
+
+def _sign_bucket(col: str = "embedding", bits: int = LSH_BITS) -> Column:
+    """Sign-LSH bucket: one bit per leading dimension (1 iff component > 0).
+    Nearby vectors land in the same bucket with high probability; a narrow
+    map, so bucketing 100 TB of vectors costs one scan."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            # shiftleft() wants a literal bit count — use pow(2, i-1) instead
+            lambda i: F.when(
+                F.element_at(F.col(col), i) > 0,
+                F.pow(F.lit(2.0), (i - 1).cast("double")).cast("int"),
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _fold_dot(a: Column, b: Column) -> Column:
@@ -132,6 +162,54 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed.filter(F.col("vec_id") != 0)
         .join(F.broadcast(qb), F.col("cid") == F.col("qcid"))
         .select("vec_id", "label", "cid", F.round(_cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
+    "knn_lsh",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding,
+                   {_sql_sign_bucket('embedding')} AS bucket
+            FROM embeddings
+        ),
+        qb AS (SELECT bucket AS qbucket, embedding AS qe FROM b WHERE vec_id = 0)
+        SELECT b.vec_id, b.label, CAST(b.bucket AS BIGINT) AS bucket,
+               round({_sql_cosine('b.embedding', 'qe')}, 6) AS cos_sim
+        FROM b JOIN qb ON b.bucket = qb.qbucket
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id
+        LIMIT 5
+    """,
+    tags=("llm", "vector", "ann", "lsh"),
+    doc=(
+        "LSH-bucketed ANN (the hash-partitioned alternative to knn_ivf): "
+        "sign-LSH over the leading 8 dimensions buckets the corpus in one "
+        "narrow map; the probe exact-ranks ONLY the query's bucket — "
+        "candidate set shrinks ~2^bits-fold, no centroid training needed. "
+        "At 100 TB the corpus is written partitioned by bucket, so a probe "
+        "is a single-partition scan; recall is tuned by probing buckets at "
+        "Hamming distance 1 (multi-probe) or adding hash tables, both of "
+        "which only widen the candidate union."
+    ),
+)
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "label", "embedding", _sign_bucket().alias("bucket"))
+    qb = b.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qe")
+    )
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(_cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(5)
     )
