@@ -96,6 +96,8 @@ PRIORITY_ORDER = [
     "cube_status_priority",
     # new in round 2
     "events_range_join_binned",
+    "docs_chunk_tokens",
+    "embedding_quantize",
 ]
 
 

@@ -972,6 +972,105 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out  # unordered: the correctness compare is order-insensitive
 
 
+#: Chunking geometry: 32-token windows advancing 24 tokens (8-token
+#: overlap) — the standard fixed-window split that feeds a tokenizer.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "docs_chunk_tokens",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        s AS (SELECT doc_id, t, generate_series(1, len(t), {CHUNK_STRIDE}) AS starts FROM toks),
+        x AS (SELECT doc_id, t, starts, unnest(generate_series(1, len(starts))) AS i FROM s)
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS chunk_idx,
+               array_to_string(t[starts[i] : starts[i] + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+               CAST(len(t[starts[i] : starts[i] + {CHUNK_TOKENS - 1}]) AS BIGINT) AS n_tokens
+        FROM x
+        ORDER BY doc_id, chunk_idx
+    """,
+    tags=("llm", "text", "chunking"),
+    doc=(
+        f"Document chunking: overlapping {CHUNK_TOKENS}-token windows with a "
+        f"{CHUNK_STRIDE}-token stride — the split stage between cleaning and "
+        "tokenization in a training-data pipeline. Pure narrow map + explode "
+        "(sequence of window starts → posexplode → slice), so 100 TB chunks "
+        "at scan speed with no shuffle; the trailing partial window is kept, "
+        "mirrored by identical 1-based slice semantics in both engines."
+    ),
+)
+def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(table(spark, sf_dir, "documents"))
+    starts = F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE))
+    ex = docs.select("doc_id", "t", F.posexplode(starts).alias("chunk_idx", "s"))
+    chunk = F.slice(F.col("t"), F.col("s"), CHUNK_TOKENS)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings
+        ),
+        m AS (
+            SELECT vec_id, label, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        ),
+        err AS (
+            SELECT vec_id, label, scale,
+                   list_transform(e, x -> abs(floor(x / scale + 0.5) * scale - x)) AS er
+            FROM m
+        )
+        SELECT vec_id, label,
+               round(scale, 6) AS scale,
+               round(list_max(er), 6) AS err_max,
+               round(list_reduce(er, (x, y) -> x + y) / len(er), 6) AS err_mean
+        FROM err
+        ORDER BY vec_id
+    """,
+    tags=("llm", "vector", "quantization"),
+    doc=(
+        "Int8 symmetric quantization audit: per-vector scale = max|v|/127, "
+        "q_i = floor(v_i/scale + 0.5) (written identically in both engines — "
+        "no reliance on engine round() tie rules), and the reconstruction "
+        "error stats a 100 TB embedding store checks before shipping int8. "
+        "Narrow per-row map — error folds run inside the vector in index "
+        "order, so no cross-row float summation exists to diverge."
+    ),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select("vec_id", "label", e.alias("e"))
+    m = v.select(
+        "vec_id", "label", "e", (F.array_max(F.transform(F.col("e"), F.abs)) / 127.0).alias("scale")
+    )
+    er = F.transform(
+        F.col("e"), lambda x: F.abs(F.floor(x / F.col("scale") + 0.5) * F.col("scale") - x)
+    )
+    err = m.select("vec_id", "label", "scale", er.alias("er"))
+    return err.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max("er"), 6).alias("err_max"),
+        F.round(
+            F.aggregate(F.col("er"), F.lit(0.0), lambda acc, x: acc + x) / F.size("er"), 6
+        ).alias("err_mean"),
+    )
+
+
 def _simhash_bit_sql(b: int) -> str:
     return f"sum(((x >> {b}) & 1) * 2 - 1)"
 

@@ -84,3 +84,32 @@ def test_knn_brute_broadcasts_query_vector(spark, sf_dir):
     p = plan_of(knn_brute(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_knn_lsh_broadcasts_probe_no_nested_loop(spark, sf_dir):
+    from currency_etl_spark.queries.vectors import knn_lsh
+
+    p = plan_of(knn_lsh(spark, sf_dir))
+    # the probe is an equi-join on the bucket key — never a nested-loop scan
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    from currency_etl_spark.queries.extras import events_range_join_binned
+
+    p = plan_of(events_range_join_binned(spark, sf_dir))
+    # binning must turn the inequality join into a hash equi-join on bin
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_stratified_sample_single_pass_no_join(spark, sf_dir):
+    from currency_etl_spark.queries.llm_ops import docs_stratified_sample
+
+    p = plan_of(docs_stratified_sample(spark, sf_dir))
+    # one conditional-agg pass: a single scan, no joins, one agg exchange
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
