@@ -303,23 +303,50 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_stats",
-    oracle=None,  # approximate by design — exactness asserted with tolerance
-    # against the exact answers in tests/test_approx.py; rows-only here
+    oracle="""
+        -- Sketch outputs aren't bit-portable across engines, so the graded
+        -- columns are the EXACT answers plus booleans asserting the Spark
+        -- sketches landed within tolerance; the oracle's TRUE literals make
+        -- an out-of-tolerance sketch a hash mismatch, not a trust-me row.
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_users,
+               count(*) AS n_events,
+               quantile_cont(value, 0.5) AS exact_median,
+               TRUE AS users_within_5pct,
+               TRUE AS median_within_5pct
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     tags=("aggregate", "approx"),
     doc=(
         "The 100 TB forms of the exact aggregates: approx_count_distinct "
         "(HyperLogLog++) and approx_percentile (t-digest-style sketch) per "
         "event_type. Sketches are mergeable, so partial aggregation works "
-        "across any partitioning; accuracy vs the exact operators is "
-        "asserted within rsd-tolerance in tests."
+        "across any partitioning. Sketch values aren't bit-portable, so the "
+        "graded output emits the exact answers plus within-5% booleans "
+        "computed from the sketches — the oracle asserts TRUE, turning the "
+        "sketch error bound itself into a hash-checked result. (Exact "
+        "percentile() matches DuckDB quantile_cont bit-for-bit on doubles.)"
     ),
 )
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_median"),
+        F.expr("percentile(value, 0.5)").alias("exact_median"),
         F.count("*").alias("n_events"),
+    )
+    within = lambda a, x: (F.abs(F.col(a) - F.col(x)) / F.col(x) <= 0.05)  # noqa: E731
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        "exact_median",
+        within("approx_users", "exact_users").alias("users_within_5pct"),
+        within("approx_median", "exact_median").alias("median_within_5pct"),
     )
 
 

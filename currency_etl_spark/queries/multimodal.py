@@ -92,16 +92,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas decode path — rows-only for the driver;
-    # value-checked against a pure-Python oracle in tests/test_multimodal.py
+    oracle="""
+        -- DuckDB twin of the stub decoder: 16-bin byte histogram, L1-
+        -- normalized. Corpus text is pure ASCII (octet_length == length at
+        -- every SF), so ord() over character positions IS the byte value.
+        -- value = count/total is IEEE double division of exact ints in both
+        -- engines → bit-identical without rounding. Zero-count bins are
+        -- emitted explicitly (grid LEFT JOIN), matching the Python
+        -- histogram's dense 16-element output.
+        WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS total
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, text, unnest(generate_series(1, total)) AS i
+            FROM d
+        ),
+        counts AS (
+            SELECT doc_id, ord(substring(text, i, 1)) % 16 AS bin_idx,
+                   count(*) AS c
+            FROM pos GROUP BY doc_id, ord(substring(text, i, 1)) % 16
+        ),
+        grid AS (
+            SELECT d.doc_id, d.total, g.bin_idx
+            FROM d, (SELECT unnest(generate_series(0, 15)) AS bin_idx) g
+        )
+        SELECT g.doc_id,
+               CAST(g.bin_idx AS BIGINT) AS bin_idx,
+               CAST(coalesce(c.c, 0) AS DOUBLE)
+                   / (CASE WHEN g.total = 0 THEN 1.0 ELSE CAST(g.total AS DOUBLE) END)
+                   AS value
+        FROM grid g
+        LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin_idx = g.bin_idx
+        ORDER BY g.doc_id, g.bin_idx
+    """,
     tags=("llm", "multimodal", "pandas-udf"),
     doc=(
         "Arrow-batched feature extraction over the blob column via "
         "mapInPandas with the deterministic stub decoder (16-bin byte "
         "histogram). The real image codec is stubbed (NotImplementedError) — "
-        "the schema/batching/partition plumbing is the deliverable."
+        "the schema/batching/partition plumbing is the deliverable. The "
+        "graded output explodes the histogram to one (doc_id, bin_idx, "
+        "value) row per bin: scalar columns only, so the driver's "
+        "order-insensitive canonicalizer can sort/hash them (an "
+        "array<double> column is unhashable in pandas — CORRECTNESS_r02)."
     ),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
-    return extract_features(blobs)
+    feats = extract_features(blobs)
+    return feats.select("doc_id", F.posexplode("features").alias("bin_idx", "value")).select(
+        "doc_id", F.col("bin_idx").cast("long").alias("bin_idx"), "value"
+    )
