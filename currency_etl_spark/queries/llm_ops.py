@@ -427,33 +427,51 @@ def _band_key_sql(band: int) -> str:
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _band_pairs(_bands(_signatures(_shingle_docs(spark, sf_dir))))
+
+
+def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): each document's distinct word-3-gram shingles, exploded.
+    The shared front of the whole MinHash family — build it once per query
+    and reuse (localCheckpoint when several consumers need it: Catalyst does
+    not dedupe common subplans across branches)."""
     docs = _with_tokens(table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s"),
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("x"),
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s")
     )
-    sig = sh.groupBy("doc_id").agg(
+
+
+def _signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) MinHash signatures from exploded shingles — the
+    dominant cost of the dedup pipeline (explode + 16-way min agg)."""
+    shx = sh.select(
+        "doc_id", F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("x")
+    )
+    return shx.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
             for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
     )
-    # One posexplode over an array of band keys — NOT a 4-way union of
-    # selects from `sig`, which would recompute the signature aggregation
-    # once per band (4 scans + 4 shuffles instead of 1).
+
+
+def _bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key): one posexplode over an array of band
+    keys — NOT a 4-way union of selects from `sig`, which would recompute
+    the signature aggregation once per band (4 scans + 4 shuffles)."""
     band_keys = F.array(
         *[
             F.concat_ws("-", *[f"h{band * 4 + j}" for j in range(4)])
             for band in range(MINHASH_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
-    # same join-free pair generation as dedup_ngram_jaccard: bucket by band,
-    # explode ordered pairs from each bucket's posting list, with the df-cap
-    # bounding every bucket to DF_CAP before the collect
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+
+
+def _band_pairs(bands: DataFrame) -> DataFrame:
+    """Candidate pairs from band buckets: join-free posting-list pair
+    generation (same shape as dedup_ngram_jaccard), with the df-cap
+    bounding every bucket to DF_CAP before the collect."""
     return (
         _cap_groups(bands, ["band_idx", "band_key"])
         .groupBy("band_idx", "band_key")
@@ -901,7 +919,7 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT p.doc_a, p.doc_b,
                round(({" + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16))}) / 16.0, 6) AS est_jaccard,
-               round(coalesce(c.n_common, 0) / (ca.nsh + cb.nsh - coalesce(c.n_common, 0)), 6) AS exact_jaccard
+               round(coalesce(c.n_common, 0) / (ca.nsh + cb.nsh - coalesce(c.n_common, 0)), 6) AS capped_jaccard
         FROM pairs p
         JOIN sig sa ON sa.doc_id = p.doc_a
         JOIN sig sb ON sb.doc_id = p.doc_b
@@ -914,24 +932,28 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "The LSH pipeline's verification stage: for every MinHash-LSH "
         "candidate pair, the signature-estimated Jaccard (fraction of the 16 "
-        "permutation minima that agree) next to the exact shingle-set "
-        "Jaccard. This is how a 100 TB dedup run is audited — the estimate "
-        "costs a signature equi-join over the (bounded) candidate set only, "
-        "and the exact value is computed for exactly those pairs, never "
-        "all-pairs. Signature joins broadcast the (tiny) candidate list."
+        "permutation minima that agree) next to the shingle-set Jaccard "
+        "computed from DF_CAP-capped posting lists (capped_jaccard: exact at "
+        "these SFs where no shingle exceeds the cap; pairs sharing only "
+        "ultra-common shingles undercount by design — the cap is what "
+        "bounds the pair-gen at 100 TB). The estimate costs a signature "
+        "equi-join over the (bounded) candidate set only, never all-pairs; "
+        "one materialized shingle pass and one signature aggregation feed "
+        "all branches."
     ),
 )
 def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _with_tokens(table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s"))
-    shx = sh.select("doc_id", F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("x"))
-    sig = shx.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
-    )
-    pairs = dedup_minhash_lsh(spark, sf_dir)  # bounded candidate set
+    # The shingle relation feeds THREE branches (signatures, per-doc counts,
+    # exact-overlap pair-gen) and the signature relation feeds TWO (LSH
+    # bands→pairs, per-hash agreement). Catalyst does not dedupe common
+    # subplans across branches, so materialize each ONCE (localCheckpoint —
+    # both are narrow: (doc_id, shingle) and (doc_id, 16 longs)); every
+    # branch then reads the materialized result instead of re-running the
+    # tokenize→shingle explode or the 16-way min aggregation. At cluster
+    # scale the same role is played by persist(MEMORY_AND_DISK)/checkpoint.
+    sh = _shingle_docs(spark, sf_dir).localCheckpoint(eager=True)
+    sig = _signatures(sh).localCheckpoint(eager=True)
+    pairs = _band_pairs(_bands(sig))  # bounded candidate set
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
     # exact overlap for candidate pairs only: posting-list pair-gen (capped
     # the same way), then inner-joined down to the candidate set
@@ -966,7 +988,7 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("n_common"), F.lit(0))
                 / (F.col("nsh_a") + F.col("nsh_b") - F.coalesce(F.col("n_common"), F.lit(0))),
                 6,
-            ).alias("exact_jaccard"),
+            ).alias("capped_jaccard"),
         )
     )
     return out  # unordered: the correctness compare is order-insensitive
