@@ -331,14 +331,24 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
+    from currency_etl_spark.sources import spread
+
+    e = spread(table(spark, sf_dir, "events"))
+    # Two single-purpose aggregations instead of one combined: mixing
+    # COUNT(DISTINCT) with other aggregates forces an Expand that
+    # duplicates every input row per distinct-column set; separate passes
+    # each scan only their own column (user_id vs value) after pruning,
+    # then meet in a tiny per-group broadcast join.
+    users = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    vals = e.groupBy("event_type").agg(
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_median"),
         F.expr("percentile(value, 0.5)").alias("exact_median"),
         F.count("*").alias("n_events"),
     )
+    agg = users.join(F.broadcast(vals), "event_type")
     within = lambda a, x: (F.abs(F.col(a) - F.col(x)) / F.col(x) <= 0.05)  # noqa: E731
     return agg.select(
         "event_type",

@@ -431,28 +431,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): each document's distinct word-3-gram shingles, exploded.
-    The shared front of the whole MinHash family — build it once per query
-    and reuse (localCheckpoint when several consumers need it: Catalyst does
-    not dedupe common subplans across branches)."""
-    docs = _with_tokens(table(spark, sf_dir, "documents"))
+    """(doc_id, m): md5 hex digest of each distinct word-3-gram shingle.
+
+    The shared front of the whole MinHash family. The digest is computed
+    ONCE here; every downstream key derives from it by substring (28-bit
+    `x` for the permutation hashes, 60-bit `sx` for overlap counting), so
+    the raw shingle string never shuffles and never sits in a checkpoint.
+    spread() fans out the under-split local scan so the explode+md5 work
+    parallelizes (no-op on a many-split cluster scan)."""
+    from currency_etl_spark.sources import spread
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
     return docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s")
-    )
+    ).select("doc_id", F.md5("s").alias("m"))
 
 
-def _signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15) MinHash signatures from exploded shingles — the
-    dominant cost of the dedup pipeline (explode + 16-way min agg)."""
+def _signatures(sh: DataFrame, with_count: bool = False) -> DataFrame:
+    """(doc_id, h0..h15[, nsh]) MinHash signatures from digested shingles —
+    the dominant cost of the dedup pipeline (explode + 16-way min agg).
+    `with_count` rides the per-doc shingle count on the SAME aggregation
+    (zero extra shuffle) for consumers that need |shingles(doc)|."""
     shx = sh.select(
-        "doc_id", F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("x")
+        "doc_id", F.conv(F.substring("m", 1, 7), 16, 10).cast("long").alias("x")
     )
-    return shx.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("nsh"))
+    return shx.groupBy("doc_id").agg(*aggs)
 
 
 def _bands(sig: DataFrame) -> DataFrame:
@@ -881,13 +890,15 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_jaccard_est",
     oracle=f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        -- one md5 per shingle; every downstream key is a substring of it
+        -- (28-bit x for the permutation hashes, 60-bit sx for overlap)
         sh AS (
             SELECT doc_id,
-                   unnest(list_distinct({_SQL_SHINGLES.format(t='t')})) AS s
+                   md5(unnest(list_distinct({_SQL_SHINGLES.format(t='t')}))) AS m
             FROM toks
         ),
         shx AS (
-            SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 7)) AS BIGINT) AS x
+            SELECT doc_id, CAST(('0x' || substring(m, 1, 7)) AS BIGINT) AS x
             FROM sh
         ),
         sig AS (
@@ -909,12 +920,13 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cnt AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
         shc AS (
-            SELECT * FROM sh
-            QUALIFY count(*) OVER (PARTITION BY s) <= {DF_CAP}
+            SELECT doc_id, CAST(('0x' || substring(m, 1, 15)) AS BIGINT) AS sx
+            FROM sh
+            QUALIFY count(*) OVER (PARTITION BY sx) <= {DF_CAP}
         ),
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.sx = b.sx AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
         SELECT p.doc_a, p.doc_b,
@@ -943,33 +955,39 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shingle relation feeds THREE branches (signatures, per-doc counts,
-    # exact-overlap pair-gen) and the signature relation feeds TWO (LSH
+    # The shingle relation feeds TWO branches (signatures+counts, exact-
+    # overlap pair-gen) and the signature relation feeds TWO (LSH
     # bands→pairs, per-hash agreement). Catalyst does not dedupe common
     # subplans across branches, so materialize each ONCE (localCheckpoint —
-    # both are narrow: (doc_id, shingle) and (doc_id, 16 longs)); every
-    # branch then reads the materialized result instead of re-running the
-    # tokenize→shingle explode or the 16-way min aggregation. At cluster
-    # scale the same role is played by persist(MEMORY_AND_DISK)/checkpoint.
+    # both are narrow: (doc_id, digest) and (doc_id, 16 longs + count));
+    # every branch then reads the materialized result instead of re-running
+    # the tokenize→shingle explode or the 16-way min aggregation. At
+    # cluster scale the same role is played by persist(MEMORY_AND_DISK).
     sh = _shingle_docs(spark, sf_dir).localCheckpoint(eager=True)
-    sig = _signatures(sh).localCheckpoint(eager=True)
+    sig = _signatures(sh, with_count=True).localCheckpoint(eager=True)
     pairs = _band_pairs(_bands(sig))  # bounded candidate set
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-    # exact overlap for candidate pairs only: posting-list pair-gen (capped
-    # the same way), then inner-joined down to the candidate set
+    # exact overlap for candidate pairs only: posting-list pair-gen keyed
+    # on the 60-bit digest prefix — an 8-byte shuffle key instead of the
+    # ~30-byte shingle string (the same key the oracle derives; md5
+    # collisions are mirrored bit-for-bit across engines)
+    shx2 = sh.select(
+        "doc_id", F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("sx")
+    )
     common = (
-        _cap_groups(sh, ["s"])
-        .groupBy("s")
+        _cap_groups(shx2, ["sx"])
+        .groupBy("sx")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") > 1)
         .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
+    # per-doc shingle counts ride on the signature aggregation (no
+    # separate cnt pass over the shingle relation)
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)])
-    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
-    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
+    ca = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
+    cb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
     est = None
     for i in range(16):
         term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
@@ -1050,8 +1068,12 @@ def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM v
         ),
         err AS (
+            -- scale = 0 (all-zero vector) guard, written identically to the
+            -- Spark side: error is exactly 0 (q reconstructs 0 perfectly),
+            -- instead of engine-specific NULL/NaN divide-by-zero behavior
             SELECT vec_id, label, scale,
-                   list_transform(e, x -> abs(floor(x / scale + 0.5) * scale - x)) AS er
+                   list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+                       ELSE abs(floor(x / scale + 0.5) * scale - x) END) AS er
             FROM m
         )
         SELECT vec_id, label,
@@ -1072,14 +1094,23 @@ def docs_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    return quantize_audit(table(spark, sf_dir, "embeddings"))
+
+
+def quantize_audit(emb: DataFrame) -> DataFrame:
+    """Int8 quantization audit core over (vec_id, label, embedding)."""
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = emb.select("vec_id", "label", e.alias("e"))
     m = v.select(
         "vec_id", "label", "e", (F.array_max(F.transform(F.col("e"), F.abs)) / 127.0).alias("scale")
     )
+    # scale = 0 guard (all-zero vector): error is exactly 0 — mirrored
+    # verbatim in the oracle so neither engine hits its divide-by-zero rule
     er = F.transform(
-        F.col("e"), lambda x: F.abs(F.floor(x / F.col("scale") + 0.5) * F.col("scale") - x)
+        F.col("e"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+            F.abs(F.floor(x / F.col("scale") + 0.5) * F.col("scale") - x)
+        ),
     )
     err = m.select("vec_id", "label", "scale", er.alias("er"))
     return err.select(

@@ -139,7 +139,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    blobs = attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+    from currency_etl_spark.sources import spread
+
+    # spread: an under-split local scan would run the Arrow decode on one
+    # core; production-scale scans have enough splits that this is a no-op
+    # (coarse sibling of size_balanced, which targets byte-skew instead)
+    blobs = spread(attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob"))
     feats = extract_features(blobs)
     return feats.select("doc_id", F.posexplode("features").alias("bin_idx", "value")).select(
         "doc_id", F.col("bin_idx").cast("long").alias("bin_idx"), "value"

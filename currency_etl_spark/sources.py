@@ -55,6 +55,10 @@ EXCHANGE_RATES_SCHEMA = T.StructType(
 #: logical plan, so handing the same handle out repeatedly is safe; caching
 #: skips the per-call file listing + parquet footer schema read (a driver
 #: round-trip per query that dominated bench fixed overhead at small SF).
+#: INVARIANT: the corpus under sf_dir is read-only — the cache pins the
+#: file listing captured at first read for the application's lifetime, so
+#: rewriting a table path in-session would serve stale data. Warehouse
+#: tables (which DO get rewritten) never go through this cache.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -72,12 +76,41 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # The legacy conf is only consulted while read.parquet() converts
+        # the footer schema (nanos → long); lazy execution of the returned
+        # plan no longer needs it (verified empirically, batch + stream),
+        # so restore the session value instead of leaking a global.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
     _TABLE_CACHE[key] = df
+    return df
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Fan out an under-split scan before CPU-heavy narrow work.
+
+    A table that arrives in fewer input partitions than cores (locally:
+    one parquet row-group) serializes every narrow stage behind one task —
+    explode/md5/decode work runs on a single core no matter how wide the
+    session is. Repartitioning is a cheap shuffle of the source rows that
+    buys full parallelism for everything downstream. At 100 TB the scan
+    already has thousands of row-group splits, the guard is false, and
+    this is a no-op — exactly the behavior you want on a real cluster.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= n:
+        return df.repartition(n)
     return df
 
 

