@@ -61,6 +61,10 @@ def register(name: str, oracle: Optional[str], tags: tuple = (), doc: str = ""):
 GRADING_WINDOW = 50
 
 PRIORITY_ORDER = [
+    # --- new in round 3 → must grade ---
+    "knn_lsh_multiprobe",
+    "docs_pii_scrub",
+    "docs_ngram_counts",
     # --- output changed in round 3 → must re-grade ---
     "multimodal_features",  # r2 red row: now exploded scalars + SQL oracle
     "approx_distinct_stats",  # was rows-only: now exact+bounded-error form

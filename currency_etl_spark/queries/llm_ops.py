@@ -1172,3 +1172,114 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         packed = term if packed is None else packed + term
     return bits.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+#: PII patterns for the scrub stage — deliberately lookaround-free so Java
+#: regex (Spark) and RE2 (DuckDB) find the identical leftmost
+#: non-overlapping matches. Shared verbatim by builder and oracle.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM = r"[0-9]{6,}"
+
+
+@register(
+    "docs_pii_scrub",
+    oracle=f"""
+        WITH scrubbed AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{PII_LONGNUM}')) AS BIGINT) AS n_longnums,
+                   regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                                  '{PII_LONGNUM}', '<NUM>', 'g') AS red
+            FROM documents
+        )
+        SELECT doc_id, lang, n_emails, n_longnums,
+               (n_emails + n_longnums > 0) AS was_redacted,
+               md5(red) AS redacted_digest
+        FROM scrubbed
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "pii"),
+    doc=(
+        "PII scrub — the redaction stage of a training-data pipeline: "
+        "count and mask email addresses and long digit runs per document "
+        "(lookaround-free patterns so Java regex and RE2 agree exactly), "
+        "emitting match counts, a was-redacted flag, and the md5 of the "
+        "redacted text (digest, not body, so the compare never ships "
+        "documents). Narrow map over the scan — 100 TB scrubs at scan "
+        "speed with no shuffle, composing with any downstream dedup."
+    ),
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"), PII_LONGNUM, "<NUM>"
+    )
+    n_emails = F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long")
+    n_longnums = F.regexp_count(F.col("text"), F.lit(PII_LONGNUM)).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_emails.alias("n_emails"),
+        n_longnums.alias("n_longnums"),
+        ((n_emails + n_longnums) > 0).alias("was_redacted"),
+        F.md5(red).alias("redacted_digest"),
+    )
+
+
+@register(
+    "docs_ngram_counts",
+    oracle="""
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        bg AS (
+            SELECT lang,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks
+            WHERE len(t) >= 2
+        ),
+        counted AS (
+            SELECT lang, bigram, count(*) AS n
+            FROM bg GROUP BY lang, bigram
+        )
+        SELECT lang, bigram, n, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT lang, bigram, n,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rnk
+            FROM counted
+        )
+        WHERE rnk <= 5
+        ORDER BY lang, rnk
+    """,
+    tags=("llm", "text", "ngram"),
+    doc=(
+        "Bigram frequency table (top-5 per language) — the n-gram counting "
+        "stage of LM data analysis. Explode word bigrams (narrow map, "
+        "parallelized by spread() on under-split scans), count per "
+        "(lang, bigram) with map-side partial aggregation, per-group "
+        "top-k via rank-filter — no global sort. The same shape scales to "
+        "trillion-token n-gram tables: the shuffle carries (lang, bigram, "
+        "partial count), never documents."
+    ),
+)
+def docs_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.sources import spread
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")), "lang")
+    t = F.col("t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    bg = (
+        docs.filter(F.size(t) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+    )
+    counted = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    rnk = F.row_number().over(W.partitionBy("lang").orderBy(F.desc("n"), "bigram")).cast("long")
+    return (
+        counted.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    )

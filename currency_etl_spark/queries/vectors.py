@@ -216,6 +216,65 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_lsh_multiprobe",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, label, embedding,
+                   {_sql_sign_bucket('embedding')} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT bucket AS qbucket, embedding AS qe FROM b WHERE vec_id = 0),
+        probes AS (
+            SELECT qbucket, qe,
+                   unnest([qbucket, {", ".join(f"xor(qbucket, {1 << i})" for i in range(LSH_BITS))}]) AS pbucket
+            FROM q
+        )
+        SELECT b.vec_id, b.label, CAST(b.bucket AS BIGINT) AS bucket,
+               CAST(CASE WHEN b.bucket = p.qbucket THEN 0 ELSE 1 END AS BIGINT) AS probe_dist,
+               round({_sql_cosine('b.embedding', 'p.qe')}, 6) AS cos_sim
+        FROM b JOIN probes p ON b.bucket = p.pbucket
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id
+        LIMIT 5
+    """,
+    tags=("llm", "vector", "ann", "lsh", "multiprobe"),
+    doc=(
+        "Multi-probe extension of knn_lsh (the recall knob named in its "
+        "docstring): probe the query's bucket plus every bucket at Hamming "
+        "distance 1 (flip each of the LSH bits once), as ONE equi-join "
+        "against the tiny broadcast probe list — candidate set grows "
+        "(bits+1)-fold for a recall boost, while the plan stays a hash "
+        "join + TakeOrderedAndProject, never a nested-loop scan. At 100 TB "
+        "with the corpus partitioned by bucket this reads bits+1 "
+        "partitions instead of one."
+    ),
+)
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "label", "embedding", _sign_bucket().alias("bucket"))
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), F.col("embedding").alias("qe")
+    )
+    probe_buckets = F.array(
+        F.col("qbucket"), *[F.expr(f"qbucket ^ {1 << i}") for i in range(LSH_BITS)]
+    )
+    probes = q.select("qbucket", "qe", F.explode(probe_buckets).alias("pbucket"))
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.when(F.col("bucket") == F.col("qbucket"), 0).otherwise(1).cast("long").alias("probe_dist"),
+            F.round(_cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+@register(
     "embedding_norms",
     oracle=f"""
         SELECT label,
