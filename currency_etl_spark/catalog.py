@@ -65,6 +65,8 @@ PRIORITY_ORDER = [
     "knn_lsh_multiprobe",
     "docs_pii_scrub",
     "docs_ngram_counts",
+    "docs_repetition_score",
+    "docs_vocab_coverage",
     # --- output changed in round 3 → must re-grade ---
     "multimodal_features",  # r2 red row: now exploded scalars + SQL oracle
     "approx_distinct_stats",  # was rows-only: now exact+bounded-error form

@@ -931,7 +931,8 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT p.doc_a, p.doc_b,
                round(({" + ".join(f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(16))}) / 16.0, 6) AS est_jaccard,
-               round(coalesce(c.n_common, 0) / (ca.nsh + cb.nsh - coalesce(c.n_common, 0)), 6) AS capped_jaccard
+               round(coalesce(c.n_common, 0) / (ca.nsh + cb.nsh - coalesce(c.n_common, 0)), 6) AS capped_jaccard,
+               round(coalesce(c.n_common, 0) / least(ca.nsh, cb.nsh), 6) AS containment
         FROM pairs p
         JOIN sig sa ON sa.doc_id = p.doc_a
         JOIN sig sb ON sb.doc_id = p.doc_b
@@ -1007,6 +1008,14 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("nsh_a") + F.col("nsh_b") - F.coalesce(F.col("n_common"), F.lit(0))),
                 6,
             ).alias("capped_jaccard"),
+            # containment (|A∩B| / min|A|,|B|) rides the same joins for
+            # free — the asymmetric signal that catches subset duplication
+            # (doc B embedded inside doc A), which Jaccard dilutes
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / F.least(F.col("nsh_a"), F.col("nsh_b")),
+                6,
+            ).alias("containment"),
         )
     )
     return out  # unordered: the correctness compare is order-insensitive
@@ -1282,4 +1291,121 @@ def docs_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", rnk)
         .filter(F.col("rnk") <= 5)
         .orderBy("lang", "rnk")
+    )
+
+
+@register(
+    "docs_repetition_score",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   {_SQL_SHINGLES.format(t='t')} AS shl
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(shl) AS BIGINT) AS n_shingles,
+               CAST(len(list_distinct(shl)) AS BIGINT) AS n_distinct,
+               CASE WHEN len(shl) = 0 THEN 0.0
+                    ELSE round((len(shl) - len(list_distinct(shl)))
+                               / CAST(len(shl) AS DOUBLE), 6) END AS rep_ratio
+        FROM sh
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+    doc=(
+        "Within-document repetition score — the duplicate-3-gram ratio "
+        "quality signal (a la C4/Gopher filtering): fraction of a doc's "
+        "word trigrams that are repeats of an earlier trigram. High ratio "
+        "= boilerplate/spam/looping text. Pure narrow map (shingle array + "
+        "two len()s per row, no explode, no shuffle) — at 100 TB this "
+        "gates at scan speed before any dedup shuffle runs."
+    ),
+)
+def docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(table(spark, sf_dir, "documents"))
+    shl = _shingles(F.col("t"))
+    d = docs.select(
+        "doc_id",
+        F.size(shl).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(shl)).cast("long").alias("n_distinct"),
+    )
+    return d.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        F.when(F.col("n_shingles") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("n_shingles") - F.col("n_distinct")) / F.col("n_shingles").cast("double"), 6
+            )
+        )
+        .alias("rep_ratio"),
+    )
+
+
+#: Vocabulary size for the OOV-coverage stage (top-K corpus words).
+VOCAB_K = 1000
+
+
+@register(
+    "docs_vocab_coverage",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        vocab AS (
+            SELECT w FROM (
+                SELECT w, ROW_NUMBER() OVER (ORDER BY count(*) DESC, w) AS rnk
+                FROM words GROUP BY w
+            ) WHERE rnk <= {VOCAB_K}
+        )
+        SELECT d.doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+               round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS oov_ratio
+        FROM words d LEFT JOIN vocab v ON d.w = v.w
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """,
+    tags=("llm", "text", "vocab"),
+    doc=(
+        f"Vocabulary coverage — per-document out-of-vocabulary rate "
+        f"against the corpus top-{VOCAB_K} word vocabulary (the tokenizer-"
+        "fit signal: high OOV = wrong language/encoding/domain for the "
+        "vocab). Two aggregation passes: build the vocab (word counts + "
+        "top-k rank), then a broadcast LEFT JOIN of exploded tokens "
+        "against it — the vocab is tiny and broadcasts at any corpus "
+        "scale, so coverage costs one scan + one narrow join."
+    ),
+)
+def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.sources import spread
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    words = docs.select("doc_id", F.explode("t").alias("w"))
+    # top-k as orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+    # no single-partition global rank window), same rows as the oracle's
+    # ROW_NUMBER ≤ K because the (cnt DESC, w) order is total
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(VOCAB_K)
+        .select(F.col("w").alias("vw"))
+    )
+    joined = words.join(F.broadcast(vocab), words.w == vocab.vw, "left")
+    oov = F.when(F.col("vw").isNull(), 1).otherwise(0)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias("oov_ratio"),
+        )
     )

@@ -113,3 +113,30 @@ def test_stratified_sample_single_pass_no_join(spark, sf_dir):
     assert "Join" not in p
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_multiprobe_equi_join_no_nested_loop(spark, sf_dir):
+    from currency_etl_spark.queries.vectors import knn_lsh_multiprobe
+
+    p = plan_of(knn_lsh_multiprobe(spark, sf_dir))
+    # the widened probe set is still a hash equi-join on the bucket key
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pii_and_repetition_are_narrow(spark, sf_dir):
+    from currency_etl_spark.queries.llm_ops import docs_pii_scrub, docs_repetition_score
+
+    for q in (docs_pii_scrub, docs_repetition_score):
+        p = plan_of(q(spark, sf_dir))
+        assert "Exchange" not in p, f"{q.__name__} should be shuffle-free"
+
+
+def test_vocab_topk_no_global_sort(spark, sf_dir):
+    from currency_etl_spark.queries.llm_ops import docs_vocab_coverage
+
+    p = plan_of(docs_vocab_coverage(spark, sf_dir))
+    # vocab top-K plans as per-partition heaps, never a global rank window
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p  # the tiny vocab broadcasts
