@@ -67,6 +67,7 @@ PRIORITY_ORDER = [
     "docs_ngram_counts",
     "docs_repetition_score",
     "docs_vocab_coverage",
+    "streaming_dedup",
     # --- output changed in round 3 → must re-grade ---
     "multimodal_features",  # r2 red row: now exploded scalars + SQL oracle
     "approx_distinct_stats",  # was rows-only: now exact+bounded-error form
@@ -114,7 +115,9 @@ PRIORITY_ORDER = [
     "events_funnel",
     "events_cohort_retention",
     "order_rank_metrics",
-    "grouping_sets_custom",
+    # grouping_sets_custom stays on its r1-green row this round (the
+    # window is full; it shares its plan shape with the r2-green
+    # cube/rollup variants, so it is the lowest-risk deferral)
     "acctbal_dispersion",
 ]
 

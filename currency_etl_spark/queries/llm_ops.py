@@ -745,7 +745,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    # the candidate graph is small → materialize it once across iterations
+    # The candidate graph is orders of magnitude smaller than the corpus
+    # (bounded by the df-capped pair-gen): materialize it once across
+    # iterations, sized to the GRAPH, not to the session's corpus-scale
+    # shuffle width — per-iteration cost is tasks × iterations, and
+    # inheriting 32 corpus partitions makes most of them empty. On a real
+    # cluster the same sizing applies (graph partitions ≪ corpus
+    # partitions); raise GRAPH_PARTS with component count, not data size.
+    GRAPH_PARTS = 8
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_PARTS))
+    try:
+        return _propagate_min_labels(edges.repartition(GRAPH_PARTS, "dst"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _propagate_min_labels(edges: DataFrame) -> DataFrame:
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))

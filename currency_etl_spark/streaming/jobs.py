@@ -71,16 +71,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
-    """Run a streaming aggregation to completion (Trigger.AvailableNow,
-    complete mode) into a memory sink and return the sink table. Shuffle
-    partitions are narrowed to STREAM_SHUFFLE_PARTITIONS for the stream's
-    lifetime (state-store count = shuffle partitions) and restored after."""
+def _run_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming query to completion (Trigger.AvailableNow) into a
+    memory sink and return the sink table. `complete` for windowed
+    aggregations, `append` for watermark-evicted operators (dedup).
+    Shuffle partitions are narrowed to STREAM_SHUFFLE_PARTITIONS for the
+    stream's lifetime (state-store count = shuffle partitions) and
+    restored after."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     try:
         q = (
-            agg.writeStream.outputMode("complete")
+            agg.writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
             .trigger(availableNow=True)
@@ -210,4 +214,40 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _run_to_memory(spark, agg, "streaming_sessions_out")
         .select("user_id", F.col("win.start").alias("session_start"), "n_events")
         .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "streaming_dedup",
+    oracle="""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("streaming", "dedup"),
+    doc=(
+        "Stateful streaming deduplication — the exactly-once-ingest "
+        "primitive of a training-data pipeline: dropDuplicates on "
+        "(user_id, event_type) with an event-time watermark (the state "
+        "store holds one entry per key; the watermark bounds it on an "
+        "unbounded stream), run through the engine in append mode. The "
+        "emitted distinct-pair set is order-independent, so the batch "
+        "COUNT(DISTINCT) per type is an exact oracle; the per-type rollup "
+        "of the sink is plain batch. Only the key columns enter the "
+        "stream's projection — the dedup state never stores payloads."
+    ),
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .select("ts", "user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    sink = _run_to_memory(spark, deduped, "streaming_dedup_out", mode="append")
+    return (
+        sink.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
     )
