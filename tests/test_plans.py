@@ -140,3 +140,23 @@ def test_vocab_topk_no_global_sort(spark, sf_dir):
     # vocab top-K plans as per-partition heaps, never a global rank window
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p  # the tiny vocab broadcasts
+
+
+def test_jaccard_est_branches_read_checkpoints(spark, sf_dir):
+    from currency_etl_spark.queries.llm_ops import minhash_jaccard_est
+
+    p = plan_of(minhash_jaccard_est(spark, sf_dir))
+    # every branch reads the two materialized relations — the shingle
+    # explode and the signature aggregation each ran exactly once, so no
+    # parquet scan appears anywhere in the final plan
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p
+
+
+def test_spread_is_noop_when_well_split(spark):
+    from currency_etl_spark.sources import spread
+
+    well_split = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism)
+    assert spread(well_split) is well_split  # guard false → same plan object
+    under_split = spark.range(0, 1000, 1, 1)
+    assert spread(under_split).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
