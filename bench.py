@@ -45,15 +45,17 @@ def main() -> None:
     for warm in ("top_customers", "topk_orders_per_segment"):
         if warm in catalog:
             materialize(catalog[warm].spark_fn(spark, sf_dir))
-    # Streaming-engine warmup (same rationale): one tiny stream at the
-    # smallest SF initializes the file-stream source, state store, and
-    # memory-sink machinery so the first timed streaming entry measures
-    # the operator, not one-time engine init.
+    # Engine warmup at the smallest SF (same rationale — one-time init,
+    # not result caching; inputs differ from the timed SF):
+    #   * streaming: file-stream source, state store, memory sink — the
+    #     two distinct stateful plan shapes (windowed agg, session_window;
+    #     sliding shares the windowed-agg machinery);
+    #   * MinHash family: the 16-min signature aggregation is the largest
+    #     codegen unit in the catalog;
+    #   * mapInPandas: spawns the Python worker pool on first use.
     tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(tiny):
         try:
-            # the two distinct stateful plan shapes: windowed agg and
-            # session_window (sliding shares the windowed-agg machinery)
             from currency_etl_spark.streaming.jobs import (
                 streaming_hourly,
                 streaming_sessions,
@@ -61,6 +63,8 @@ def main() -> None:
 
             streaming_hourly(spark, tiny)
             streaming_sessions(spark, tiny)
+            materialize(catalog["dedup_minhash_lsh"].spark_fn(spark, tiny))
+            materialize(catalog["multimodal_features"].spark_fn(spark, tiny))
         except Exception:
             pass
 
