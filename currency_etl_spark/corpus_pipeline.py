@@ -3,13 +3,17 @@
 plan per stage, writing a partitioned corpus + a stats report.
 
 Stages (each a catalog-tested operator family):
-  1. quality gate + normalization       (docs_clean_corpus semantics)
-  2. near-dup clustering + canonical pick (dedup_minhash_lsh → components →
+  1. quality gate + normalization       (docs_clean_corpus semantics),
+     optionally including the duplicate-3-gram repetition gate
+     (docs_repetition_score semantics, max_rep_ratio)
+  2. optional PII scrub                  (docs_pii_scrub patterns — mask
+     emails/long digit runs in the surviving text)
+  3. near-dup clustering + canonical pick (dedup_minhash_lsh → components →
      keep the lowest doc_id per cluster)
-  3. language allow-list filter          (lang_id family)
-  4. deterministic token-budget sampling (content-hash modulus, stable
+  4. language allow-list filter          (lang_id family)
+  5. deterministic token-budget sampling (content-hash modulus, stable
      across runs/engines/cluster sizes — docs_deterministic_sample)
-  5. partitioned write (lang) + one-pass profile of the result
+  6. partitioned write (lang) + one-pass profile of the result
 
 Scale: stages communicate by DataFrame lineage (no intermediate
 materialization except the clustering fixpoint); every shuffle carries
@@ -46,6 +50,9 @@ def build_training_corpus(
     min_tokens: int = 10,
     max_tokens: int = 2000,
     sample_mod: int = 1,  # keep 1/sample_mod of eligible docs (1 = all)
+    max_rep_ratio: float | None = None,  # drop docs above this duplicate-
+    # 3-gram ratio (docs_repetition_score semantics); None = no gate
+    scrub_pii: bool = False,  # mask emails/long digit runs in the output
 ) -> CorpusStats:
     docs = table(spark, sf_dir, "documents")
     n_input = docs.count()
@@ -61,6 +68,26 @@ def build_training_corpus(
     quality = scored.filter(
         (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
     )
+    if max_rep_ratio is not None:
+        from currency_etl_spark.queries.llm_ops import _shingles
+
+        shl = _shingles(F.split(F.col("text"), " "))
+        nsh = F.size(shl)
+        rep = F.when(nsh == 0, F.lit(0.0)).otherwise(
+            (nsh - F.size(F.array_distinct(shl))) / nsh.cast("double")
+        )
+        quality = quality.filter(rep <= max_rep_ratio)
+    if scrub_pii:
+        from currency_etl_spark.queries.llm_ops import PII_EMAIL, PII_LONGNUM
+
+        quality = quality.withColumn(
+            "text",
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+                PII_LONGNUM,
+                "<NUM>",
+            ),
+        )
     n_quality = quality.count()
 
     # near-dup clusters over the LSH candidate graph; docs absent from the

@@ -52,3 +52,21 @@ def test_corpus_pipeline_sampling(spark, sf_dir, tmp_path):
     f = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "full")).collect()}
     s = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "samp")).collect()}
     assert s <= f
+
+
+def test_corpus_pipeline_quality_gates(spark, sf_dir, tmp_path):
+    base = build_training_corpus(spark, sf_dir, str(tmp_path / "base"))
+    gated = build_training_corpus(
+        spark, sf_dir, str(tmp_path / "gated"), max_rep_ratio=0.5, scrub_pii=True
+    )
+    # the repetition gate can only shrink the funnel
+    assert gated.n_after_quality <= base.n_after_quality
+    assert gated.n_final <= base.n_final
+    # scrubbed output contains no long digit runs or emails
+    import re
+
+    texts = [r["text"] for r in spark.read.parquet(str(tmp_path / "gated")).collect()]
+    assert texts
+    for tx in texts[:200]:
+        assert not re.search(r"[0-9]{6,}", tx)
+        assert not re.search(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", tx)
