@@ -92,3 +92,43 @@ def test_change_month_clamp_any_history_length(spark, n):
     res = run_queries(spark, df, today=str(START + _dt.timedelta(days=n)))
     expect = vals[-1] - vals[len(vals) - min(n, 31)]
     assert res["usd_change_month"][0]["diff_usd"] == pytest.approx(expect)
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Multi-probe searches a strict superset of the single-probe bucket,
+    so its best hit is at least as similar as single-probe's best."""
+    from currency_etl_spark.queries.vectors import knn_lsh, knn_lsh_multiprobe
+
+    single = knn_lsh(spark, sf_dir).collect()
+    multi = knn_lsh_multiprobe(spark, sf_dir).collect()
+    assert multi and single
+    assert multi[0]["cos_sim"] >= single[0]["cos_sim"]
+    # and the probe distances are only 0 (same bucket) or 1 (one bit away)
+    assert {r["probe_dist"] for r in multi} <= {0, 1}
+
+
+def test_repetition_score_bounds(spark, sf_dir):
+    from currency_etl_spark.queries.llm_ops import docs_repetition_score
+
+    rows = docs_repetition_score(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["rep_ratio"] <= 1.0
+        assert r["n_distinct"] <= r["n_shingles"]
+
+
+def test_pii_scrub_masks_are_stable(spark, sf_dir):
+    """Scrubbing is idempotent: mask tokens themselves never match the
+    patterns, so a second pass changes nothing (no double-masking)."""
+    import re
+
+    from currency_etl_spark.queries.llm_ops import PII_EMAIL, PII_LONGNUM
+
+    for mask in ("<EMAIL>", "<NUM>"):
+        assert not re.search(PII_EMAIL, mask)
+        assert not re.search(PII_LONGNUM, mask)
+    # spot-check on real masked output: re-masking is a fixpoint
+    sample = "contact a@b.com or 1234567 twice: c.d@e.org 7654321"
+    once = re.sub(PII_LONGNUM, "<NUM>", re.sub(PII_EMAIL, "<EMAIL>", sample))
+    twice = re.sub(PII_LONGNUM, "<NUM>", re.sub(PII_EMAIL, "<EMAIL>", once))
+    assert once == twice and "<EMAIL>" in once and "<NUM>" in once
