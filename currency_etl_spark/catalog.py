@@ -68,6 +68,7 @@ PRIORITY_ORDER = [
     "docs_repetition_score",
     "docs_vocab_coverage",
     "streaming_dedup",
+    "asof_click_within_1h",
     # --- output changed in round 3 → must re-grade ---
     "multimodal_features",  # r2 red row: now exploded scalars + SQL oracle
     "approx_distinct_stats",  # was rows-only: now exact+bounded-error form
@@ -100,7 +101,8 @@ PRIORITY_ORDER = [
     "part_min_price_per_brand",
     "cust_name_parse",
     "events_daily_gapfill",
-    "events_unpivot",
+    # events_unpivot stays on its r1-green row this round (window full;
+    # trivial stack() twin of the r2-green events_pivot_by_type)
     "events_trend",
     "q6_forecast_revenue",
     "q12_shipmode_priority",

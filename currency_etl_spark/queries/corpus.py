@@ -561,6 +561,62 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Tolerance for the bounded as-of variant (microseconds).
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "asof_click_within_1h",
+    oracle=f"""
+        -- asof + tolerance: if the MOST RECENT click is outside the
+        -- window, every older click is too — so post-filtering a plain
+        -- as-of match is exactly bounded-as-of semantics
+        WITH m AS (
+            SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+                   c.ts AS click_ts, c.value AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+                ON p.user_id = c.user_id AND p.ts >= c.ts
+        )
+        SELECT event_id, user_id, purchase_ts,
+               CASE WHEN click_ts IS NOT NULL
+                         AND epoch_us(purchase_ts) - epoch_us(click_ts) <= {ASOF_TOLERANCE_US}
+                    THEN click_ts END AS click_ts,
+               CASE WHEN click_ts IS NOT NULL
+                         AND epoch_us(purchase_ts) - epoch_us(click_ts) <= {ASOF_TOLERANCE_US}
+                    THEN click_value END AS click_value,
+               (click_ts IS NOT NULL
+                    AND epoch_us(purchase_ts) - epoch_us(click_ts) <= {ASOF_TOLERANCE_US}) AS attributed
+        FROM m
+        ORDER BY event_id
+    """,
+    tags=("asof", "window", "tolerance"),
+    doc=(
+        "Bounded as-of join — attribution with a 1-hour lookback window: "
+        "each purchase matches its most recent same-user click only if it "
+        "happened within the tolerance, else NULL (un-attributed). Runs on "
+        "the same union-sort machinery as asof_purchase_last_click (one "
+        "shuffle, no range-join explosion); the tolerance is a post-match "
+        "predicate, valid because an out-of-window most-recent click "
+        "implies every older click is out of window too. This is the "
+        "kdb/pandas merge_asof(tolerance=...) surface at Spark scale."
+    ),
+)
+def asof_click_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = asof_purchase_last_click(spark, sf_dir)
+    in_window = F.col("click_ts").isNotNull() & (
+        F.unix_micros("purchase_ts") - F.unix_micros("click_ts") <= ASOF_TOLERANCE_US
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.when(in_window, F.col("click_ts")).alias("click_ts"),
+        F.when(in_window, F.col("click_value")).alias("click_value"),
+        in_window.alias("attributed"),
+    )
+
+
 @register(
     "q7_nation_volume",
     oracle="""
