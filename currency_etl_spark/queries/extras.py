@@ -1229,3 +1229,52 @@ def events_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("win_center"), "event_type"
     ).agg(F.count("*").alias("n_events"))
+
+
+@register(
+    "events_user_totals_salted",
+    oracle="""
+        SELECT user_id,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+               count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        ORDER BY total_value DESC, user_id
+        LIMIT 20
+    """,
+    tags=("skew", "aggregate"),
+    doc=(
+        "Skew-proof aggregation, graded against the plain GROUP BY: top-20 "
+        "users by decimal-exact total via the two-phase salted aggregate "
+        "(operators/skew.salted_agg) — rows first group by (user_id, "
+        "hash-salt) so a pathological hot user spreads across 16 reducers, "
+        "then partials re-aggregate per user. The salt is a hash of "
+        "event_id, not rand(), so results are bit-identical to the direct "
+        "aggregation on any partitioning — which is exactly what this "
+        "oracle asserts. Decimal partials stay closed under re-aggregation."
+    ),
+)
+def events_user_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.operators.skew import salted_agg
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("value").cast("decimal(18,4)").alias("v")
+    )
+    totals = salted_agg(
+        e,
+        key="user_id",
+        salt_src="event_id",
+        aggs={
+            "total_dec": (F.sum, F.sum, "v"),
+            "n_events": (F.count, F.sum, "v"),
+        },
+    )
+    return (
+        totals.select(
+            "user_id",
+            F.col("total_dec").cast("double").alias("total_value"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(20)
+    )

@@ -80,3 +80,31 @@ def test_salted_join_left_keeps_unmatched(spark):
     salted = salted_join(big, small, "k", n_salts=4, how="left")
     assert salted.count() == plain.count()
     assert salted.filter("w IS NULL").count() == plain.filter("w IS NULL").count()
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.operators.skew import salted_agg
+
+    # one pathologically hot key + uniform tail
+    rows = [(1, i, float(i % 7)) for i in range(500)] + [
+        (k, 1000 + k, float(k)) for k in range(2, 40)
+    ]
+    df = spark.createDataFrame(rows, "k long, uid long, v double").select(
+        "k", "uid", F.col("v").cast("decimal(18,4)").alias("v")
+    )
+    salted = salted_agg(
+        df, key="k", salt_src="uid",
+        aggs={"sv": (F.sum, F.sum, "v"), "n": (F.count, F.sum, "v")},
+    )
+    plain = df.groupBy("k").agg(F.sum("v").alias("sv"), F.count("v").alias("n"))
+    a = {r["k"]: (r["sv"], r["n"]) for r in salted.collect()}
+    b = {r["k"]: (r["sv"], r["n"]) for r in plain.collect()}
+    assert a == b
+    # determinism: re-run is identical (hash salt, not rand)
+    a2 = {r["k"]: (r["sv"], r["n"]) for r in salted_agg(
+        df, key="k", salt_src="uid",
+        aggs={"sv": (F.sum, F.sum, "v"), "n": (F.count, F.sum, "v")},
+    ).collect()}
+    assert a == a2
