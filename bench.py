@@ -51,20 +51,30 @@ def main() -> None:
     #     two distinct stateful plan shapes (windowed agg, session_window;
     #     sliding shares the windowed-agg machinery);
     #   * MinHash family: the 16-min signature aggregation is the largest
-    #     codegen unit in the catalog;
+    #     codegen unit in the catalog; the verify stage adds the 5-way
+    #     signature-join tree and the posting-list overlap branch;
+    #   * sketch aggregates: HLL++ / approx_percentile buffers compile
+    #     their own codegen units distinct from the exact aggregates;
     #   * mapInPandas: spawns the Python worker pool on first use.
     tiny = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(tiny):
         try:
             from currency_etl_spark.streaming.jobs import (
+                streaming_dedup,
                 streaming_hourly,
                 streaming_sessions,
             )
 
             streaming_hourly(spark, tiny)
             streaming_sessions(spark, tiny)
-            materialize(catalog["dedup_minhash_lsh"].spark_fn(spark, tiny))
-            materialize(catalog["multimodal_features"].spark_fn(spark, tiny))
+            streaming_dedup(spark, tiny)
+            for warm in (
+                "dedup_minhash_lsh",
+                "minhash_jaccard_est",
+                "approx_distinct_stats",
+                "multimodal_features",
+            ):
+                materialize(catalog[warm].spark_fn(spark, tiny))
         except Exception:
             pass
 

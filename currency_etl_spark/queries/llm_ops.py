@@ -451,10 +451,16 @@ def _signatures(sh: DataFrame, with_count: bool = False) -> DataFrame:
     """(doc_id, h0..h15[, nsh]) MinHash signatures from digested shingles —
     the dominant cost of the dedup pipeline (explode + 16-way min agg).
     `with_count` rides the per-doc shingle count on the SAME aggregation
-    (zero extra shuffle) for consumers that need |shingles(doc)|."""
-    shx = sh.select(
-        "doc_id", F.conv(F.substring("m", 1, 7), 16, 10).cast("long").alias("x")
-    )
+    (zero extra shuffle) for consumers that need |shingles(doc)|.
+    Accepts either the raw digest relation (doc_id, m) or a pre-derived
+    (doc_id, x[, ...]) — callers that checkpoint the shingle relation keep
+    it narrow by deriving the 28-bit key once before materializing."""
+    if "x" in sh.columns:
+        shx = sh
+    else:
+        shx = sh.select(
+            "doc_id", F.conv(F.substring("m", 1, 7), 16, 10).cast("long").alias("x")
+        )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -980,16 +986,26 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every branch then reads the materialized result instead of re-running
     # the tokenize→shingle explode or the 16-way min aggregation. At
     # cluster scale the same role is played by persist(MEMORY_AND_DISK).
-    sh = _shingle_docs(spark, sf_dir).localCheckpoint(eager=True)
+    # Both downstream keys are derived BEFORE the checkpoint so the
+    # materialized relation is three longs per row (24 B) instead of a
+    # 32-char digest string, and conv() runs once instead of per branch:
+    # x = 28-bit permutation input, sx = 60-bit overlap key (the same
+    # substrings of md5 the oracle derives; collisions mirror bit-for-bit).
+    sh = (
+        _shingle_docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.conv(F.substring("m", 1, 7), 16, 10).cast("long").alias("x"),
+            F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("sx"),
+        )
+        .localCheckpoint(eager=True)
+    )
     sig = _signatures(sh, with_count=True).localCheckpoint(eager=True)
     pairs = _band_pairs(_bands(sig))  # bounded candidate set
     # exact overlap for candidate pairs only: posting-list pair-gen keyed
     # on the 60-bit digest prefix — an 8-byte shuffle key instead of the
-    # ~30-byte shingle string (the same key the oracle derives; md5
-    # collisions are mirrored bit-for-bit across engines)
-    shx2 = sh.select(
-        "doc_id", F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("sx")
-    )
+    # ~30-byte shingle string
+    shx2 = sh.select("doc_id", "sx")
     common = (
         _cap_groups(shx2, ["sx"])
         .groupBy("sx")
@@ -1000,11 +1016,19 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_common"))
     )
     # per-doc shingle counts ride on the signature aggregation (no
-    # separate cnt pass over the shingle relation)
-    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)])
-    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)])
-    ca = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
-    cb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
+    # separate cnt pass over the shingle relation) AND on the per-side
+    # signature joins (nsh_a/nsh_b come along with h0..h15 — two sig
+    # joins total, not four)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nsh").alias("nsh_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("nsh").alias("nsh_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)],
+    )
     est = None
     for i in range(16):
         term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
@@ -1012,8 +1036,6 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .join(ca, "doc_a")
-        .join(cb, "doc_b")
         .join(common, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
