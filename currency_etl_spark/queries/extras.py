@@ -1278,3 +1278,130 @@ def events_user_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        chg AS (
+            SELECT user_id, event_type, ts AS valid_from, event_id
+            FROM seq
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER w AS valid_to,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               (lead(valid_from) OVER w IS NULL) AS is_current
+        FROM chg
+        WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        ORDER BY user_id, version
+    """,
+    tags=("scd2", "window", "changelog"),
+    doc=(
+        "SCD2 history derived from a changelog (gaps-and-islands change "
+        "compression): collapse each user's event stream to the rows where "
+        "event_type actually changes, then turn the change points into "
+        "versioned [valid_from, valid_to) intervals with an open current "
+        "row — the relational twin of the engine-level Scd2Table writer "
+        "(currency_etl_spark/scd2.py), built from two window passes over "
+        "ONE user_id shuffle (lag to detect changes, lead/row_number to "
+        "close intervals — Catalyst reuses the exchange since both windows "
+        "partition on the same key). At 100 TB this is the standard "
+        "backfill path that rebuilds dimension history from an event log "
+        "without any iterative processing; (ts, event_id) gives a total "
+        "order so ties are deterministic in both engines."
+    ),
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    chg = seq.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))).select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    # unordered return: the correctness compare is order-insensitive, and a
+    # presentation sort would add a range exchange to an otherwise
+    # single-shuffle plan (both windows share the user_id partitioning)
+    return chg.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+#: Equi-width histogram bucket count (profiling resolution).
+HIST_BUCKETS = 20
+
+
+@register(
+    "lineitem_price_histogram",
+    oracle=f"""
+        WITH stats AS (
+            SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+            FROM lineitem
+        ),
+        binned AS (
+            SELECT CAST(least(floor(((l_extendedprice - lo) / (hi - lo)) * {HIST_BUCKETS}),
+                              {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+                   lo, hi
+            FROM lineitem, stats
+        )
+        SELECT bucket,
+               lo + bucket * ((hi - lo) / {HIST_BUCKETS}.0) AS bucket_lo,
+               lo + (bucket + 1) * ((hi - lo) / {HIST_BUCKETS}.0) AS bucket_hi,
+               count(*) AS n_items
+        FROM binned
+        GROUP BY bucket, lo, hi
+        ORDER BY bucket
+    """,
+    tags=("profile", "histogram", "aggregate"),
+    doc=(
+        f"Two-pass equi-width histogram over l_extendedprice ({HIST_BUCKETS} "
+        "buckets): pass 1 is a 1-row min/max aggregate, broadcast back via "
+        "crossJoin (stays in one lazy plan, no driver round-trip); pass 2 "
+        "bins every row with pure arithmetic and aggregates per bucket. The "
+        "data-profiling primitive at 100 TB: two scans, one tiny shuffle, "
+        "no sort, no sample bias — and the max value clamps into the last "
+        "bucket via least(). Bucket bounds are derived with the identical "
+        "IEEE expression shape in both engines, so the doubles match "
+        "bit-for-bit."
+    ),
+)
+def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    nb = HIST_BUCKETS
+    bucket = F.least(
+        F.floor(((F.col("l_extendedprice") - F.col("lo")) / (F.col("hi") - F.col("lo"))) * nb),
+        F.lit(nb - 1),
+    ).cast("long")
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(nb))
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), "lo", "hi")
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").alias("n_items"))
+        .select(
+            "bucket",
+            (F.col("lo") + F.col("bucket") * width).alias("bucket_lo"),
+            (F.col("lo") + (F.col("bucket") + 1) * width).alias("bucket_hi"),
+            "n_items",
+        )
+        .orderBy("bucket")
+    )

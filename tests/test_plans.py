@@ -160,3 +160,27 @@ def test_spread_is_noop_when_well_split(spark):
     assert spread(well_split) is well_split  # guard false → same plan object
     under_split = spark.range(0, 1000, 1, 1)
     assert spread(under_split).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_scd2_history_single_shuffle_two_windows(spark, sf_dir):
+    from currency_etl_spark.queries.extras import events_scd2_history
+
+    p = plan_of(events_scd2_history(spark, sf_dir))
+    # both window passes (lag change-detect, lead/row_number interval close)
+    # must share ONE user_id hash exchange — and no presentation sort adds
+    # a range exchange on top
+    exchanges = re.findall(r"\(\d+\) Exchange\n[^\n]*\nArguments: ([^,\n(]+)", p)
+    assert [e for e in exchanges if e.startswith("hashpartitioning")], p[:400]
+    assert len(exchanges) == 1, exchanges
+    assert p.count("(‹broadcast›") == 0  # no stray joins
+
+
+def test_price_histogram_broadcast_stats_pruned_scan(spark, sf_dir):
+    from currency_etl_spark.queries.extras import lineitem_price_histogram
+
+    p = plan_of(lineitem_price_histogram(spark, sf_dir))
+    # pass-1 min/max broadcast back; fact scan reads ONLY the price column
+    assert "BroadcastNestedLoopJoin" in p and "BuildRight" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any(rs == "l_extendedprice:double" for rs in read_schemas), read_schemas
