@@ -251,3 +251,63 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+        SELECT p.user_id,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        ORDER BY p.user_id, purchase_id, click_id
+    """,
+    tags=("streaming", "join", "interval"),
+    doc=(
+        "Stream-stream time-interval join — the last major stateful "
+        "streaming shape (after tumbling/sliding/session aggregation and "
+        "watermarked dedup): purchases joined to the same user's clicks "
+        "from the preceding hour, with BOTH sides watermarked (2 h) so the "
+        "join-state buffers are bounded — the time-range predicate gives "
+        "the engine the eviction bound that makes this run forever on an "
+        "unbounded stream. Append mode emits exactly the closed pairs; the "
+        "batch self-join is an exact oracle. The streaming twin of the "
+        "batch bounded as-of join (asof_click_within_1h), keyed the same "
+        "way (equi-join on user_id + range on event time)."
+    ),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+    return _run_to_memory(
+        spark, pairs, "streaming_interval_join_out", mode="append"
+    )
