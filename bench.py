@@ -62,12 +62,14 @@ def main() -> None:
             from currency_etl_spark.streaming.jobs import (
                 streaming_dedup,
                 streaming_hourly,
+                streaming_interval_join,
                 streaming_sessions,
             )
 
             streaming_hourly(spark, tiny)
             streaming_sessions(spark, tiny)
             streaming_dedup(spark, tiny)
+            streaming_interval_join(spark, tiny)
             for warm in (
                 "dedup_minhash_lsh",
                 "minhash_jaccard_est",

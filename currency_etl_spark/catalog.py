@@ -61,7 +61,7 @@ def register(name: str, oracle: Optional[str], tags: tuple = (), doc: str = ""):
 GRADING_WINDOW = 50
 
 PRIORITY_ORDER = [
-    # --- new in round 3 → must grade ---
+    # --- new in round 3 (no driver row yet) → must grade ---
     "knn_lsh_multiprobe",
     "docs_pii_scrub",
     "docs_ngram_counts",
@@ -69,6 +69,10 @@ PRIORITY_ORDER = [
     "docs_vocab_coverage",
     "streaming_dedup",
     "asof_click_within_1h",
+    "events_user_totals_salted",
+    "events_scd2_history",
+    "lineitem_price_histogram",
+    "streaming_interval_join",
     # --- output changed in round 3 → must re-grade ---
     "multimodal_features",  # r2 red row: now exploded scalars + SQL oracle
     "approx_distinct_stats",  # was rows-only: now exact+bounded-error form
@@ -101,15 +105,16 @@ PRIORITY_ORDER = [
     "part_min_price_per_brand",
     "cust_name_parse",
     "events_daily_gapfill",
-    # events_unpivot stays on its r1-green row this round (window full;
-    # trivial stack() twin of the r2-green events_pivot_by_type)
-    "events_trend",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
+    # Deferred to r4 on their standing r1-green rows (window full; each
+    # has an in-window sibling covering its plan family): events_unpivot
+    # (stack() twin of r2-green events_pivot_by_type), events_trend
+    # (moments agg ~ acctbal_dispersion), q6_forecast_revenue (filter-only
+    # agg ~ q1/q19), q12_shipmode_priority (conditional agg ~ q4/cube),
+    # docs_deterministic_sample (hash-modulus ~ r2-green
+    # docs_stratified_sample). First-row entries outrank refreshes.
     "q19_disjunctive_filter",
     "order_value_deciles",
     "events_rolling_24h",
-    "docs_deterministic_sample",
     "profile_lineitem",
     "integrity_checks",
     "customer_rfm",

@@ -1405,3 +1405,172 @@ def lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "sessions_concurrency_daily",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                             OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM g
+        ),
+        sess AS (
+            SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+            FROM s GROUP BY user_id, sid
+        ),
+        mins AS (
+            SELECT unnest(generate_series(date_trunc('minute', st),
+                                          date_trunc('minute', en),
+                                          INTERVAL 1 MINUTE)) AS minute
+            FROM sess
+        ),
+        per_min AS (SELECT minute, count(*) AS n FROM mins GROUP BY minute)
+        SELECT strftime(date_trunc('day', minute), '%Y-%m-%d') AS day,
+               CAST(max(n) AS BIGINT) AS peak_concurrent,
+               count(*) AS active_minutes
+        FROM per_min
+        GROUP BY 1
+        ORDER BY day
+    """,
+    tags=("analytics", "interval", "occupancy"),
+    doc=(
+        "Interval occupancy (peak concurrent sessions per day, minute "
+        "resolution): sessionize (same lag+cumsum as events_sessionize), "
+        "explode each session into the minutes it covers, count per "
+        "minute, take the per-day max. The time-bucketed formulation is "
+        "deliberately chosen over the classic +1/-1 running-sum sweep "
+        "because the sweep needs ONE globally-ordered prefix sum (a "
+        "single-task window at 100 TB), while this shape is embarrassingly "
+        "parallel: the explode is bounded by session length (gap-capped), "
+        "and both aggregations are ordinary hash shuffles on minute/day. "
+        "Days are emitted as ISO strings (DATE serialization differs "
+        "across engines)."
+    ),
+)
+def sessions_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+    )
+    g = e.withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) >= gap_us) | F.lag("ts").over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sid", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    sess = s.groupBy("user_id", "sid").agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    mins = sess.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("minute", F.col("st")),
+                F.date_trunc("minute", F.col("en")),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("minute")
+    )
+    per_min = mins.groupBy("minute").agg(F.count("*").alias("n"))
+    return (
+        per_min.groupBy(F.date_format(F.date_trunc("day", F.col("minute")), "yyyy-MM-dd").alias("day"))
+        .agg(F.max("n").cast("long").alias("peak_concurrent"), F.count("*").alias("active_minutes"))
+    )
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+        -- Snapshot reconciliation: two deterministic hash-slices of orders
+        -- stand in for consecutive table snapshots (md5-modulus, the same
+        -- content-hash convention as docs_deterministic_sample). old has
+        -- keys k%19 != 0; new has keys k%17 != 0, with o_totalprice bumped
+        -- +10 on keys k%7 = 3 — so the diff exercises added, removed,
+        -- changed, and unchanged classes in one full outer join.
+        WITH keyed AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 7)) AS BIGINT) AS k
+            FROM orders
+        ),
+        old AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+            FROM keyed WHERE k % 19 <> 0
+        ),
+        new AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,4))
+                       + CASE WHEN k % 7 = 3 THEN CAST(10 AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END AS price
+            FROM keyed WHERE k % 17 <> 0
+        )
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.price <> n.price THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               count(*) AS n_rows,
+               CAST(sum(coalesce(n.price, CAST(0 AS DECIMAL(18,4)))
+                        - coalesce(o.price, CAST(0 AS DECIMAL(18,4)))) AS DOUBLE) AS price_delta
+        FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+        GROUP BY 1
+        ORDER BY change_type
+    """,
+    tags=("diff", "setop", "quality"),
+    doc=(
+        "Table-snapshot reconciliation (the data-migration audit "
+        "primitive): full outer join of two snapshots on the key, classify "
+        "every row added / removed / changed / unchanged, and roll up "
+        "counts plus a decimal-exact value delta per class. One shuffle on "
+        "the join key, then a 4-group aggregate; at 100 TB the join "
+        "co-locates if both snapshots share bucketing (operators/"
+        "bucketing.py), making the diff shuffle-free. Snapshots are "
+        "deterministic md5-modulus slices of orders so both engines "
+        "derive identical inputs."
+    ),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price0"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("k"),
+    )
+    old = keyed.filter(F.col("k") % 19 != 0).select(
+        F.col("o_orderkey").alias("key_old"), F.col("price0").alias("price_old")
+    )
+    new = keyed.filter(F.col("k") % 17 != 0).select(
+        F.col("o_orderkey").alias("key_new"),
+        (
+            F.col("price0")
+            + F.when(F.col("k") % 7 == 3, F.lit(10).cast("decimal(18,4)")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        ).alias("price_new"),
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    joined = old.join(new, old["key_old"] == new["key_new"], "full_outer")
+    return (
+        joined.select(
+            F.when(F.col("key_old").isNull(), "added")
+            .when(F.col("key_new").isNull(), "removed")
+            .when(F.col("price_old") != F.col("price_new"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type"),
+            (F.coalesce(F.col("price_new"), zero) - F.coalesce(F.col("price_old"), zero)).alias("d"),
+        )
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n_rows"), F.sum("d").cast("double").alias("price_delta"))
+    )
