@@ -184,3 +184,26 @@ def test_price_histogram_broadcast_stats_pruned_scan(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert any(rs == "l_extendedprice:double" for rs in read_schemas), read_schemas
+
+
+def test_concurrency_daily_fully_parallel_no_single_partition(spark, sf_dir):
+    from currency_etl_spark.queries.extras import sessions_concurrency_daily
+
+    p = plan_of(sessions_concurrency_daily(spark, sf_dir))
+    # the whole occupancy pipeline must stay hash-partitioned — the classic
+    # +1/-1 sweep would show a SinglePartition exchange for its global
+    # prefix sum, which is exactly what this formulation avoids
+    assert "SinglePartition" not in p
+    exchanges = re.findall(r"\(\d+\) Exchange\n[^\n]*\nArguments: ([^,\n(]+)", p)
+    assert all(e.startswith("hashpartitioning") for e in exchanges), exchanges
+
+
+def test_snapshot_diff_one_join_partial_agg(spark, sf_dir):
+    from currency_etl_spark.queries.extras import orders_snapshot_diff
+
+    p = plan_of(orders_snapshot_diff(spark, sf_dir))
+    # one full-outer join on the key; the per-class rollup partial-aggregates
+    # map-side before its exchange
+    assert p.count("SortMergeJoin FullOuter") == 1
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
