@@ -253,6 +253,38 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_pairs(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
+    """Watermarked stream-stream interval join of two event streams (raw
+    events schema): purchases from `events_a` ⋈ same-user clicks from
+    `events_b` in the preceding hour. Factored from the graded entry so
+    tests can drive it with their own multi-file streams (cross-micro-batch
+    buffering is the behavior worth testing beyond the batch oracle)."""
+    purchases = (
+        events_a.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        events_b.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+
 @register(
     "streaming_interval_join",
     oracle="""
@@ -278,36 +310,14 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unbounded stream. Append mode emits exactly the closed pairs; the "
         "batch self-join is an exact oracle. The streaming twin of the "
         "batch bounded as-of join (asof_click_within_1h), keyed the same "
-        "way (equi-join on user_id + range on event time)."
+        "way (equi-join on user_id + range on event time). Cross-micro-"
+        "batch buffering is unit-tested (tests/test_streaming.py)."
     ),
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-        )
-        .withWatermark("purchase_ts", "2 hours")
+    pairs = interval_join_pairs(
+        _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
     )
-    clicks = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("click_user_id"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "2 hours")
-    )
-    pairs = purchases.join(
-        clicks,
-        (F.col("user_id") == F.col("click_user_id"))
-        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("click_ts") <= F.col("purchase_ts")),
-    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
     return _run_to_memory(
         spark, pairs, "streaming_interval_join_out", mode="append"
     )

@@ -122,3 +122,57 @@ def test_append_mode_watermark_emits_closed_windows(spark, tmp_path):
     assert emitted.get("2024-01-01 00:00:00") == (7, 8.0)
     # hour-3 window is still open (watermark hasn't passed 04:00) → not emitted
     assert "2024-01-01 03:00:00" not in emitted
+
+
+def test_interval_join_pairs_across_micro_batches(spark, tmp_path):
+    """A click buffered in micro-batch 1 must still join a purchase that
+    only arrives in micro-batch 2 — the cross-batch state behavior the
+    single-file batch oracle cannot exercise."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from currency_etl_spark.streaming.jobs import interval_join_pairs
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def ev(eid, uid, typ, minutes):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(minutes=minutes),
+            user_id=uid,
+            event_type=typ,
+            value=1.0,
+            props="{}",
+        )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # file 1: clicks only — user 1 in-window, user 2 too early (>1h before)
+    clicks = [ev(101, 1, "click", 0), ev(102, 2, "click", 0)]
+    spark.createDataFrame(clicks).coalesce(1).write.mode("append").parquet(str(landing))
+    # file 2: purchases — user 1 at +30min (pair), user 2 at +2h (no pair),
+    # user 3 with no click at all (no pair)
+    purchases = [ev(201, 1, "purchase", 30), ev(202, 2, "purchase", 120), ev(203, 3, "purchase", 40)]
+    spark.createDataFrame(purchases).coalesce(1).write.mode("append").parquet(str(landing))
+
+    schema = spark.read.parquet(str(landing)).schema
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(str(landing))
+    )
+    q = (
+        interval_join_pairs(stream(), stream())
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("interval_join_xbatch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"])
+        for r in spark.table("interval_join_xbatch").collect()
+    }
+    assert got == {(1, 201, 101)}
