@@ -132,3 +132,80 @@ def test_pii_scrub_masks_are_stable(spark, sf_dir):
     once = re.sub(PII_LONGNUM, "<NUM>", re.sub(PII_EMAIL, "<EMAIL>", sample))
     twice = re.sub(PII_LONGNUM, "<NUM>", re.sub(PII_EMAIL, "<EMAIL>", once))
     assert once == twice and "<EMAIL>" in once and "<NUM>" in once
+
+
+def test_scd2_history_time_travel_reconstruction(spark, sf_dir):
+    """State-at-T from the SCD2 history (the open interval covering T) must
+    equal the event_type of the user's last event at-or-before T — for any
+    probe instant. Compression (dropping no-op changes) must not lose
+    information."""
+    from currency_etl_spark.queries.extras import events_scd2_history
+    from currency_etl_spark.sources import table
+
+    hist = events_scd2_history(spark, sf_dir).cache()
+    events = table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = hi - lo
+    for frac in (0.25, 0.5, 0.9):
+        t = lo + span * frac
+        from_hist = (
+            hist.filter((F.col("valid_from") <= t) & (F.col("valid_to").isNull() | (F.col("valid_to") > t)))
+            .select("user_id", "event_type")
+        )
+        from_events = (
+            events.filter(F.col("ts") <= t)
+            .groupBy("user_id")
+            .agg(F.max_by("event_type", F.struct("ts", "event_id")).alias("event_type"))
+        )
+        diff = from_hist.exceptAll(from_events).union(from_events.exceptAll(from_hist))
+        assert diff.count() == 0, f"state mismatch at {t}"
+    hist.unpersist()
+
+
+def test_scd2_history_intervals_are_well_formed(spark, sf_dir):
+    """Per user: exactly one open row, versions contiguous from 1, each
+    interval's valid_to equals the next version's valid_from, and no
+    consecutive intervals share an event_type (maximal compression)."""
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.queries.extras import events_scd2_history
+
+    hist = events_scd2_history(spark, sf_dir).cache()
+    per_user = hist.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.count("*").alias("n"),
+        F.max("version").alias("vmax"),
+        F.min("version").alias("vmin"),
+    )
+    bad = per_user.filter(
+        (F.col("n_open") != 1) | (F.col("vmin") != 1) | (F.col("vmax") != F.col("n"))
+    )
+    assert bad.count() == 0
+    w = W.partitionBy("user_id").orderBy("version")
+    chained = hist.select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        F.lead("valid_from").over(w).alias("next_from"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_from").isNotNull())
+    assert chained.filter(F.col("valid_to") != F.col("next_from")).count() == 0
+    assert chained.filter(F.col("event_type") == F.col("next_type")).count() == 0
+    hist.unpersist()
+
+
+def test_snapshot_diff_counts_reconcile(spark, sf_dir):
+    """added + removed + changed + unchanged must reconcile with the two
+    snapshot cardinalities: |new| = added + changed + unchanged and
+    |old| = removed + changed + unchanged."""
+    from currency_etl_spark.queries.extras import orders_snapshot_diff
+    from currency_etl_spark.sources import table
+
+    rows = {r["change_type"]: r["n_rows"] for r in orders_snapshot_diff(spark, sf_dir).collect()}
+    o = table(spark, sf_dir, "orders").select(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("k")
+    )
+    n_old = o.filter(F.col("k") % 19 != 0).count()
+    n_new = o.filter(F.col("k") % 17 != 0).count()
+    assert n_new == rows.get("added", 0) + rows.get("changed", 0) + rows.get("unchanged", 0)
+    assert n_old == rows.get("removed", 0) + rows.get("changed", 0) + rows.get("unchanged", 0)
