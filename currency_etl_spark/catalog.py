@@ -73,6 +73,8 @@ PRIORITY_ORDER = [
     "events_scd2_history",
     "lineitem_price_histogram",
     "streaming_interval_join",
+    "sessions_concurrency_daily",
+    "orders_snapshot_diff",
     # --- output changed in round 3 → must re-grade ---
     "multimodal_features",  # r2 red row: now exploded scalars + SQL oracle
     "approx_distinct_stats",  # was rows-only: now exact+bounded-error form
@@ -103,7 +105,6 @@ PRIORITY_ORDER = [
     "events_props_stats",
     "customers_order_coverage",
     "part_min_price_per_brand",
-    "cust_name_parse",
     "events_daily_gapfill",
     # Deferred to r4 on their standing r1-green rows (window full; each
     # has an in-window sibling covering its plan family): events_unpivot
@@ -111,7 +112,10 @@ PRIORITY_ORDER = [
     # (moments agg ~ acctbal_dispersion), q6_forecast_revenue (filter-only
     # agg ~ q1/q19), q12_shipmode_priority (conditional agg ~ q4/cube),
     # docs_deterministic_sample (hash-modulus ~ r2-green
-    # docs_stratified_sample). First-row entries outrank refreshes.
+    # docs_stratified_sample), cust_name_parse (regex ~ docs_pii_scrub),
+    # events_cohort_retention (analytics twin of in-window events_funnel).
+    # First-row entries outrank refreshes: with these slots every catalog
+    # entry either holds a green driver row or sits in this window.
     "q19_disjunctive_filter",
     "order_value_deciles",
     "events_rolling_24h",
@@ -120,7 +124,6 @@ PRIORITY_ORDER = [
     "customer_rfm",
     "orders_monthly_growth",
     "events_funnel",
-    "events_cohort_retention",
     "order_rank_metrics",
     # grouping_sets_custom stays on its r1-green row this round (the
     # window is full; it shares its plan shape with the r2-green
