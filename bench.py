@@ -80,14 +80,32 @@ def main() -> None:
         except Exception:
             pass
 
+    # Two timed passes, per-query MIN, capped by a wall-clock budget.
+    # The host occasionally has multi-second contention episodes that
+    # inflate whichever queries they land on by 5-30x (measured: the same
+    # catalog sweep ranges 70 s clean to 154 s during an episode, with the
+    # blow-ups clustered in contiguous stretches of the run, not tied to
+    # any query). Min-of-two passes a few minutes apart measures the
+    # QUERIES, not the episode; the budget keeps worst-case wall time
+    # bounded for the calling harness.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    bench_t0 = time.perf_counter()
     times: dict[str, float] = {}
-    for name in sorted(catalog):
-        if only and name not in only:
-            continue
-        spec = catalog[name]
-        t0 = time.perf_counter()
-        materialize(spec.spark_fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+    passes = 0
+    for _ in range(2):
+        pass_t0 = time.perf_counter()
+        for name in sorted(catalog):
+            if only and name not in only:
+                continue
+            spec = catalog[name]
+            t0 = time.perf_counter()
+            materialize(spec.spark_fn(spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+        passes += 1
+        pass_dur = time.perf_counter() - pass_t0
+        if time.perf_counter() - bench_t0 + pass_dur > budget_s:
+            break  # another pass of this size would blow the budget
 
     total = round(sum(times.values()), 3)
     # Detailed per-query line first; a SHORT summary line LAST so the
@@ -101,6 +119,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "passes": passes,
             }
         )
     )

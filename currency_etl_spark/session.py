@@ -33,7 +33,18 @@ def get_spark(app_name: str = "currency_etl_spark", cpus: int | None = None) -> 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A long-lived session compiles thousands of whole-stage-codegen
+        # classes (one catalog sweep ≈ several hundred). The JVM default
+        # 240 MB reserved code cache fills partway through, the JIT turns
+        # off, and every later query runs interpreted — measured 2-20x
+        # per-query slowdowns that track run POSITION, not the query.
+        # A 1 GB code cache (+ flushing, the JDK default, as belt and
+        # braces) keeps the JIT alive for the whole sweep.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ces_spark_warehouse"))
         .config("spark.sql.parquet.compression.codec", "snappy")
