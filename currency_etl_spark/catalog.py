@@ -61,74 +61,74 @@ def register(name: str, oracle: Optional[str], tags: tuple = (), doc: str = ""):
 GRADING_WINDOW = 50
 
 PRIORITY_ORDER = [
-    # --- new in round 3 (no driver row yet) → must grade ---
-    "knn_lsh_multiprobe",
-    "docs_pii_scrub",
-    "docs_ngram_counts",
-    "docs_repetition_score",
-    "docs_vocab_coverage",
-    "streaming_dedup",
-    "asof_click_within_1h",
-    "events_user_totals_salted",
-    "events_scd2_history",
-    "lineitem_price_histogram",
-    "streaming_interval_join",
-    "sessions_concurrency_daily",
-    "orders_snapshot_diff",
-    # --- output changed in round 3 → must re-grade ---
-    "multimodal_features",  # r2 red row: now exploded scalars + SQL oracle
-    "approx_distinct_stats",  # was rows-only: now exact+bounded-error form
-    "minhash_jaccard_est",  # exact_jaccard renamed capped_jaccard
-    # --- internals changed in round 3 (shared MinHash stage, conf
-    #     restore, zero-scale guard, streaming lifecycle) → re-grade ---
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "embedding_quantize",
+    # --- red in round 4 (events-loader regression, fixed this round via
+    #     sources.normalize_events_ts) → must re-grade to prove the fix ---
     "streaming_hourly",
     "streaming_sliding",
     "streaming_sessions",
-    # --- last graded in round 1 (CORRECTNESS_r01) → refresh ---
+    "streaming_dedup",
+    "streaming_interval_join",
+    "asof_click_within_1h",
     "asof_purchase_last_click",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q8_market_share",
-    "q14_promo_share",
-    "q22_idle_customers",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q9_product_profit",
-    "part_brand_revenue",
+    "events_user_totals_salted",
+    "events_scd2_history",
+    "sessions_concurrency_daily",
+    "approx_distinct_stats",
     "events_value_percentiles",
     "events_props_stats",
-    "customers_order_coverage",
-    "part_min_price_per_brand",
     "events_daily_gapfill",
-    # Deferred to r4 on their standing r1-green rows (window full; each
-    # has an in-window sibling covering its plan family): events_unpivot
-    # (stack() twin of r2-green events_pivot_by_type), events_trend
-    # (moments agg ~ acctbal_dispersion), q6_forecast_revenue (filter-only
-    # agg ~ q1/q19), q12_shipmode_priority (conditional agg ~ q4/cube),
-    # docs_deterministic_sample (hash-modulus ~ r2-green
-    # docs_stratified_sample), cust_name_parse (regex ~ docs_pii_scrub),
-    # events_cohort_retention (analytics twin of in-window events_funnel).
-    # First-row entries outrank refreshes: with these slots every catalog
-    # entry either holds a green driver row or sits in this window.
-    "q19_disjunctive_filter",
-    "order_value_deciles",
     "events_rolling_24h",
-    "profile_lineitem",
-    "integrity_checks",
-    "customer_rfm",
-    "orders_monthly_growth",
     "events_funnel",
-    "order_rank_metrics",
-    # grouping_sets_custom stays on its r1-green row this round (the
-    # window is full; it shares its plan shape with the r2-green
-    # cube/rollup variants, so it is the lowest-risk deferral)
-    "acctbal_dispersion",
+    # --- last graded round 1 (deferred twice; oldest standing rows) ---
+    "cust_name_parse",
+    "events_unpivot",
+    "events_trend",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "docs_deterministic_sample",
+    "events_cohort_retention",
+    "grouping_sets_custom",
+    # --- internals changed in round 5 (numpy-vectorized _byte_histogram;
+    #     output should be bit-identical — re-grade as insurance) ---
+    "multimodal_features",
+    # --- last graded round 2: events consumers first (their loader input
+    #     path changed this round), then the heaviest multi-operator plans ---
+    "events_hourly",
+    "events_pivot_by_type",
+    "events_sessionize",
+    "events_type_transitions",
+    "events_range_join_binned",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_order_priority",
+    "top_customers",
+    "topk_orders_per_segment",
+    "rollup_segment_nation",
+    "set_customers_both_statuses",
+    "set_customers_no_open_orders",
+    "cust_above_nation_avg",
+    "ref_rolling_avg7",
+    "ref_forecast5",
+    "tfidf_top_terms",
+    "docs_clean_corpus",
+    "docs_stratified_sample",
+    "similar_part_names",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    "cube_status_priority",
+    "docs_chunk_tokens",
+    # Deferred to r6 on standing r2-green rows (window full; each family
+    # holds an r4-green or in-window sibling, and none of these touched
+    # the changed events loader): ref_avg_value / ref_days_available /
+    # ref_num_types / ref_range_window / ref_last_value / ref_change_month
+    # (simple agg+window shapes ~ in-window q1/order-rank plans),
+    # text_stats / lang_id / doc_fingerprint (text family: pii/ngram/
+    # repetition/vocab green r4), dedup_exact / dedup_ngram_jaccard /
+    # dedup_simhash / dedup_embedding_cosine (dedup family: minhash_lsh,
+    # clusters, jaccard_est green r4), knn_brute / knn_ivf / knn_lsh
+    # (knn_lsh_multiprobe green r4), embedding_norms (embedding_quantize
+    # green r4).
 ]
 
 

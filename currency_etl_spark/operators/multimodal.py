@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Callable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -75,12 +76,17 @@ def decode_image(blob: bytes) -> "object":
 
 def _byte_histogram(b: bytes) -> list[float]:
     """Deterministic fake 'feature extractor': 16-bin histogram of byte
-    values, L1-normalized. Stands in for embedding/decoding output."""
-    counts = [0] * N_HIST_BINS
-    for x in b:
-        counts[x % N_HIST_BINS] += 1
+    values, L1-normalized. Stands in for embedding/decoding output.
+
+    Vectorized with numpy — a per-byte Python loop here was the slowest
+    catalog entry (~10 s @ sf0.1); np.bincount over the raw buffer is the
+    same output bit-for-bit at ~10× less CPU, and models how a real
+    decoder wrapper should treat the buffer (array ops, not byte loops).
+    """
+    arr = np.frombuffer(b, dtype=np.uint8)
+    counts = np.bincount(arr % N_HIST_BINS, minlength=N_HIST_BINS)
     total = float(len(b)) or 1.0
-    return [c / total for c in counts]
+    return (counts / total).tolist()
 
 
 def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -62,13 +62,49 @@ EXCHANGE_RATES_SCHEMA = T.StructType(
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize `events.ts` to session-zone TIMESTAMP at µs precision.
+
+    The driver's corpus has shipped `ts` in two physical encodings across
+    regenerations: TIMESTAMP(NANOS) — which Spark's reader only surfaces as
+    raw int64 nanos via the legacy conf — and plain timestamp[us], which
+    reads as TIMESTAMP_NTZ. Gate on the *actual* type so either encoding
+    yields one stable downstream type. Session tz is UTC (session.py), so
+    the NTZ→LTZ cast is value-identical to the nanos-truncation path, and
+    both agree with DuckDB's µs-truncating reader for oracle comparisons.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates both historical `ts` encodings.
+
+    The legacy conf is only consulted while read.parquet() converts a
+    TIMESTAMP(NANOS) footer schema (nanos → long) and is a no-op for any
+    other encoding; lazy execution of the returned plan no longer needs it
+    (verified empirically, batch + stream), so restore the session value
+    instead of leaking a global.
+    """
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one corpus table. Columnar parquet scan: Catalyst pushes filters
     and prunes columns into this (verify with .explain → PushedFilters).
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects;
-    we read it as raw nanos (legacy conf) and truncate to microseconds —
-    exactly what DuckDB's reader does, so oracle comparisons agree.
+    `events.ts` is normalized through normalize_events_ts — see there for
+    the dual physical-encoding story.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
@@ -76,20 +112,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The legacy conf is only consulted while read.parquet() converts
-        # the footer schema (nanos → long); lazy execution of the returned
-        # plan no longer needs it (verified empirically, batch + stream),
-        # so restore the session value instead of leaking a global.
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(path)
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(read_events_raw(spark, path))
     else:
         df = spark.read.parquet(path)
     _TABLE_CACHE[key] = df

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from currency_etl_spark.catalog import register
+from currency_etl_spark.sources import normalize_events_ts, read_events_raw
 
 #: State-store / shuffle partition count for the graded streaming jobs.
 #: Stateful streaming creates one state store per shuffle partition per
@@ -38,37 +39,23 @@ _SCHEMA_CACHE: dict = {}
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (explicit schema — streams
-    never infer). events.ts is TIMESTAMP(NANOS) parquet: read as raw nanos
-    and truncate to micros, same convention as sources.table. The file
-    stream source wants a directory; expose the single file through a
-    stable symlink dir (what a landing/bronze dir is in production)."""
+    never infer). events.ts is normalized to session-zone TIMESTAMP via
+    sources.normalize_events_ts, same convention as sources.table, so the
+    stream tolerates both historical physical encodings. The file stream
+    source wants a directory; expose the single file through a stable
+    symlink dir (what a landing/bronze dir is in production)."""
     path = os.path.join(sf_dir, "events.parquet")
     key = (spark.sparkContext.applicationId, sf_dir)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        # conf only needed while the batch read converts the footer schema;
-        # the stream itself reads through the explicit schema (restore like
-        # the shuffle-partition handling in _run_to_memory — no session leak)
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            schema = spark.read.parquet(path).schema
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        schema = read_events_raw(spark, path).schema
         _SCHEMA_CACHE[key] = schema
     stream_dir = os.path.join("/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
-    return (
-        spark.readStream.schema(schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    return normalize_events_ts(spark.readStream.schema(schema).parquet(stream_dir))
 
 
 def _run_to_memory(

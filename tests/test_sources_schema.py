@@ -1,0 +1,100 @@
+"""Events loader must tolerate every physical encoding the driver has
+shipped for `events.ts` (see sources.normalize_events_ts).
+
+Round-4 postmortem: the corpus regeneration switched `ts` from
+TIMESTAMP(NANOS) to plain timestamp[us] and the unconditional nanos shim
+zeroed the round. This test writes the SAME logical fixture in both
+encodings and asserts `sources.table` yields identical rows + schema, so
+a future regeneration in either direction cannot regress silently.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import types as T
+
+from currency_etl_spark import sources
+
+ROWS = {
+    "event_id": [1, 2, 3, 4],
+    "user_id": [10, 20, 10, 30],
+    "event_type": ["click", "view", "click", "purchase"],
+    # µs-precision instants (what both encodings can represent exactly)
+    "ts_us": [
+        1_700_000_000_000_000,
+        1_700_000_001_500_000,
+        1_700_003_600_123_456,
+        1_700_007_200_000_001,
+    ],
+    "value": [1.5, 2.0, 3.25, 4.0],
+}
+
+
+def _write_fixture(dir_path: str, unit: str) -> str:
+    """Write the fixture with ts as timestamp[ns] (→ parquet TIMESTAMP(NANOS))
+    or timestamp[us] (→ parquet TIMESTAMP(MICROS)), mirroring the two corpus
+    generations."""
+    ts = pa.array(
+        [v * 1000 for v in ROWS["ts_us"]] if unit == "ns" else ROWS["ts_us"],
+        type=pa.timestamp(unit),
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array(ROWS["event_id"], pa.int64()),
+            "user_id": pa.array(ROWS["user_id"], pa.int64()),
+            "event_type": pa.array(ROWS["event_type"], pa.string()),
+            "ts": ts,
+            "value": pa.array(ROWS["value"], pa.float64()),
+        }
+    )
+    path = os.path.join(dir_path, "events.parquet")
+    # version 2.6 preserves nanos as TIMESTAMP(NANOS) instead of truncating
+    pq.write_table(table, path, version="2.6")
+    return path
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    dirs = {}
+    for unit in ("ns", "us"):
+        d = str(tmp_path_factory.mktemp(f"events_{unit}"))
+        _write_fixture(d, unit)
+        dirs[unit] = d
+    return dirs
+
+
+def test_physical_encodings_match(spark, encoded_dirs):
+    ns_footer = pq.read_schema(os.path.join(encoded_dirs["ns"], "events.parquet"))
+    us_footer = pq.read_schema(os.path.join(encoded_dirs["us"], "events.parquet"))
+    assert str(ns_footer.field("ts").type) == "timestamp[ns]"
+    assert str(us_footer.field("ts").type) == "timestamp[us]"
+
+    dfs = {u: sources.table(spark, d, "events") for u, d in encoded_dirs.items()}
+    for u, df in dfs.items():
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), (
+            f"{u}: ts should normalize to session-zone TIMESTAMP, got "
+            f"{df.schema['ts'].dataType}"
+        )
+    assert dfs["ns"].schema == dfs["us"].schema
+
+    rows_ns = sorted(dfs["ns"].collect(), key=lambda r: r["event_id"])
+    rows_us = sorted(dfs["us"].collect(), key=lambda r: r["event_id"])
+    assert rows_ns == rows_us
+    # and the values are the real instants, not shifted/truncated junk
+    assert [r["ts"].isoformat() for r in rows_us] == [
+        "2023-11-14T22:13:20",
+        "2023-11-14T22:13:21.500000",
+        "2023-11-14T23:13:20.123456",
+        "2023-11-15T00:13:20.000001",
+    ]
+
+
+def test_real_corpus_events_loads(spark, sf_dir):
+    df = sources.table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    assert df.limit(1).count() == 1
