@@ -66,9 +66,21 @@ def _run_to_memory(
     aggregations, `append` for watermark-evicted operators (dedup).
     Shuffle partitions are narrowed to STREAM_SHUFFLE_PARTITIONS for the
     stream's lifetime (state-store count = shuffle partitions) and
-    restored after."""
+    restored after.
+
+    No-data micro-batches are disabled for the stream's lifetime: with
+    Trigger.AvailableNow every input row arrives in the data batches, so
+    the trailing no-data batch only advances the watermark to evict state
+    that the query teardown discards anyway — measured ~0.3-0.5 s of pure
+    fixed cost per entry, with bit-identical emitted results (complete
+    mode ignores watermark eviction; append dedup and the inner interval
+    join emit on arrival/match, not on watermark). A CONTINUOUS deployment
+    of these jobs should leave the default on — there the no-data batch is
+    what flushes final windows during input lulls."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             agg.writeStream.outputMode(mode)
@@ -80,6 +92,7 @@ def _run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
     return spark.table(name)
 
 
