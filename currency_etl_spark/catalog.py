@@ -113,11 +113,13 @@ PRIORITY_ORDER = [
     "tfidf_top_terms",
     "docs_clean_corpus",
     "docs_stratified_sample",
-    "similar_part_names",
     "multimodal_meta_stats",
-    "multimodal_frame_sample",
-    "cube_status_priority",
-    "docs_chunk_tokens",
+    # --- new in round 5 (no driver row yet) → first-row entries outrank
+    #     refreshes ---
+    "docs_sequence_pack",
+    "docs_domain_cap",
+    "docs_mixture_report",
+    "kmeans_assign_step",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling, and none of these touched
     # the changed events loader): ref_avg_value / ref_days_available /
@@ -128,7 +130,11 @@ PRIORITY_ORDER = [
     # dedup_simhash / dedup_embedding_cosine (dedup family: minhash_lsh,
     # clusters, jaccard_est green r4), knn_brute / knn_ivf / knn_lsh
     # (knn_lsh_multiprobe green r4), embedding_norms (embedding_quantize
-    # green r4).
+    # green r4), similar_part_names (ngram-join ~ the r4-green dedup
+    # family), multimodal_frame_sample (multimodal family: features +
+    # meta_stats in window), cube_status_priority (cube ~ in-window
+    # rollup_segment_nation + grouping_sets_custom), docs_chunk_tokens
+    # (chunking ~ new in-window docs_sequence_pack).
 ]
 
 
@@ -141,6 +147,7 @@ def load_catalog() -> dict[str, QuerySpec]:
         llm_ops,
         multimodal,
         reference,
+        training,
         vectors,
     )
     from currency_etl_spark import streaming  # noqa: F401

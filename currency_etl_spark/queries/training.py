@@ -1,0 +1,311 @@
+"""Training-data assembly operators: sequence packing, per-domain caps,
+mixture reporting, and a distributed k-means assignment step.
+
+These extend the LLM-pipeline family (queries/llm_ops.py) with the ops a
+pretraining data team runs AFTER cleaning/dedup: turning a document pool
+into fixed-token training sequences, enforcing per-source quotas, auditing
+the language mixture, and clustering embeddings. Reference scope: the
+reference engine has no training-data surface (its capability checklist
+ends at SQL analytics, SURVEY.md §2); these follow the same Spark-first
+catalog/oracle conventions as every other entry.
+
+Determinism: tokenization is a single-space split (the synthetic corpus is
+space-separated), every float leaves double-land before aggregation
+(integer quantization / exact long sums), and every output is totally
+ordered — the rules from catalog.py's module docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from currency_etl_spark.catalog import register
+from currency_etl_spark.sources import table
+
+#: Token budget per packed training sequence. Small enough that sf0.001's
+#: short docs still produce multi-sequence languages, large enough that
+#: sequences hold several documents each.
+SEQ_BUDGET = 512
+
+#: Per-source document quota for the domain-cap sampler.
+DOMAIN_CAP = 10
+
+#: k and the quantization scale for the k-means step. Quantizing float
+#: embeddings to round(x * 1e6) longs makes every distance and mean an
+#: exact integer computation — identical in any summation order on any
+#: engine (the same trick embedding_quantize uses for storage).
+KMEANS_K = 8
+Q_SCALE = 1_000_000
+
+
+def _tok_count() -> Column:
+    return F.size(F.split(F.col("text"), " ")).cast("long")
+
+
+@register(
+    "docs_sequence_pack",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, lang, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM toks
+        )
+        SELECT lang,
+               CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM pos
+        GROUP BY lang, seq_id
+        ORDER BY lang, seq_id
+    """,
+    tags=("llm", "training", "packing"),
+    doc=(
+        "Concat-then-chunk sequence packing — the step that turns a cleaned "
+        f"document pool into fixed-budget ({SEQ_BUDGET}-token) training "
+        "sequences: per language, documents are laid on a token stream in "
+        "doc_id order and a document belongs to the sequence containing its "
+        "first token (GPT-style packing, where sequences may straddle "
+        "boundaries). One window cumulative sum per partition key — no "
+        "global sort: at 100 TB the partition key is the shard, so packing "
+        "is embarrassingly parallel across shards and the window never "
+        "crosses executor boundaries. Reports per-sequence fill so a "
+        "mixture owner can audit fragmentation (n_docs, seq_tokens vs "
+        "budget) without materializing the packed text."
+    ),
+)
+def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _tok_count().alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pos = docs.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return (
+        pos.groupBy(
+            "lang",
+            F.floor(F.col("cum_before") / SEQ_BUDGET).cast("long").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+@register(
+    "docs_domain_cap",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM ranked
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("llm", "training", "sampling"),
+    doc=(
+        "Per-domain document cap — the anti-overrepresentation primitive "
+        "(crawls are power-law by domain; uncapped, a handful of domains "
+        f"dominate the mixture): keep at most {DOMAIN_CAP} documents per "
+        "source, chosen by hash rank (md5 of doc_id) so the selection is "
+        "stable across runs, partitionings, and cluster sizes — never "
+        "first-N in file order, which is ingestion-order biased. One "
+        "row_number window per source partition; at 100 TB the window key "
+        "is the natural shuffle key and the payload never moves — only "
+        "(source, doc_id) pairs."
+    ),
+)
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", F.row_number().over(w).alias("rn"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((F.col("rn") <= DOMAIN_CAP).cast("int")).cast("long").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_mixture_report",
+    oracle="""
+        WITH per_lang AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY lang
+        )
+        SELECT lang, n_docs, n_tokens,
+               round(100.0 * n_tokens / sum(n_tokens) OVER (), 6) AS pct_tokens
+        FROM per_lang
+        ORDER BY lang
+    """,
+    tags=("llm", "training", "mixture"),
+    doc=(
+        "Token-weighted language-mixture report — the dashboard number a "
+        "data-mixture spec is written against (token share, not doc share: "
+        "languages differ in document length). Exact long token sums per "
+        "language, then a share-of-total window over the tiny per-language "
+        "aggregate — the unpartitioned window touches |languages| rows, "
+        "never the corpus, so the plan is one partial+final aggregation at "
+        "any scale."
+    ),
+)
+def docs_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_lang = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(_tok_count()).cast("long").alias("n_tokens"),
+        )
+    )
+    # share-of-total as a broadcast of the 1-row grand total instead of an
+    # unpartitioned window — same arithmetic, no single-partition WindowExec
+    total = per_lang.agg(F.sum("n_tokens").cast("long").alias("tot"))
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.lit(100.0) * F.col("n_tokens") / F.col("tot"), 6).alias("pct_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "kmeans_assign_step",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(round(CAST(x AS DOUBLE) * {Q_SCALE}) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < {KMEANS_K}),
+        va AS (
+            SELECT vec_id, generate_subscripts(qv, 1) AS d, unnest(qv) AS v FROM q
+        ),
+        vc AS (
+            SELECT cid, generate_subscripts(cq, 1) AS d, unnest(cq) AS v FROM cent
+        ),
+        dist AS (
+            SELECT va.vec_id, vc.cid,
+                   CAST(sum((va.v - vc.v) * (va.v - vc.v)) AS BIGINT) AS dist
+            FROM va JOIN vc ON va.d = vc.d
+            GROUP BY va.vec_id, vc.cid
+        ),
+        best AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dist
+        )
+        SELECT b.cid AS centroid_id,
+               CAST(count(*) AS BIGINT) AS n_assigned,
+               round(CAST(sum(q.qv[1]) AS DOUBLE) / count(*) / {Q_SCALE}.0, 9) AS c0,
+               round(CAST(sum(q.qv[2]) AS DOUBLE) / count(*) / {Q_SCALE}.0, 9) AS c1,
+               round(CAST(sum(q.qv[3]) AS DOUBLE) / count(*) / {Q_SCALE}.0, 9) AS c2,
+               round(CAST(sum(q.qv[4]) AS DOUBLE) / count(*) / {Q_SCALE}.0, 9) AS c3
+        FROM best b JOIN q ON q.vec_id = b.vec_id
+        WHERE b.rn = 1
+        GROUP BY b.cid
+        ORDER BY b.cid
+    """,
+    tags=("llm", "vectors", "clustering"),
+    doc=(
+        "One Lloyd's iteration of distributed k-means over the embedding "
+        f"column (k={KMEANS_K}, centroids seeded from the first k vectors "
+        "by id — deterministic, no RNG): assignment is a broadcast of the "
+        "k×64 centroid table against the vector scan (at 100 TB the only "
+        "shuffle is the k-row partial-mean aggregation — assignment itself "
+        "is map-side, the exact plan MLlib's KMeans uses per iteration), "
+        "then new centroids as per-cluster means. Embeddings are quantized "
+        "to longs (round(x*1e6), the embedding_quantize convention) so "
+        "distances and mean numerators are EXACT integer arithmetic — "
+        "order-independent and engine-identical, where float sums would "
+        "drift by summation order. Emits cluster sizes and the first four "
+        "centroid coordinates; argmin ties break by centroid id. The "
+        "iterative driver loop (repeat until movement < eps) composes this "
+        "per round exactly like dedup_clusters' label propagation."
+    ),
+)
+def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(float(Q_SCALE))).cast("long"),
+        ).alias("qv"),
+    )
+    # ALL centroids ride in one broadcast row as array<struct<cid,cq>>, so
+    # assignment is a map-side expression over the vector scan — no row
+    # explosion to N×k, no argmin shuffle; the k-row mean aggregation below
+    # is the iteration's ONLY exchange (array_min on struct<dist,cid> is
+    # the lexicographic argmin, ties to the lowest cid).
+    cents = (
+        q.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("qv").alias("cq")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+
+    def _dist_to(c):
+        return F.aggregate(
+            F.zip_with(F.col("qv"), c["cq"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    assigned = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "qv",
+        F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(_dist_to(c).alias("dist"), c["cid"].alias("cid")),
+            )
+        )["cid"].alias("centroid_id"),
+    )
+    agg = assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        *[F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(4)],
+    )
+    return agg.select(
+        "centroid_id",
+        "n_assigned",
+        *[
+            F.round(
+                F.col(f"s{d}").cast("double") / F.col("n_assigned") / F.lit(float(Q_SCALE)),
+                9,
+            ).alias(f"c{d}")
+            for d in range(4)
+        ],
+    ).orderBy("centroid_id")

@@ -207,3 +207,41 @@ def test_snapshot_diff_one_join_partial_agg(spark, sf_dir):
     assert p.count("SortMergeJoin FullOuter") == 1
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p
+
+
+def test_sequence_pack_single_partition_window(spark, sf_dir):
+    from currency_etl_spark.queries.training import docs_sequence_pack
+
+    p = plan_of(docs_sequence_pack(spark, sf_dir))
+    # packing is per-lang (= per-shard at scale): the cumsum window and the
+    # (lang, seq_id) aggregation share hash partitioning — never a global
+    # sort over the corpus, never a SinglePartition exchange on data
+    assert "Window" in p
+    assert "SinglePartition" not in p
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "source" not in read_schema  # unused column pruned
+
+
+def test_domain_cap_prunes_text_from_scan(spark, sf_dir):
+    from currency_etl_spark.queries.training import docs_domain_cap
+
+    p = plan_of(docs_domain_cap(spark, sf_dir))
+    # the quota rank needs only (source, doc_id): the document text must
+    # not cross the wire — at 100 TB that is the difference between
+    # shuffling keys and shuffling the corpus
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+    assert "Window" in p
+
+
+def test_kmeans_assign_is_map_side(spark, sf_dir):
+    from currency_etl_spark.queries.training import kmeans_assign_step
+
+    p = plan_of(kmeans_assign_step(spark, sf_dir))
+    # centroids enter as ONE broadcast row (array of structs); assignment is
+    # an expression over the scan, so the vector table is never shuffled
+    # before assignment and the only data-sized exchange is the k-key mean
+    # aggregation (partial map-side first)
+    assert "BroadcastNestedLoopJoin" in p and "BuildRight" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "partial_count" in p or "partial_sum" in p
