@@ -1,0 +1,89 @@
+"""Invariant tests for the training-data assembly operators
+(queries/training.py) — the properties the oracle comparison can't state
+directly: conservation (nothing lost or double-counted by packing/caps),
+quota exactness, mixture closure, and k-means assignment totality.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from currency_etl_spark.queries.training import (
+    DOMAIN_CAP,
+    KMEANS_K,
+    SEQ_BUDGET,
+    docs_domain_cap,
+    docs_mixture_report,
+    docs_sequence_pack,
+    kmeans_assign_step,
+)
+from currency_etl_spark.sources import table
+
+
+def test_sequence_pack_conserves_tokens_and_docs(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    truth = {
+        r["lang"]: (r["docs"], r["tokens"])
+        for r in docs.groupBy("lang")
+        .agg(F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens"))
+        .collect()
+    }
+    packed = docs_sequence_pack(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in packed:
+        d, t = by_lang.get(r["lang"], (0, 0))
+        by_lang[r["lang"]] = (d + r["n_docs"], t + r["seq_tokens"])
+    assert by_lang == truth  # every doc and token lands in exactly one sequence
+
+    for lang in truth:
+        seqs = sorted(r["seq_id"] for r in packed if r["lang"] == lang)
+        assert seqs == list(range(len(seqs)))  # stream chunks are contiguous
+    # doc ranges of consecutive sequences must not interleave
+    for lang in truth:
+        rows = sorted((r for r in packed if r["lang"] == lang), key=lambda r: r["seq_id"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_doc"] < b["first_doc"]
+
+
+def test_sequence_pack_fill_is_budget_bounded(spark, sf_dir):
+    # a sequence overfills only by the straddling document: tokens counted
+    # into a sequence minus its last doc must stay under the budget
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    last_tokens = {(r["lang"], r["doc_id"]): r["n_tokens"] for r in docs.collect()}
+    for r in docs_sequence_pack(spark, sf_dir).collect():
+        assert r["seq_tokens"] - last_tokens[(r["lang"], r["last_doc"])] < SEQ_BUDGET
+
+
+def test_domain_cap_quota_exact(spark, sf_dir):
+    for r in docs_domain_cap(spark, sf_dir).collect():
+        assert r["n_kept"] == min(r["n_total"], DOMAIN_CAP)
+
+
+def test_mixture_report_closes_to_100(spark, sf_dir):
+    rows = docs_mixture_report(spark, sf_dir).collect()
+    assert abs(sum(r["pct_tokens"] for r in rows) - 100.0) < 1e-4
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_kmeans_assignment_total_and_bounded(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = kmeans_assign_step(spark, sf_dir).collect()
+    assert sum(r["n_assigned"] for r in rows) == n  # every vector assigned once
+    assert {r["centroid_id"] for r in rows} <= set(range(KMEANS_K))
+    # seed centroids must be closest to themselves: each seed's cluster is
+    # non-empty and contains at least the seed
+    assert all(r["n_assigned"] >= 1 for r in rows)
+    # new centroid coords stay inside the data's coordinate envelope
+    bounds = emb.select(
+        F.min(F.element_at("embedding", 1)).alias("lo"),
+        F.max(F.element_at("embedding", 1)).alias("hi"),
+    ).collect()[0]
+    for r in rows:
+        assert bounds["lo"] - 1e-6 <= r["c0"] <= bounds["hi"] + 1e-6
