@@ -98,3 +98,18 @@ def test_real_corpus_events_loads(spark, sf_dir):
     df = sources.table(spark, sf_dir, "events")
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     assert df.limit(1).count() == 1
+
+
+def test_streaming_path_matches_batch_for_both_encodings(spark, encoded_dirs):
+    """The streaming mirror (streaming/jobs._events_stream) must tolerate
+    both physical encodings too — in round 4 it failed in lockstep with the
+    batch loader. Drive the graded hourly aggregation end-to-end through
+    the streaming engine over each fixture and require identical results."""
+    from currency_etl_spark.streaming.jobs import streaming_hourly
+
+    results = {}
+    for unit, d in encoded_dirs.items():
+        rows = streaming_hourly(spark, d).collect()
+        assert rows, f"{unit}: empty streaming aggregate"
+        results[unit] = rows
+    assert results["ns"] == results["us"]
