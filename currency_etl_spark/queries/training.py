@@ -28,6 +28,14 @@ from currency_etl_spark.sources import table
 #: sequences hold several documents each.
 SEQ_BUDGET = 512
 
+#: Documents per packing shard. Packing is sequential WITHIN a shard (the
+#: cumsum window), parallel ACROSS shards — so shard count, not language
+#: count, sets the parallelism, and it grows with the corpus. 1000 docs
+#: ≈ tens of sequences per shard: big enough that the one partial
+#: sequence at each shard tail is noise, small enough that a shard's
+#: token stream fits one task comfortably at any corpus size.
+SHARD_DOCS = 1000
+
 #: Per-source document quota for the domain-cap sampler.
 DOMAIN_CAP = 10
 
@@ -48,52 +56,60 @@ def _tok_count() -> Column:
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, lang,
+                   CAST(floor(doc_id / {SHARD_DOCS}) AS BIGINT) AS shard,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
             FROM documents
         ),
         pos AS (
-            SELECT doc_id, lang, n_tokens,
-                   COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            SELECT doc_id, lang, shard, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
                                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS cum_before
             FROM toks
         )
-        SELECT lang,
+        SELECT lang, shard,
                CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
                min(doc_id) AS first_doc,
                max(doc_id) AS last_doc
         FROM pos
-        GROUP BY lang, seq_id
-        ORDER BY lang, seq_id
+        GROUP BY lang, shard, seq_id
+        ORDER BY lang, shard, seq_id
     """,
     tags=("llm", "training", "packing"),
     doc=(
         "Concat-then-chunk sequence packing — the step that turns a cleaned "
         f"document pool into fixed-budget ({SEQ_BUDGET}-token) training "
-        "sequences: per language, documents are laid on a token stream in "
-        "doc_id order and a document belongs to the sequence containing its "
-        "first token (GPT-style packing, where sequences may straddle "
-        "boundaries). One window cumulative sum per partition key — no "
-        "global sort: at 100 TB the partition key is the shard, so packing "
-        "is embarrassingly parallel across shards and the window never "
-        "crosses executor boundaries. Reports per-sequence fill so a "
+        "sequences: within each (language, shard) the documents are laid on "
+        "a token stream in doc_id order and a document belongs to the "
+        "sequence containing its first token (GPT-style packing, where "
+        "sequences may straddle boundaries). Packing is sequential within "
+        f"a shard ({SHARD_DOCS} docs) and parallel across shards, so the "
+        "cumsum window's partition count GROWS with the corpus — "
+        "partitioning by language alone would pin parallelism to "
+        "|languages| tasks forever, the classic 100× scale-up trap. The "
+        "price is one possibly-partial sequence per shard tail — noise at "
+        "tens of sequences per shard. Reports per-sequence fill so a "
         "mixture owner can audit fragmentation (n_docs, seq_tokens vs "
         "budget) without materializing the packed text."
     ),
 )
 def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", _tok_count().alias("n_tokens")
+        "doc_id",
+        "lang",
+        F.floor(F.col("doc_id") / SHARD_DOCS).cast("long").alias("shard"),
+        _tok_count().alias("n_tokens"),
     )
-    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
     pos = docs.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
     return (
         pos.groupBy(
             "lang",
+            "shard",
             F.floor(F.col("cum_before") / SEQ_BUDGET).cast("long").alias("seq_id"),
         )
         .agg(
@@ -102,7 +118,7 @@ def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-        .orderBy("lang", "seq_id")
+        .orderBy("lang", "shard", "seq_id")
     )
 
 

@@ -34,17 +34,20 @@ def test_sequence_pack_conserves_tokens_and_docs(spark, sf_dir):
     }
     packed = docs_sequence_pack(spark, sf_dir).collect()
     by_lang: dict = {}
+    shards = set()
     for r in packed:
         d, t = by_lang.get(r["lang"], (0, 0))
         by_lang[r["lang"]] = (d + r["n_docs"], t + r["seq_tokens"])
+        shards.add((r["lang"], r["shard"]))
     assert by_lang == truth  # every doc and token lands in exactly one sequence
 
-    for lang in truth:
-        seqs = sorted(r["seq_id"] for r in packed if r["lang"] == lang)
-        assert seqs == list(range(len(seqs)))  # stream chunks are contiguous
-    # doc ranges of consecutive sequences must not interleave
-    for lang in truth:
-        rows = sorted((r for r in packed if r["lang"] == lang), key=lambda r: r["seq_id"])
+    # within each packing shard: contiguous chunk ids, non-interleaved docs
+    for lang, shard in shards:
+        rows = sorted(
+            (r for r in packed if r["lang"] == lang and r["shard"] == shard),
+            key=lambda r: r["seq_id"],
+        )
+        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
         for a, b in zip(rows, rows[1:]):
             assert a["last_doc"] < b["first_doc"]
 
