@@ -113,13 +113,13 @@ PRIORITY_ORDER = [
     "tfidf_top_terms",
     "docs_clean_corpus",
     "docs_stratified_sample",
-    "multimodal_meta_stats",
     # --- new in round 5 (no driver row yet) → first-row entries outrank
     #     refreshes ---
     "docs_sequence_pack",
     "docs_domain_cap",
     "docs_mixture_report",
     "kmeans_assign_step",
+    "multimodal_dedup_assets",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling, and none of these touched
     # the changed events loader): ref_avg_value / ref_days_available /
@@ -131,10 +131,10 @@ PRIORITY_ORDER = [
     # clusters, jaccard_est green r4), knn_brute / knn_ivf / knn_lsh
     # (knn_lsh_multiprobe green r4), embedding_norms (embedding_quantize
     # green r4), similar_part_names (ngram-join ~ the r4-green dedup
-    # family), multimodal_frame_sample (multimodal family: features +
-    # meta_stats in window), cube_status_priority (cube ~ in-window
-    # rollup_segment_nation + grouping_sets_custom), docs_chunk_tokens
-    # (chunking ~ new in-window docs_sequence_pack).
+    # family), multimodal_frame_sample / multimodal_meta_stats (multimodal
+    # family: features + new dedup_assets in window), cube_status_priority
+    # (cube ~ in-window rollup_segment_nation + grouping_sets_custom),
+    # docs_chunk_tokens (chunking ~ new in-window docs_sequence_pack).
 ]
 
 

@@ -1,9 +1,10 @@
 """Catalog entries for the multimodal column plumbing
 (currency_etl_spark/operators/multimodal.py).
 
-`multimodal_meta_stats` and `multimodal_frame_sample` are fully oracle'd —
-blob construction, metadata structs, and binary frame slicing are exact in
-both engines. `multimodal_features` runs the Arrow-batched mapInPandas
+`multimodal_meta_stats`, `multimodal_frame_sample`, and
+`multimodal_dedup_assets` are fully oracle'd — blob construction, metadata
+structs, binary frame slicing, and checksum grouping are exact in both
+engines. `multimodal_features` runs the Arrow-batched mapInPandas
 decode path with the deterministic stub extractor; its output is checked
 rows-only by the driver (the real codec is a NotImplementedError stub —
 operators/multimodal.py:decode_image) and value-checked in
@@ -148,4 +149,52 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(blobs)
     return feats.select("doc_id", F.posexplode("features").alias("bin_idx", "value")).select(
         "doc_id", F.col("bin_idx").cast("long").alias("bin_idx"), "value"
+    )
+
+
+@register(
+    "multimodal_dedup_assets",
+    oracle="""
+        WITH addressed AS (
+            SELECT doc_id, md5(text) AS checksum,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        )
+        SELECT checksum,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc_id) AS canonical_doc,
+               CAST((count(*) - 1) * min(n_bytes) AS BIGINT) AS wasted_bytes
+        FROM addressed
+        GROUP BY checksum
+        ORDER BY checksum
+    """,
+    tags=("llm", "multimodal", "dedup"),
+    doc=(
+        "Content-addressed asset dedup — the multimodal twin of dedup_exact "
+        "and the storage layout every large asset lake uses: group blobs by "
+        "their checksum (already carried in the metadata struct), elect the "
+        "lowest doc_id as canonical, and report each address's copy count "
+        "and the bytes reclaimable by deduplication (downstream keeps only "
+        "canonical_doc per address). Only (checksum, doc_id, n_bytes) cross "
+        "the wire — 48 bytes per asset whatever the asset size, and the "
+        "blob column never leaves the scan (pruned; same property "
+        "plan-asserted for meta_stats). Copies of one checksum share a "
+        "byte size by construction, so min(n_bytes) is exact."
+    ),
+)
+def multimodal_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_blob(table(spark, sf_dir, "documents"))
+    return (
+        blobs.select(
+            "doc_id",
+            F.col("meta.checksum").alias("checksum"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("checksum")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+            ((F.count("*") - 1) * F.min("n_bytes")).cast("long").alias("wasted_bytes"),
+        )
+        .orderBy("checksum")
     )
