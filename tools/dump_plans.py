@@ -96,6 +96,24 @@ HEADLINERS = {
         "shuffle join); two-phase partial/final HashAggregate on the "
         "bucket key."
     ),
+    "docs_sequence_pack": (
+        "Sequence packing. Check: the cumsum Window partitions on "
+        "(lang, shard) — partition count grows with the corpus, never "
+        "pinned to |languages|; no SinglePartition exchange; ReadSchema "
+        "carries only (doc_id, lang, text)."
+    ),
+    "kmeans_assign_step": (
+        "K-means Lloyd step. Check: centroids enter as ONE broadcast row "
+        "(BroadcastNestedLoopJoin BuildRight over an array of structs) so "
+        "assignment is map-side; the only data-sized exchange is the k-key "
+        "partial/final mean aggregation; no SortMergeJoin anywhere."
+    ),
+    "multimodal_dedup_assets": (
+        "Content-addressed dedup. Check: the Exchange carries only "
+        "(checksum, doc_id, n_bytes) partial aggregates — the blob bytes "
+        "never cross the wire; partial_min/partial_count before the "
+        "exchange."
+    ),
 }
 
 
