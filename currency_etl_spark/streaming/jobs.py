@@ -53,7 +53,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = os.path.join("/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
+    # the landing dir is keyed by sf_dir BASENAME, which can repeat across
+    # distinct absolute paths (pytest tmp dirs reuse basenames per run) —
+    # retarget a symlink whose target differs or dangles, instead of
+    # silently streaming a previous run's file / crashing on a dead link
+    if os.path.islink(link) and os.readlink(link) != path:
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(path, link)
     return normalize_events_ts(spark.readStream.schema(schema).parquet(stream_dir))
 

@@ -85,13 +85,14 @@ def test_physical_encodings_match(spark, encoded_dirs):
     rows_ns = sorted(dfs["ns"].collect(), key=lambda r: r["event_id"])
     rows_us = sorted(dfs["us"].collect(), key=lambda r: r["event_id"])
     assert rows_ns == rows_us
-    # and the values are the real instants, not shifted/truncated junk
-    assert [r["ts"].isoformat() for r in rows_us] == [
-        "2023-11-14T22:13:20",
-        "2023-11-14T22:13:21.500000",
-        "2023-11-14T23:13:20.123456",
-        "2023-11-15T00:13:20.000001",
-    ]
+    # and the values are the real instants, not shifted/truncated junk.
+    # PySpark materializes TimestampType via datetime.fromtimestamp (host
+    # OS timezone, regardless of spark.sql.session.timeZone) — derive the
+    # expectation through the same conversion so the test is TZ-portable.
+    import datetime as _dt
+
+    expected = [_dt.datetime.fromtimestamp(us / 1_000_000) for us in ROWS["ts_us"]]
+    assert [r["ts"] for r in rows_us] == expected
 
 
 def test_real_corpus_events_loads(spark, sf_dir):

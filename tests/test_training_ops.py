@@ -41,13 +41,22 @@ def test_sequence_pack_conserves_tokens_and_docs(spark, sf_dir):
         shards.add((r["lang"], r["shard"]))
     assert by_lang == truth  # every doc and token lands in exactly one sequence
 
-    # within each packing shard: contiguous chunk ids, non-interleaved docs
+    # within each packing shard: ordered chunk ids starting at 0 with
+    # non-interleaved doc ranges. seq_ids are CONTIGUOUS only while no
+    # document spans a whole token window (a >=2*SEQ_BUDGET-token doc
+    # leaves a window with no starting doc) — that's a corpus property,
+    # so gate the stronger assertion on it instead of baking in today's
+    # document lengths.
+    max_tokens = docs.agg(F.max("n_tokens")).collect()[0][0]
     for lang, shard in shards:
         rows = sorted(
             (r for r in packed if r["lang"] == lang and r["shard"] == shard),
             key=lambda r: r["seq_id"],
         )
-        assert [r["seq_id"] for r in rows] == list(range(len(rows)))
+        seq_ids = [r["seq_id"] for r in rows]
+        assert seq_ids[0] == 0 and len(set(seq_ids)) == len(seq_ids)
+        if max_tokens < SEQ_BUDGET:
+            assert seq_ids == list(range(len(rows)))
         for a, b in zip(rows, rows[1:]):
             assert a["last_doc"] < b["first_doc"]
 
