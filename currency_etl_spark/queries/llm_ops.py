@@ -341,7 +341,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s"),
     )
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    # per-doc shingle counts as a NARROW map over documents (array size
+    # before the explode) instead of re-exploding + re-shuffling the
+    # inverted index — Catalyst doesn't dedupe the shared `sh` subplan
+    # across branches, so the old count branch re-ran the whole shingle
+    # explode. Zero-shingle docs get nsh=0 here vs no row in the exploded
+    # form; they can never reach a pair, so the join result is identical.
+    cnt = docs.select(
+        "doc_id", F.size(F.array_distinct(_shingles(F.col("t")))).alias("nsh")
+    )
     # Pair generation WITHOUT a self-join: group the inverted index by
     # shingle, then explode ordered pairs from each posting list. One scan
     # and one shuffle instead of two scans + a two-sided join shuffle. The
