@@ -112,7 +112,6 @@ PRIORITY_ORDER = [
     "ref_forecast5",
     "tfidf_top_terms",
     "docs_clean_corpus",
-    "docs_stratified_sample",
     # --- new in round 5 (no driver row yet) → first-row entries outrank
     #     refreshes ---
     "docs_sequence_pack",
@@ -120,6 +119,7 @@ PRIORITY_ORDER = [
     "docs_mixture_report",
     "kmeans_assign_step",
     "multimodal_dedup_assets",
+    "knn_ivf_kmeans",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+
@@ -137,7 +137,9 @@ PRIORITY_ORDER = [
     # family), multimodal_frame_sample / multimodal_meta_stats (multimodal
     # family: features + new dedup_assets in window), cube_status_priority
     # (cube ~ in-window rollup_segment_nation + grouping_sets_custom),
-    # docs_chunk_tokens (chunking ~ new in-window docs_sequence_pack).
+    # docs_chunk_tokens (chunking ~ new in-window docs_sequence_pack),
+    # docs_stratified_sample (sampling ~ in-window docs_deterministic_
+    # sample + new docs_domain_cap).
 ]
 
 

@@ -305,3 +305,205 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: IVF-with-training constants: one Lloyd refinement of the N_CENTROIDS
+#: seeds, then a 2-cell probe. nprobe is IVF's recall knob the way
+#: Hamming-1 expansion is knn_lsh_multiprobe's.
+IVF_NPROBE = 2
+IVF_TOPK = 5
+
+
+def _q_longs(col: str = "embedding"):
+    """Quantized embedding (round(x*1e6) longs) — the training.py
+    convention; integer distances are exact in any order on any engine."""
+    from currency_etl_spark.queries.training import Q_SCALE
+
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(float(Q_SCALE))).cast("long")
+    )
+
+
+def _dist_q(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dist_d(qv: Column, cm: Column) -> Column:
+    """Sequential double fold of squared-L2 between a quantized vector and
+    a double centroid — same fold order as the oracle's list_reduce, so
+    the doubles (and therefore every argmin) are bit-identical."""
+    return F.aggregate(
+        F.zip_with(
+            F.transform(qv, lambda x: x.cast("double")), cm, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_SQL_QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+#: DuckDB twin of _dist_d: sequential fold in index order (list_reduce
+#: seeds with the first element; 0.0 + x == x in IEEE, orders agree).
+_SQL_DIST_D = (
+    "list_reduce(list_transform(generate_series(1, len({qv})), "
+    "i -> ({qv}[i]::DOUBLE - {cm}[i]) * ({qv}[i]::DOUBLE - {cm}[i])), (x, y) -> x + y)"
+)
+
+_SQL_DIST_Q = (
+    "CAST(list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y) AS BIGINT)"
+)
+
+
+@register(
+    "knn_ivf_kmeans",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings
+        ),
+        cent0 AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < {N_CENTROIDS}),
+        va AS (SELECT vec_id, generate_subscripts(qv, 1) AS d, unnest(qv) AS v FROM q),
+        vc AS (SELECT cid, generate_subscripts(cq, 1) AS d, unnest(cq) AS v FROM cent0),
+        d0 AS (
+            SELECT va.vec_id, vc.cid, sum((va.v - vc.v) * (va.v - vc.v)) AS dist
+            FROM va JOIN vc ON va.d = vc.d
+            GROUP BY va.vec_id, vc.cid
+        ),
+        a0 AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d0
+        ),
+        m AS (
+            SELECT a0.cid, va.d, CAST(sum(va.v) AS DOUBLE) / count(*) AS mu
+            FROM a0 JOIN va ON va.vec_id = a0.vec_id
+            WHERE a0.rn = 1
+            GROUP BY a0.cid, va.d
+        ),
+        cent1 AS (SELECT cid, list(mu ORDER BY d) AS cm FROM m GROUP BY cid),
+        d1 AS (
+            SELECT q.vec_id, q.label, q.qv, c.cid,
+                   {_SQL_DIST_D.format(qv='q.qv', cm='c.cm')} AS dist
+            FROM q, cent1 c
+        ),
+        a1 AS (
+            SELECT vec_id, label, qv, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM d1
+        ),
+        probe AS (
+            SELECT cid FROM d1 WHERE vec_id = 0
+            ORDER BY dist, cid LIMIT {IVF_NPROBE}
+        ),
+        qrow AS (SELECT qv AS pq FROM q WHERE vec_id = 0)
+        SELECT a1.vec_id, a1.label, CAST(a1.cid AS BIGINT) AS cell,
+               {_SQL_DIST_Q.format(a='a1.qv', b='pq')} AS dist
+        FROM a1, qrow
+        WHERE a1.rn = 1 AND a1.cid IN (SELECT cid FROM probe) AND a1.vec_id <> 0
+        ORDER BY dist, a1.vec_id
+        LIMIT {IVF_TOPK}
+    """,
+    tags=("llm", "vector", "ann", "kmeans"),
+    doc=(
+        "IVF-Flat with a trained index — the production composition the "
+        "separate pieces build toward: one Lloyd refinement of the "
+        f"{N_CENTROIDS} seed centroids (kmeans_assign_step's plan: broadcast "
+        "centroid array, map-side argmin, k-key mean shuffle), re-assign "
+        f"every vector to its refined cell, then probe the {IVF_NPROBE} "
+        "cells nearest the query and exact-rank only their members — "
+        "nprobe is IVF's recall knob the way Hamming-1 expansion is the "
+        "LSH table's. At 100 TB: centroids broadcast at both stages, both "
+        "assignments are narrow maps over the vector scan, the corpus is "
+        "written partitioned by cell so a probe touches nprobe partitions, "
+        "and the final top-k is TakeOrderedAndProject. Numerics: integer-"
+        "quantized sums make the training means exact; centroid distances "
+        "fold sequentially in double (identical order both engines); "
+        "candidate ranking is exact integer L2."
+    ),
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", _q_longs().alias("qv"))
+    cents0 = (
+        q.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("qv").alias("cq")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    assigned0 = q.crossJoin(F.broadcast(cents0)).select(
+        "vec_id",
+        "qv",
+        F.array_min(
+            F.transform(
+                "cents", lambda c: F.struct(_dist_q(F.col("qv"), c["cq"]).alias("dist"), c["cid"].alias("cid"))
+            )
+        )["cid"].alias("cell0"),
+    )
+    dims = len(emb.select("embedding").first()["embedding"])
+    refined = assigned0.groupBy("cell0").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(dims)],
+    )
+    # the trained index (ONE row: k centroids × dims doubles) feeds THREE
+    # consumers (re-assignment, probe selection, and the final join);
+    # Catalyst re-runs the whole scan→assign→mean chain per reference, so
+    # materialize it once — localCheckpoint here, persist() on a cluster
+    cents1 = (
+        refined.select(
+            F.struct(
+                F.col("cell0").alias("cid"),
+                F.array(*[F.col(f"s{d}").cast("double") / F.col("n") for d in range(dims)]).alias("cm"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    assigned1 = q.crossJoin(F.broadcast(cents1)).select(
+        "vec_id",
+        "label",
+        "qv",
+        F.array_min(
+            F.transform(
+                "cents", lambda c: F.struct(_dist_d(F.col("qv"), c["cm"]).alias("dist"), c["cid"].alias("cid"))
+            )
+        )["cid"].alias("cell"),
+    )
+    # probe list + query vector ride ONE broadcast row alongside the scan
+    probe = (
+        q.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents1))
+        .select(
+            F.col("qv").alias("pq"),
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cents",
+                            lambda c: F.struct(_dist_d(F.col("qv"), c["cm"]).alias("dist"), c["cid"].alias("cid")),
+                        )
+                    ),
+                    1,
+                    IVF_NPROBE,
+                ),
+                lambda s: s["cid"],
+            ).alias("pcids"),
+        )
+    )
+    return (
+        assigned1.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .filter(F.array_contains(F.col("pcids"), F.col("cell")))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("long").alias("cell"),
+            _dist_q(F.col("qv"), F.col("pq")).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(IVF_TOPK)
+    )
