@@ -106,7 +106,6 @@ PRIORITY_ORDER = [
     "topk_orders_per_segment",
     "rollup_segment_nation",
     "set_customers_both_statuses",
-    "set_customers_no_open_orders",
     "cust_above_nation_avg",
     "ref_rolling_avg7",
     "ref_forecast5",
@@ -120,6 +119,7 @@ PRIORITY_ORDER = [
     "kmeans_assign_step",
     "multimodal_dedup_assets",
     "knn_ivf_kmeans",
+    "events_mv_incremental",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+
@@ -139,7 +139,8 @@ PRIORITY_ORDER = [
     # (cube ~ in-window rollup_segment_nation + grouping_sets_custom),
     # docs_chunk_tokens (chunking ~ new in-window docs_sequence_pack),
     # docs_stratified_sample (sampling ~ in-window docs_deterministic_
-    # sample + new docs_domain_cap).
+    # sample + new docs_domain_cap), set_customers_no_open_orders (set-op
+    # twin of in-window set_customers_both_statuses).
 ]
 
 

@@ -245,3 +245,17 @@ def test_kmeans_assign_is_map_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p and "BuildRight" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_ivf_kmeans_no_shuffle_joins(spark, sf_dir):
+    from currency_etl_spark.queries.vectors import knn_ivf_kmeans
+
+    p = plan_of(knn_ivf_kmeans(spark, sf_dir))
+    # the trained index and the probe list always enter as broadcasts over
+    # the vector scan; the final top-k never global-sorts
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+    # the training chain is materialized once: the plan reads the 1-row
+    # checkpointed index (ExistingRDD), not a re-derived aggregation tree
+    assert "ExistingRDD" in p
