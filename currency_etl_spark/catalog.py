@@ -123,9 +123,9 @@ PRIORITY_ORDER = [
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+
-    # in-window events entries plus both in-window ref siblings, and all
-    # 105 entries are oracle-verified locally at sf0.001/sf0.01 every
-    # run): ref_avg_value / ref_days_available /
+    # in-window events entries plus both in-window ref siblings, and
+    # every registered entry is oracle-verified locally at sf0.001/
+    # sf0.01 on each run): ref_avg_value / ref_days_available /
     # ref_num_types / ref_range_window / ref_last_value / ref_change_month
     # (simple agg+window shapes ~ in-window q1/order-rank plans),
     # text_stats / lang_id / doc_fingerprint (text family: pii/ngram/

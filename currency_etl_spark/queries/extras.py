@@ -1619,9 +1619,17 @@ def events_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     standing = rollup(ev.filter(~F.col("is_late")))  # the MV before the late batch
-    touched = ev.filter(F.col("is_late")).select("hour_bucket").distinct()
-    kept = standing.join(F.broadcast(touched), "hour_bucket", "left_anti")
+    touched = ev.filter(F.col("is_late")).select(F.col("hour_bucket").alias("t_hour")).distinct()
+    # null-SAFE join keys: a NULL ts yields a NULL hour_bucket group that
+    # the oracle's GROUP BY aggregates like any other; a non-null-safe
+    # anti/semi join would neither retire nor recompute that group and the
+    # merge would silently diverge on a corpus with missing timestamps
+    kept = standing.join(
+        F.broadcast(touched), standing["hour_bucket"].eqNullSafe(touched["t_hour"]), "left_anti"
+    )
     # untouched hours contain no late events, so their standing rows are
     # already complete; touched hours recompute from their FULL event set
-    recomputed = rollup(ev.join(F.broadcast(touched), "hour_bucket", "left_semi"))
+    recomputed = rollup(
+        ev.join(F.broadcast(touched), ev["hour_bucket"].eqNullSafe(touched["t_hour"]), "left_semi")
+    )
     return kept.unionByName(recomputed).orderBy("hour_bucket", "event_type")

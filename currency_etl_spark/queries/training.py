@@ -47,6 +47,26 @@ KMEANS_K = 8
 Q_SCALE = 1_000_000
 
 
+def quantize_vec(col: str = "embedding") -> Column:
+    """The shared quantization convention: round(x * Q_SCALE) as longs.
+    Single definition — kmeans_assign_step and the trained-IVF ANN entry
+    (queries/vectors.py) must agree bit-for-bit with each other and with
+    the 1000000-literal their DuckDB oracles embed."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * F.lit(float(Q_SCALE))).cast("long")
+    )
+
+
+def int_l2(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between two quantized vectors — summation-
+    order-independent, so engine-portable with no float caveats."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def _tok_count() -> Column:
     return F.size(F.split(F.col("text"), " ")).cast("long")
 
@@ -187,10 +207,10 @@ def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Token-weighted language-mixture report — the dashboard number a "
         "data-mixture spec is written against (token share, not doc share: "
         "languages differ in document length). Exact long token sums per "
-        "language, then a share-of-total window over the tiny per-language "
-        "aggregate — the unpartitioned window touches |languages| rows, "
-        "never the corpus, so the plan is one partial+final aggregation at "
-        "any scale."
+        "language, then share-of-total via a broadcast cross-join of the "
+        "1-row grand total against the tiny per-language aggregate — no "
+        "window operator at all, so the plan is one partial+final "
+        "aggregation plus a broadcast at any scale."
     ),
 )
 def docs_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,13 +295,7 @@ def docs_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * F.lit(float(Q_SCALE))).cast("long"),
-        ).alias("qv"),
-    )
+    q = emb.select("vec_id", quantize_vec().alias("qv"))
     # ALL centroids ride in one broadcast row as array<struct<cid,cq>>, so
     # assignment is a map-side expression over the vector scan — no row
     # explosion to N×k, no argmin shuffle; the k-row mean aggregation below
@@ -294,11 +308,7 @@ def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _dist_to(c):
-        return F.aggregate(
-            F.zip_with(F.col("qv"), c["cq"], lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+        return int_l2(F.col("qv"), c["cq"])
 
     assigned = q.crossJoin(F.broadcast(cents)).select(
         "vec_id",

@@ -314,23 +314,10 @@ IVF_NPROBE = 2
 IVF_TOPK = 5
 
 
-def _q_longs(col: str = "embedding"):
-    """Quantized embedding (round(x*1e6) longs) — the training.py
-    convention; integer distances are exact in any order on any engine."""
-    from currency_etl_spark.queries.training import Q_SCALE
-
-    return F.transform(
-        col, lambda x: F.round(x.cast("double") * F.lit(float(Q_SCALE))).cast("long")
-    )
-
-
-def _dist_q(a: Column, b: Column) -> Column:
-    """Exact integer squared-L2 between two quantized vectors."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+# quantization + integer distance are the SHARED convention defined once
+# in queries/training.py (Q_SCALE) — see quantize_vec/int_l2 there
+from currency_etl_spark.queries.training import int_l2 as _dist_q  # noqa: E402
+from currency_etl_spark.queries.training import quantize_vec as _q_longs  # noqa: E402
 
 
 def _dist_d(qv: Column, cm: Column) -> Column:
@@ -344,6 +331,23 @@ def _dist_d(qv: Column, cm: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+#: (applicationId, sf_dir) → embedding dimensionality. A fixed corpus
+#: property, but derived from data (not hardcoded) so a regenerated
+#: corpus can't silently skew the per-dim mean arrays; the cache keeps
+#: the limit-1 probe to ONE tiny job per session instead of one per
+#: plan construction (tests/dump_plans build this entry repeatedly).
+_DIMS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _emb_dims(emb: DataFrame, sf_dir: str) -> int:
+    key = (emb.sparkSession.sparkContext.applicationId, sf_dir)
+    dims = _DIMS_CACHE.get(key)
+    if dims is None:
+        dims = len(emb.select("embedding").first()["embedding"])
+        _DIMS_CACHE[key] = dims
+    return dims
 
 
 _SQL_QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
@@ -444,7 +448,7 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )["cid"].alias("cell0"),
     )
-    dims = len(emb.select("embedding").first()["embedding"])
+    dims = _emb_dims(emb, sf_dir)
     refined = assigned0.groupBy("cell0").agg(
         F.count("*").alias("n"),
         *[F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(dims)],

@@ -99,3 +99,44 @@ def test_kmeans_assignment_total_and_bounded(spark, sf_dir):
     ).collect()[0]
     for r in rows:
         assert bounds["lo"] - 1e-6 <= r["c0"] <= bounds["hi"] + 1e-6
+
+
+def test_mv_incremental_null_hour_group(spark, tmp_path):
+    """The late-batch merge must treat a NULL hour (NULL ts) as a normal
+    group: non-null-safe anti/semi joins would neither retire nor
+    recompute it and silently diverge from the full-recompute oracle.
+    The driver corpus has no NULL ts, so exercise it with a fixture."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_spark.queries.extras import events_mv_incremental
+
+    base = 1_700_000_000_000_000
+    ids = list(range(1, 25))
+    # NULL ts on one late row (20 % 10 == 0) and one standing row (13)
+    ts = [None if i in (13, 20) else base + i * 600_000_000 for i in ids]
+    table_ = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array([i % 5 for i in ids], pa.int64()),
+            "event_type": pa.array(["click"] * len(ids), pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array([float(i) for i in ids], pa.float64()),
+        }
+    )
+    pq.write_table(table_, str(tmp_path / "events.parquet"), version="2.6")
+
+    got = events_mv_incremental(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    from currency_etl_spark.catalog import load_catalog
+
+    want = con.sql(load_catalog()["events_mv_incremental"].oracle).df()
+    assert len(got) == len(want)
+    # the NULL-hour group must exist and carry BOTH its rows (13 and 20)
+    null_rows = got[got["hour_bucket"].isna()]
+    assert len(null_rows) == 1 and int(null_rows.iloc[0]["n_events"]) == 2
+    gk = got.astype(str).sort_values(by=sorted(got.columns)).reset_index(drop=True)
+    wk = want[sorted(want.columns)].astype(str).sort_values(by=sorted(want.columns)).reset_index(drop=True)
+    assert gk[sorted(gk.columns)].equals(wk)
