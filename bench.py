@@ -75,6 +75,10 @@ def main() -> None:
                 "minhash_jaccard_est",
                 "approx_distinct_stats",
                 "multimodal_features",
+                # widest codegen units added in round 5: the 64-sum mean
+                # aggregate + nested fold projections (IVF/k-means family)
+                "kmeans_assign_step",
+                "knn_ivf_kmeans",
             ):
                 materialize(catalog[warm].spark_fn(spark, tiny))
         except Exception:
