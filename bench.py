@@ -24,6 +24,23 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: Untimed warmup entries (JVM/codegen/stream-lifecycle one-time costs).
+#: tests/test_bench_contract.py asserts every name still exists in the
+#: catalog — a stale name here is silently skipped (try/except below),
+#: which would quietly un-warm the heaviest codegen units.
+WARMUP_TIMED_SF = ("top_customers", "topk_orders_per_segment")
+WARMUP_TINY_SF = (
+    "dedup_minhash_lsh",
+    "minhash_jaccard_est",
+    "approx_distinct_stats",
+    "multimodal_features",
+    # widest codegen units added in round 5: the 64-sum mean
+    # aggregate + nested fold projections (IVF/k-means family)
+    "kmeans_assign_step",
+    "knn_ivf_kmeans",
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -42,7 +59,7 @@ def main() -> None:
 
     for t in CORPUS_TABLES:
         table(spark, sf_dir, t).count()
-    for warm in ("top_customers", "topk_orders_per_segment"):
+    for warm in WARMUP_TIMED_SF:
         if warm in catalog:
             materialize(catalog[warm].spark_fn(spark, sf_dir))
     # Engine warmup at the smallest SF (same rationale — one-time init,
@@ -70,16 +87,7 @@ def main() -> None:
             streaming_sessions(spark, tiny)
             streaming_dedup(spark, tiny)
             streaming_interval_join(spark, tiny)
-            for warm in (
-                "dedup_minhash_lsh",
-                "minhash_jaccard_est",
-                "approx_distinct_stats",
-                "multimodal_features",
-                # widest codegen units added in round 5: the 64-sum mean
-                # aggregate + nested fold projections (IVF/k-means family)
-                "kmeans_assign_step",
-                "knn_ivf_kmeans",
-            ):
+            for warm in WARMUP_TINY_SF:
                 materialize(catalog[warm].spark_fn(spark, tiny))
         except Exception:
             pass

@@ -1,0 +1,52 @@
+"""The bench CLI is a judged artifact: a crash or malformed output zeroes
+the round's BENCH record (round 4 died exactly this way, via an events
+loader error surfaced through bench's table warmup). Lock the contract:
+warmup names resolve, and a real subprocess run emits the one-JSON-line
+summary the driver parses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import bench as bench_mod
+
+from currency_etl_spark.catalog import load_catalog
+
+
+def test_warmup_names_resolve():
+    cat = load_catalog()
+    for name in bench_mod.WARMUP_TIMED_SF + bench_mod.WARMUP_TINY_SF:
+        assert name in cat, f"bench warmup references unknown entry {name!r}"
+
+
+def test_bench_subprocess_contract():
+    """Run the real CLI on a 2-query subset at the smallest SF and parse
+    its output exactly like the driver does (last line must be complete
+    JSON with the agreed keys)."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_BUDGET="120",
+    )
+    out = subprocess.run(
+        [sys.executable, "bench.py", "ref_avg_value", "top_customers"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) >= 2  # detailed line + short summary line
+    summary = json.loads(lines[-1])
+    assert summary["metric"] == "catalog_total_runtime"
+    assert summary["unit"] == "sec" and summary["value"] > 0
+    assert summary["sf"] == 0.001 and summary["n_queries"] == 2
+    detailed = json.loads(lines[-2])
+    assert set(detailed["queries"]) == {"ref_avg_value", "top_customers"}
