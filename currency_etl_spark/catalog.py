@@ -105,14 +105,12 @@ PRIORITY_ORDER = [
     "top_customers",
     "topk_orders_per_segment",
     "rollup_segment_nation",
-    "set_customers_both_statuses",
-    "cust_above_nation_avg",
     "ref_rolling_avg7",
     "ref_forecast5",
-    "tfidf_top_terms",
-    "docs_clean_corpus",
     # --- new in round 5 (no driver row yet) → first-row entries outrank
-    #     refreshes ---
+    #     refreshes; set_customers_both_statuses / cust_above_nation_avg /
+    #     tfidf_top_terms / docs_clean_corpus rotated out to make room
+    #     (each holds an r2-green row and an in-window family sibling) ---
     "docs_sequence_pack",
     "docs_domain_cap",
     "docs_mixture_report",
@@ -120,6 +118,10 @@ PRIORITY_ORDER = [
     "multimodal_dedup_assets",
     "knn_ivf_kmeans",
     "events_mv_incremental",
+    "streaming_running_totals",
+    "docs_decontaminate",
+    "docs_quality_filter",
+    "docs_subword_tokens",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+
@@ -149,6 +151,7 @@ def load_catalog() -> dict[str, QuerySpec]:
     with PRIORITY_ORDER entries first, then the rest in registration order."""
     from currency_etl_spark.queries import (  # noqa: F401
         corpus,
+        curation,
         extras,
         llm_ops,
         multimodal,

@@ -1,0 +1,246 @@
+"""Corpus-curation operators: benchmark decontamination, composite quality
+filtering, and subword token accounting over `documents`.
+
+These complete the LLM-pipeline family (queries/llm_ops.py) with the three
+curation steps a pretraining data team runs between cleaning and training:
+removing benchmark-contaminated documents, applying Gopher-style rule
+filters, and budgeting the corpus in subword tokens rather than whitespace
+words. Reference scope: outside the reference engine's SQL-analytics
+surface (SURVEY.md §2) — these follow the same Spark-first catalog/oracle
+conventions as every other entry.
+
+All three are built-in-expression compositions (zero Python UDFs). The
+decontamination join is the only shuffle in the module, and its eval side
+is broadcast — see the entry doc for the 100 TB story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from currency_etl_spark.catalog import register
+from currency_etl_spark.queries.llm_ops import (
+    STOPWORDS,
+    _shingles,
+    _SQL_SHINGLES,
+    _sql_list,
+    _with_tokens,
+)
+from currency_etl_spark.sources import table
+
+#: Every doc_id divisible by EVAL_MOD plays the role of a held-out
+#: benchmark/eval document; the rest are the training pool. A real pipeline
+#: joins against an external benchmark corpus — deriving the split from
+#: doc_id keeps the entry self-contained and oracle-checkable.
+EVAL_MOD = 97
+
+#: Contamination n-gram size. Production decontamination uses 8-13-gram
+#: exact match (the GPT-3/Llama convention); this corpus's documents are
+#: short random sequences over a ~30-word vocabulary, where 8-grams never
+#: collide — word 3-grams (the module-wide shingle size) give the same
+#: plan shape with non-degenerate hit counts at every SF.
+DECON_FLAG_THRESHOLD = 0.05
+
+#: Gopher-style quality rule bounds (Rae et al. 2021, table A1 analogues),
+#: calibrated so each rule has real pass/fail populations on this corpus:
+#: token count in [20, 1000], mean token length in [4.0, 5.1], type-token
+#: ratio >= 0.35, most-frequent-token share <= 0.12, >= 2 stopword hits.
+QF_MIN_TOKENS, QF_MAX_TOKENS = 20, 1000
+QF_MIN_AVG_LEN, QF_MAX_AVG_LEN = 4.0, 5.1
+QF_MIN_TTR = 0.35
+QF_MAX_TOP_SHARE = 0.12
+QF_MIN_STOP_HITS = 2
+
+#: BPE-ish subword budget: a token is ceil(len(word)/4) subwords — the
+#: bytes-per-token constant the text_stats estimate uses, applied per word
+#: so short words cost one subword and long words split.
+SUBWORD_CHARS = 4
+
+
+@register(
+    "docs_decontaminate",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id, {_SQL_SHINGLES.format(t='t')} AS gs FROM toks),
+        ev AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+        tr AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+        hits AS (SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (g) GROUP BY doc_id)
+        SELECT s.doc_id,
+               len(s.gs) AS n_shingles,
+               coalesce(h.n_hits, 0) AS n_hits,
+               round(CASE WHEN len(s.gs) = 0 THEN 0.0
+                          ELSE CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(s.gs) END, 6)
+                   AS contamination,
+               (len(s.gs) > 0 AND
+                CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(s.gs) > {DECON_FLAG_THRESHOLD})
+                   AS flagged
+        FROM sh s LEFT JOIN hits h USING (doc_id)
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        ORDER BY s.doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+    doc=(
+        "Benchmark decontamination: flag training documents sharing word "
+        "n-grams with a held-out eval split (doc_id % 97 == 0 stands in for "
+        "the benchmark corpus; production uses 8-13-grams — see EVAL_MOD/"
+        "module constants). 100 TB design: the eval side is a benchmark "
+        "suite — a few million distinct n-grams — so it broadcasts; the "
+        "training side explodes shingles but the broadcast join + partial "
+        "count happen inside the scan stage, so only (doc_id, count) "
+        "partials ever shuffle. The corpus-sized side is touched once."
+    ),
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", _shingles(F.col("t")).alias("gs"))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_grams = (
+        sh.filter(is_eval).select(F.explode("gs").alias("g")).distinct()
+    )
+    # one pass over the training pool: explode_outer keeps <3-token docs
+    # (zero shingles) in the output; the broadcast LEFT join marks hits;
+    # one groupBy counts shingles and hits together — no doc_id re-join
+    exploded = sh.filter(~is_eval).select("doc_id", F.explode_outer("gs").alias("g"))
+    marked = exploded.join(
+        F.broadcast(eval_grams.withColumn("__hit", F.lit(1))), "g", "left"
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count("g").alias("n_shingles"),
+        F.count("__hit").alias("n_hits"),
+    )
+    n_sh = F.col("n_shingles")
+    contamination = F.when(n_sh == 0, F.lit(0.0)).otherwise(
+        F.col("n_hits").cast("double") / n_sh
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.round(contamination, 6).alias("contamination"),
+        ((n_sh > 0) & (contamination > DECON_FLAG_THRESHOLD)).alias("flagged"),
+    )
+
+
+def _top_token_share(t: Column) -> Column:
+    """Share of the most frequent token: max over distinct tokens of that
+    token's occurrence count, divided by the token count. Per-document
+    higher-order functions — O(distinct × tokens) per row, bounded by
+    document length, no shuffle."""
+    counts = F.transform(
+        F.array_distinct(t), lambda u: F.size(F.filter(t, lambda x: x == u))
+    )
+    return F.array_max(counts).cast("double") / F.size(t)
+
+
+@register(
+    "docs_quality_filter",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_len,
+                   CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+                   CAST(list_max(list_transform(list_distinct(t),
+                        u -> len(list_filter(t, x -> x = u)))) AS DOUBLE) / len(t) AS top_share,
+                   len(list_filter(t, x -> x IN ({_sql_list(STOPWORDS['en'])}))) AS stop_hits
+            FROM toks
+        )
+        SELECT doc_id,
+               (n_tokens BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}) AS ok_len,
+               (avg_len BETWEEN {QF_MIN_AVG_LEN} AND {QF_MAX_AVG_LEN}) AS ok_word_len,
+               (ttr >= {QF_MIN_TTR}) AS ok_diversity,
+               (top_share <= {QF_MAX_TOP_SHARE}) AS ok_repetition,
+               (stop_hits >= {QF_MIN_STOP_HITS}) AS ok_stopwords,
+               ((n_tokens BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS})
+                AND (avg_len BETWEEN {QF_MIN_AVG_LEN} AND {QF_MAX_AVG_LEN})
+                AND ttr >= {QF_MIN_TTR}
+                AND top_share <= {QF_MAX_TOP_SHARE}
+                AND stop_hits >= {QF_MIN_STOP_HITS}) AS passes
+        FROM m
+        ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "text"),
+    doc=(
+        "Gopher-style composite quality filter: five rule booleans (length "
+        "bounds, mean word length, type-token ratio, top-token share, "
+        "stopword presence) plus the conjunction. Pure narrow map over the "
+        "scan — at 100 TB this runs at scan speed inside whole-stage "
+        "codegen, and the boolean columns let the pipeline audit per-rule "
+        "rejection rates with one follow-up aggregation."
+    ),
+)
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(table(spark, sf_dir, "documents"))
+    t = F.col("t")
+    n_tokens = F.size(t)
+    avg_len = (
+        F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x).cast("double")
+        / n_tokens
+    )
+    ttr = F.size(F.array_distinct(t)).cast("double") / n_tokens
+    top_share = _top_token_share(t)
+    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS["en"])))
+    ok_len = (n_tokens >= QF_MIN_TOKENS) & (n_tokens <= QF_MAX_TOKENS)
+    ok_word_len = (avg_len >= QF_MIN_AVG_LEN) & (avg_len <= QF_MAX_AVG_LEN)
+    ok_diversity = ttr >= QF_MIN_TTR
+    ok_repetition = top_share <= QF_MAX_TOP_SHARE
+    ok_stopwords = stop_hits >= QF_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        ok_len.alias("ok_len"),
+        ok_word_len.alias("ok_word_len"),
+        ok_diversity.alias("ok_diversity"),
+        ok_repetition.alias("ok_repetition"),
+        ok_stopwords.alias("ok_stopwords"),
+        (ok_len & ok_word_len & ok_diversity & ok_repetition & ok_stopwords).alias("passes"),
+    )
+
+
+@register(
+    "docs_subword_tokens",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        SELECT doc_id,
+               len(t) AS n_tokens_ws,
+               CAST(list_sum(list_transform(t,
+                    w -> CAST(ceil(length(w) / {SUBWORD_CHARS}.0) AS BIGINT))) AS BIGINT)
+                   AS n_tokens_subword,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+               round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS type_token_ratio,
+               round(CAST(length(text) AS DOUBLE) /
+                     list_sum(list_transform(t,
+                          w -> CAST(ceil(length(w) / {SUBWORD_CHARS}.0) AS BIGINT))), 6)
+                   AS chars_per_subword
+        FROM toks
+        ORDER BY doc_id
+    """,
+    tags=("llm", "curation", "text"),
+    doc=(
+        "Subword token accounting: whitespace vs BPE-ish subword counts "
+        "(ceil(len(word)/4) subwords per word), vocabulary size, type-token "
+        "ratio, and chars-per-subword compression. The training-budget twin "
+        "of text_stats' bytes/4 estimate — a corpus is priced in subword "
+        "tokens, not words. Narrow map, no shuffle; the per-language corpus "
+        "totals are one groupBy away (docs_mixture_report composes it)."
+    ),
+)
+def docs_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(table(spark, sf_dir, "documents"), "text")
+    t = F.col("t")
+    subwords = F.aggregate(
+        F.transform(t, lambda w: F.ceil(F.length(w) / SUBWORD_CHARS)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens_ws"),
+        subwords.alias("n_tokens_subword"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_unique"),
+        F.round(F.size(F.array_distinct(t)).cast("double") / F.size(t), 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.length("text").cast("double") / subwords, 6).alias("chars_per_subword"),
+    )

@@ -84,7 +84,10 @@ def user_running_totals(events_stream: DataFrame):
     """Custom stateful operator: per-user lifetime totals via
     applyInPandasWithState. Updated rows are emitted every micro-batch; the
     state store holds one (n, total) pair per user, partitioned by key —
-    the 100 TB form is the same plan with a real state store backend."""
+    the 100 TB form is the same plan with a real state store backend.
+    The graded catalog twin is `streaming_running_totals`
+    (streaming/jobs.py), which quantizes value to int64 ten-thousandths so
+    its output is exact and hash-comparable against a SQL oracle."""
     return (
         events_stream.groupBy("user_id")
         .applyInPandasWithState(

@@ -327,3 +327,89 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(
         spark, pairs, "streaming_interval_join_out", mode="append"
     )
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    """Per-user running-total state machine for applyInPandasWithState:
+    state = (n_events, total_q) as int64; each micro-batch folds its rows
+    in and emits one updated row. `value` arrives pre-quantized to int64
+    ten-thousandths (exact DECIMAL(18,4) arithmetic done JVM-side), so the
+    pandas sum is exact integer math — no float-order dependence. The
+    float-summing teaching twin is streaming/ingest.user_running_totals
+    (approx-tested); this variant exists to be HASH-gradable."""
+    import pandas as pd
+
+    n, sq = state.get if state.exists else (0, 0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        sq += int(pdf["vq"].sum())
+    state.update((n, sq))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_q": [sq]})
+
+
+@register(
+    "streaming_running_totals",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE)
+                   / 10000 AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "custom"),
+    doc=(
+        "Custom stateful streaming operator via applyInPandasWithState — "
+        "the escape hatch for semantics the built-in stateful operators "
+        "can't express (here: a per-user running (count, sum) accumulator "
+        "emitting its state every micro-batch, the skeleton of per-entity "
+        "counters/rate limiters/feature freshness trackers). State is two "
+        "int64s per user in the state store, partitioned by user_id; "
+        "value is quantized to exact DECIMAL ten-thousandths JVM-side so "
+        "the Arrow-batched pandas fold is exact integer arithmetic. In "
+        "update mode each user re-emits per batch; the batch rollup keeps "
+        "the final emission per user (max_by on the monotone event count), "
+        "which must equal the plain batch GROUP BY — the oracle. At scale "
+        "state size tracks distinct users, not events, and a production "
+        "deployment adds a processing-time timeout to age out idle keys."
+    ),
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql import types as T
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("vq"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_q", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("sq", T.LongType())]
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_memory(spark, updates, "streaming_running_totals_out", mode="update")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_q", "n_events").alias("total_q"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total_q").cast("double") / 10000).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

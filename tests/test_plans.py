@@ -259,3 +259,33 @@ def test_ivf_kmeans_no_shuffle_joins(spark, sf_dir):
     # the training chain is materialized once: the plan reads the 1-row
     # checkpointed index (ExistingRDD), not a re-derived aggregation tree
     assert "ExistingRDD" in p
+
+
+def test_quality_filter_and_subword_tokens_are_narrow(spark, sf_dir):
+    from currency_etl_spark.queries.curation import (
+        docs_quality_filter,
+        docs_subword_tokens,
+    )
+
+    for q in (docs_quality_filter, docs_subword_tokens):
+        p = plan_of(q(spark, sf_dir))
+        assert "Exchange" not in p, f"{q.__name__} should be shuffle-free"
+
+
+def test_decontaminate_broadcasts_eval_single_shuffle(spark, sf_dir):
+    from currency_etl_spark.queries.curation import docs_decontaminate
+
+    p = plan_of(docs_decontaminate(spark, sf_dir))
+    # the eval n-gram set is the broadcast side; the corpus-sized training
+    # side joins map-side and partial-aggregates in the scan stage, so the
+    # only exchange carries (doc_id, count) partials — never gram strings
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # exchanges: the eval-side distinct (gram-only, benchmark-sized) and the
+    # per-doc count aggregation (doc_id + count partials). The corpus-sized
+    # exploded stream — (doc_id, g) pairs — must never hit an exchange.
+    exchanges = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p)
+    assert exchanges, p
+    for cols in exchanges:
+        assert not ("doc_id#" in cols and "g#" in cols), cols
+    assert "partial_count" in p
