@@ -104,7 +104,8 @@ PRIORITY_ORDER = [
     "q4_order_priority",
     "top_customers",
     "topk_orders_per_segment",
-    "rollup_segment_nation",
+    # rollup_segment_nation rotated out (r2-green; grouping_sets sibling
+    # in window) for the new knn_recall_report first row
     "ref_rolling_avg7",
     "ref_forecast5",
     # --- new in round 5 (no driver row yet) → first-row entries outrank
@@ -122,6 +123,7 @@ PRIORITY_ORDER = [
     "docs_decontaminate",
     "docs_quality_filter",
     "docs_subword_tokens",
+    "knn_recall_report",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+

@@ -511,3 +511,158 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "vec_id")
         .limit(IVF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation
+# ---------------------------------------------------------------------------
+
+#: Recall evaluation: queries are the first RECALL_NQ vectors; recall@K of
+#: each approximate index is measured against the exact brute-force top-K.
+RECALL_NQ = 8
+RECALL_K = 5
+#: Salt fan-out for the two-phase top-k (phase 1: top-k per (query, salt)
+#: slice; phase 2: top-k of the per-slice winners). With only NQ query
+#: partitions a single window sort would idle every core beyond NQ — and at
+#: 100 TB it would sort each query's full candidate list on one task. The
+#: salted union is exact: the global top-k is always contained in the union
+#: of per-slice top-k.
+RECALL_SALTS = 32
+
+
+def _topk_per_query(sims: DataFrame, k: int = RECALL_K) -> DataFrame:
+    """Exact per-query top-k of (qid, vec_id, sim) via salted two phases."""
+    w1 = W.partitionBy("qid", "__salt").orderBy(F.desc("sim"), "vec_id")
+    w2 = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+    return (
+        sims.withColumn("__salt", F.pmod(F.xxhash64("vec_id"), F.lit(RECALL_SALTS)))
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .withColumn("__rn2", F.row_number().over(w2))
+        .filter(F.col("__rn2") <= k)
+        .select("qid", "vec_id")
+    )
+
+
+def _sql_topk(cands: str, k: int = RECALL_K) -> str:
+    """DuckDB twin of _topk_per_query (single-phase — the salting is a
+    physical optimization with identical output)."""
+    return (
+        f"SELECT qid, vec_id FROM (SELECT qid, vec_id, "
+        f"ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn "
+        f"FROM {cands}) WHERE rn <= {k}"
+    )
+
+
+@register(
+    "knn_recall_report",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {_sql_sign_bucket('embedding')} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+              FROM b WHERE vec_id < {RECALL_NQ}),
+        ex AS (SELECT q.qid, b.vec_id, {_sql_cosine('b.embedding', 'q.qe')} AS sim
+               FROM b, q WHERE b.vec_id <> q.qid),
+        ex_k AS ({_sql_topk('ex')}),
+        lsh AS (SELECT q.qid, b.vec_id, {_sql_cosine('b.embedding', 'q.qe')} AS sim
+                FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid),
+        probes AS (
+            SELECT qid, qe,
+                   unnest([qbucket, {", ".join(f"xor(qbucket, {1 << i})" for i in range(LSH_BITS))}]) AS pbucket
+            FROM q
+        ),
+        mp AS (SELECT p.qid, b.vec_id, {_sql_cosine('b.embedding', 'p.qe')} AS sim
+               FROM b JOIN probes p ON b.bucket = p.pbucket AND b.vec_id <> p.qid),
+        methods AS (
+            SELECT 'lsh' AS method, qid, vec_id FROM ({_sql_topk('lsh')})
+            UNION ALL
+            SELECT 'lsh_multiprobe' AS method, qid, vec_id FROM ({_sql_topk('mp')})
+        ),
+        frame AS (SELECT qid, m.method FROM q, (SELECT unnest(['lsh', 'lsh_multiprobe']) AS method) m),
+        ret AS (SELECT method, qid, count(*) AS n_retrieved FROM methods GROUP BY 1, 2),
+        ov AS (SELECT m.method, m.qid, count(*) AS n_overlap
+               FROM methods m JOIN ex_k e ON m.qid = e.qid AND m.vec_id = e.vec_id
+               GROUP BY 1, 2)
+        SELECT f.qid AS query_id, f.method AS method,
+               coalesce(ret.n_retrieved, 0) AS n_retrieved,
+               coalesce(ov.n_overlap, 0) AS n_overlap,
+               round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / {RECALL_K}, 6) AS recall_at_k
+        FROM frame f
+        LEFT JOIN ret ON f.qid = ret.qid AND f.method = ret.method
+        LEFT JOIN ov ON f.qid = ov.qid AND f.method = ov.method
+        ORDER BY query_id, f.method
+    """,
+    tags=("llm", "vector", "ann", "eval"),
+    doc=(
+        "ANN quality evaluation: recall@5 of the sign-LSH index (single- "
+        "and multi-probe) against the exact brute-force top-5, over a "
+        "sampled query set — the measure-don't-guess loop every ANN "
+        "deployment needs before trading recall for speed. Scale design: "
+        "the query set broadcasts (recall eval always samples queries); "
+        "per-query top-k uses a salted two-phase window so the candidate "
+        "sort parallelizes across RECALL_SALTS slices instead of one task "
+        "per query; the final overlap joins touch only NQ×K rows."
+    ),
+)
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", _sign_bucket().alias("bucket"))
+    q = b.filter(F.col("vec_id") < RECALL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cos = _cosine(F.col("embedding"), F.col("qe")).alias("sim")
+
+    exact = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos)
+    )
+    ex_k = _topk_per_query(exact)
+
+    lsh = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", cos)
+    )
+    probe_buckets = F.array(
+        F.col("qbucket"), *[F.expr(f"qbucket ^ {1 << i}") for i in range(LSH_BITS)]
+    )
+    probes = q.select("qid", "qe", F.explode(probe_buckets).alias("pbucket"))
+    mp = (
+        b.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "vec_id", cos)
+    )
+    methods = _topk_per_query(lsh).withColumn("method", F.lit("lsh")).unionByName(
+        _topk_per_query(mp).withColumn("method", F.lit("lsh_multiprobe"))
+    )
+    ret = methods.groupBy("method", "qid").agg(F.count(F.lit(1)).alias("n_retrieved"))
+    ov = (
+        methods.join(ex_k, ["qid", "vec_id"])
+        .groupBy("method", "qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frame = q.select("qid").crossJoin(
+        spark.createDataFrame([("lsh",), ("lsh_multiprobe",)], "method string")
+    )
+    return (
+        frame.join(ret, ["qid", "method"], "left")
+        .join(ov, ["qid", "method"], "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "method",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)).cast("double") / RECALL_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
