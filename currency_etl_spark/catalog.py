@@ -101,7 +101,8 @@ PRIORITY_ORDER = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q4_order_priority",
+    # q4_order_priority rotated out (r2-green; q1/q3/q5 siblings in
+    # window) for the new embedding_pq first row
     "top_customers",
     "topk_orders_per_segment",
     # rollup_segment_nation rotated out (r2-green; grouping_sets sibling
@@ -124,6 +125,7 @@ PRIORITY_ORDER = [
     "docs_quality_filter",
     "docs_subword_tokens",
     "knn_recall_report",
+    "embedding_pq",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+

@@ -666,3 +666,106 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: 64 dims → PQ_M subspaces of PQ_DSUB dims, PQ_K centroids
+#: per subspace (codes fit 2 bits here; production uses 256 → one byte).
+#: Centroids are the subvectors of the first PQ_K corpus vectors — the same
+#: deterministic seeding knn_ivf uses; a trained variant would slot a
+#: per-subspace k-means step in front exactly like knn_ivf_kmeans does.
+PQ_M = 8
+PQ_DSUB = 8
+PQ_K = 4
+
+
+@register(
+    "embedding_pq",
+    oracle=f"""
+        WITH c AS (
+            SELECT list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id) AS cents
+            FROM embeddings WHERE vec_id < {PQ_K}
+        ),
+        v AS (
+            SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+            FROM embeddings
+        ),
+        d AS (
+            -- per subspace m (0-based): squared L2 to each centroid's
+            -- m-th subvector, as an index-ordered sequential fold
+            SELECT vec_id, label,
+                   list_transform(range(0, {PQ_M}), m ->
+                       list_transform(cents, cent ->
+                           list_reduce(
+                               list_transform(range(1, {PQ_DSUB} + 1), i ->
+                                   (e[m * {PQ_DSUB} + i] - cent[m * {PQ_DSUB} + i])
+                                   * (e[m * {PQ_DSUB} + i] - cent[m * {PQ_DSUB} + i])),
+                               (x, y) -> x + y))) AS dm
+            FROM v, c
+        )
+        SELECT vec_id, label,
+               array_to_string(list_transform(dm,
+                   ds -> list_position(ds, list_min(ds)) - 1), '-') AS pq_codes,
+               round(list_reduce(list_transform(dm, ds -> list_min(ds)),
+                     (x, y) -> x + y) / {PQ_M * PQ_DSUB}, 6) AS recon_mse
+        FROM d
+        ORDER BY vec_id
+    """,
+    tags=("llm", "vector", "quantization", "ann"),
+    doc=(
+        "Product quantization: each vector is coded as PQ_M per-subspace "
+        "nearest-centroid ids (argmin squared-L2, first-index tie-break) "
+        "plus the reconstruction MSE the codes imply — the compression "
+        "audit behind PQ/IVF-PQ indexes (int8 audit twin: "
+        "embedding_quantize). The codebook is one broadcast row; coding is "
+        "a narrow map over the scan (nested index-ordered folds, "
+        "bit-identical in both engines), so compressing 100 TB of vectors "
+        "is scan-bound with no shuffle at all."
+    ),
+)
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cents = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda s: F.transform(s["embedding"], lambda x: x.cast("double")),
+            ).alias("cents")
+        )
+    )
+    v = emb.select("vec_id", "label", e_dbl.alias("e")).crossJoin(F.broadcast(cents))
+
+    def sub_dist(m: Column, cent: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(PQ_DSUB)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.element_at(F.col("e"), m * PQ_DSUB + i) - F.element_at(cent, m * PQ_DSUB + i))
+            * (F.element_at(F.col("e"), m * PQ_DSUB + i) - F.element_at(cent, m * PQ_DSUB + i)),
+        )
+
+    dm = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(F.col("cents"), lambda cent: sub_dist(m, cent)),
+    )
+    d = v.select("vec_id", "label", dm.alias("dm"))
+    codes = F.transform(
+        F.col("dm"), lambda ds: F.array_position(ds, F.array_min(ds)) - 1
+    )
+    mse = (
+        F.aggregate(
+            F.transform(F.col("dm"), F.array_min), F.lit(0.0), lambda a, x: a + x
+        )
+        / (PQ_M * PQ_DSUB)
+    )
+    return d.select(
+        "vec_id",
+        "label",
+        F.concat_ws("-", F.transform(codes, lambda c: c.cast("string"))).alias("pq_codes"),
+        F.round(mse, 6).alias("recon_mse"),
+    )
