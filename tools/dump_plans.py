@@ -114,6 +114,30 @@ HEADLINERS = {
         "never cross the wire; partial_min/partial_count before the "
         "exchange."
     ),
+    "docs_decontaminate": (
+        "Benchmark decontamination. Check: the eval n-gram set builds on "
+        "its own tiny exchange then enters as the BroadcastHashJoin build "
+        "side; the corpus-sized exploded gram stream never hits an "
+        "exchange (partial_count in the scan stage — the only data-sized "
+        "exchange carries (doc_id, count) partials)."
+    ),
+    "docs_quality_filter": (
+        "Composite rule filter. Check: zero Exchange operators — the five "
+        "rule booleans and their conjunction are one narrow projection "
+        "inside WholeStageCodegen over the scan."
+    ),
+    "knn_recall_report": (
+        "ANN recall eval. Check: the query set and probe list enter as "
+        "broadcasts; each per-query top-k runs the salted two-phase "
+        "Window ((qid, salt) then qid) so no single task sorts a query's "
+        "full candidate list; the overlap joins touch only NQ×K rows."
+    ),
+    "embedding_pq": (
+        "Product quantization. Check: the codebook is ONE broadcast row "
+        "(BroadcastNestedLoopJoin BuildRight); coding+MSE is a single "
+        "narrow projection — no Exchange after the broadcast, so the "
+        "corpus is scanned exactly once."
+    ),
 }
 
 
