@@ -104,7 +104,8 @@ PRIORITY_ORDER = [
     # q4_order_priority rotated out (r2-green; q1/q3/q5 siblings in
     # window) for the new embedding_pq first row
     "top_customers",
-    "topk_orders_per_segment",
+    # topk_orders_per_segment rotated out (r2-green, plan-tested; top-k
+    # family held by in-window top_customers) for graph_pagerank_bipartite;
     # rollup_segment_nation rotated out (r2-green; grouping_sets sibling
     # in window) for the new knn_recall_report first row
     "ref_rolling_avg7",
@@ -126,6 +127,7 @@ PRIORITY_ORDER = [
     "docs_subword_tokens",
     "knn_recall_report",
     "embedding_pq",
+    "graph_pagerank_bipartite",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+
@@ -157,6 +159,7 @@ def load_catalog() -> dict[str, QuerySpec]:
         corpus,
         curation,
         extras,
+        graph,
         llm_ops,
         multimodal,
         reference,
