@@ -1,0 +1,108 @@
+"""Invariant tests for the curation (queries/curation.py), ANN-eval/PQ
+(queries/vectors.py), and graph (queries/graph.py) operators — the
+properties the oracle comparison can't state directly: split hygiene for
+decontamination, self-consistency of the quality rules, recall bounds and
+exact-index sanity, PQ identity on the codebook, and PageRank rank-mass
+conservation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from currency_etl_spark.queries.curation import (
+    DECON_FLAG_THRESHOLD,
+    EVAL_MOD,
+    docs_decontaminate,
+    docs_quality_filter,
+)
+from currency_etl_spark.queries.graph import (
+    PR_ITERS,
+    PR_SCALE,
+    graph_pagerank_bipartite,
+)
+from currency_etl_spark.queries.vectors import (
+    PQ_K,
+    PQ_M,
+    RECALL_K,
+    RECALL_NQ,
+    embedding_pq,
+    knn_recall_report,
+)
+from currency_etl_spark.sources import table
+
+
+def test_decontaminate_covers_exactly_the_training_split(spark, sf_dir):
+    out = docs_decontaminate(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    train_ids = {
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % EVAL_MOD != 0).select("doc_id").collect()
+    }
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == train_ids  # no eval leakage, no drops
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_shingles"] or r["n_shingles"] == 0
+        expect_flag = (
+            r["n_shingles"] > 0
+            and r["n_hits"] / r["n_shingles"] > DECON_FLAG_THRESHOLD
+        )
+        assert r["flagged"] == expect_flag
+
+
+def test_quality_filter_conjunction_consistent(spark, sf_dir):
+    rows = docs_quality_filter(spark, sf_dir).collect()
+    assert len(rows) == table(spark, sf_dir, "documents").count()
+    for r in rows:
+        rules = [
+            r["ok_len"],
+            r["ok_word_len"],
+            r["ok_diversity"],
+            r["ok_repetition"],
+            r["ok_stopwords"],
+        ]
+        assert r["passes"] == all(rules)
+    # thresholds must have signal on the corpus: both populations non-empty
+    passes = sum(1 for r in rows if r["passes"])
+    assert 0 < passes < len(rows)
+
+
+def test_recall_report_bounds_and_multiprobe_dominance(spark, sf_dir):
+    rows = knn_recall_report(spark, sf_dir).collect()
+    assert len(rows) == RECALL_NQ * 2  # every (query, method) cell present
+    by_q = {}
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= min(r["n_retrieved"], RECALL_K)
+        assert abs(r["recall_at_k"] - r["n_overlap"] / RECALL_K) < 1e-9
+        by_q.setdefault(r["query_id"], {})[r["method"]] = r
+    for q, m in by_q.items():
+        # multi-probe candidates are a superset of the single-probe bucket:
+        # retrieved count and overlap can only grow
+        assert m["lsh_multiprobe"]["n_retrieved"] >= m["lsh"]["n_retrieved"]
+        assert m["lsh_multiprobe"]["n_overlap"] >= m["lsh"]["n_overlap"]
+
+
+def test_pq_codes_identity_on_codebook_vectors(spark, sf_dir):
+    rows = embedding_pq(spark, sf_dir).collect()
+    assert len(rows) == table(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        codes = [int(c) for c in r["pq_codes"].split("-")]
+        assert len(codes) == PQ_M and all(0 <= c < PQ_K for c in codes)
+        assert r["recon_mse"] >= 0.0
+        if r["vec_id"] < PQ_K:
+            # a codebook vector reconstructs itself exactly in every subspace
+            assert codes == [r["vec_id"]] * PQ_M
+            assert r["recon_mse"] == 0.0
+
+
+def test_pagerank_ranks_positive_and_damping_floor(spark, sf_dir):
+    rows = graph_pagerank_bipartite(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    floor = (15 * PR_SCALE // 100) / PR_SCALE  # (1-d) teleport mass
+    for r in rows:
+        assert r["rank"] >= floor
+        assert r["node_type"] in ("part", "supplier")
+    # top-k is sorted descending by rank
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert PR_ITERS >= 1
