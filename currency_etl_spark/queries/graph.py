@@ -97,17 +97,20 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("p") * 2).alias("dst"))
         )
-        .localCheckpoint(eager=True)
     )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
-        "src", "dnode"
-    )
-    # pre-join each edge with its source degree once — reused every round
-    ed = (
-        edges.join(deg, edges.src == deg.dnode)
-        .select("src", "dst", "deg")
-        .localCheckpoint(eager=True)
+    # the out-degree rides each edge via a window on src — one shuffle, no
+    # separate degree aggregation + join — and the (src, dst, deg) list
+    # materializes ONCE for every iteration to read, already partitioned
+    # by the key each round's join uses
+    from pyspark.sql import Window as W
+
+    ed = edges.withColumn(
+        "deg", F.count(F.lit(1)).over(W.partitionBy("src"))
+    ).localCheckpoint(eager=True)
+    # node list: tiny (|parts| + |suppliers|) but referenced every round —
+    # materialize it too, or each iteration re-runs the distinct over edges
+    nodes = (
+        ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     )
     ranks = nodes.withColumn("rank_q", F.lit(PR_SCALE).cast("long"))
     for _ in range(PR_ITERS):
