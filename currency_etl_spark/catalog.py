@@ -99,8 +99,8 @@ PRIORITY_ORDER = [
     "events_type_transitions",
     "events_range_join_binned",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
+    # q3/q5 rotated out (r2-green, plan-tested; q1 carries the TPC-H
+    # agg/join refresh) for docs_dedup_survivors + lang_id_confusion
     # q4_order_priority rotated out (r2-green; q1/q3/q5 siblings in
     # window) for the new embedding_pq first row
     "top_customers",
@@ -128,6 +128,8 @@ PRIORITY_ORDER = [
     "knn_recall_report",
     "embedding_pq",
     "graph_pagerank_bipartite",
+    "docs_dedup_survivors",
+    "lang_id_confusion",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+

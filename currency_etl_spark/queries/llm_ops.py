@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from currency_etl_spark.catalog import register
+from currency_etl_spark.catalog import CATALOG, register
 from currency_etl_spark.sources import table
 
 # ---------------------------------------------------------------------------
@@ -1455,3 +1455,85 @@ def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias("oov_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup application + text-eval composites
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_dedup_survivors",
+    oracle=None,  # filled in right below from the dedup_clusters oracle
+    tags=("llm", "dedup", "composite"),
+    doc=(
+        "The APPLY stage of the dedup pipeline: every document with its "
+        "connected-component id and a kept flag — the canonical member "
+        "(min doc_id) of each near-dup cluster survives, singletons (docs "
+        "in no candidate cluster) survive by default. Composes "
+        "dedup_clusters over the full corpus via a LEFT join; at 100 TB "
+        "the cluster map is graph-sized and broadcasts against the corpus "
+        "scan, so applying dedup costs one map-side pass."
+    ),
+)
+def docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir).withColumnRenamed("cluster_id", "cid")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out = docs.join(F.broadcast(clusters), "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("cid", F.col("doc_id")).alias("cluster_id"),
+        (F.col("cid").isNull() | (F.col("cid") == F.col("doc_id"))).alias("kept"),
+    )
+
+
+# the survivors oracle wraps the dedup_clusters oracle as a derived table —
+# single source of truth for the recursive component walk
+CATALOG["docs_dedup_survivors"].oracle = f"""
+    WITH clusters AS ({CATALOG["dedup_clusters"].oracle})
+    SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           (c.doc_id IS NULL OR c.cluster_id = d.doc_id) AS kept
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+@register(
+    "lang_id_confusion",
+    oracle=None,  # filled in right below from the lang_id oracle
+    tags=("llm", "text", "eval"),
+    doc=(
+        "Language-ID evaluation: the labeled-vs-predicted confusion matrix "
+        "of the stopword-overlap classifier, with each cell's share of its "
+        "labeled row — the text-family twin of knn_recall_report's "
+        "measure-don't-guess loop. Composes lang_id; one small groupBy "
+        "over (label, prediction) pairs after the narrow classify map."
+    ),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    preds = lang_id(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    cell = preds.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    row_total = F.sum("n_docs").over(_W.partitionBy("labeled_lang"))
+    return cell.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / row_total, 6).alias("share_of_labeled"),
+    )
+
+
+CATALOG["lang_id_confusion"].oracle = f"""
+    WITH preds AS ({CATALOG["lang_id"].oracle})
+    SELECT labeled_lang, predicted_lang,
+           count(*) AS n_docs,
+           round(CAST(count(*) AS DOUBLE) /
+                 sum(count(*)) OVER (PARTITION BY labeled_lang), 6) AS share_of_labeled
+    FROM preds
+    GROUP BY labeled_lang, predicted_lang
+    ORDER BY labeled_lang, predicted_lang
+"""
