@@ -106,3 +106,84 @@ def test_pagerank_ranks_positive_and_damping_floor(spark, sf_dir):
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert PR_ITERS >= 1
+
+
+# ---------------------------------------------------------------------------
+# Property: decontamination matches an independent Python reference on
+# arbitrary corpus shapes (overlapping vocab, sub-3-token docs, empty splits)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+
+_VOCAB = ["alpha", "beta", "gamma", "delta"]
+
+
+def _write_texts(tmpdir: str, rows: list) -> str:
+    """documents-shaped parquet from explicit (doc_id, text) rows."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([x for _, x in rows], pa.string()),
+            "lang": pa.array(["xx"] * len(rows), pa.string()),
+            "source": pa.array(["s0"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(x) for _, x in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "documents.parquet"))
+    return tmpdir
+
+
+def _py_shingles(text: str) -> list:
+    t = text.split(" ")
+    return [" ".join(t[i : i + 3]) for i in range(len(t) - 2)] if len(t) >= 3 else []
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.booleans(),  # eval-split member?
+            st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=10),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@_PROP
+def test_decontaminate_matches_python_reference(spark, tmp_path_factory, docs):
+    d = str(tmp_path_factory.mktemp("prop_decon"))
+    rows, next_train = [], 1
+    for is_eval, toks in docs:
+        if is_eval:
+            rows.append((EVAL_MOD * (len(rows) + 1), " ".join(toks)))
+        else:
+            while next_train % EVAL_MOD == 0:
+                next_train += 1
+            rows.append((next_train, " ".join(toks)))
+            next_train += 1
+    _write_texts(d, rows)
+
+    eval_set = set()
+    for doc_id, text in rows:
+        if doc_id % EVAL_MOD == 0:
+            eval_set.update(_py_shingles(text))
+    want = {}
+    for doc_id, text in rows:
+        if doc_id % EVAL_MOD == 0:
+            continue
+        sh = _py_shingles(text)
+        hits = sum(1 for g in sh if g in eval_set)
+        ratio = hits / len(sh) if sh else 0.0
+        want[doc_id] = (len(sh), hits, len(sh) > 0 and ratio > DECON_FLAG_THRESHOLD)
+
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["flagged"])
+        for r in docs_decontaminate(spark, d).collect()
+    }
+    assert got == want
