@@ -146,11 +146,13 @@ PRIORITY_ORDER = [
     # green r4), similar_part_names (ngram-join ~ the r4-green dedup
     # family), multimodal_frame_sample / multimodal_meta_stats (multimodal
     # family: features + new dedup_assets in window), cube_status_priority
-    # (cube ~ in-window rollup_segment_nation + grouping_sets_custom),
+    # (cube ~ in-window grouping_sets_custom; rollup rotated out on its
+    # r2-green row),
     # docs_chunk_tokens (chunking ~ new in-window docs_sequence_pack),
     # docs_stratified_sample (sampling ~ in-window docs_deterministic_
-    # sample + new docs_domain_cap), set_customers_no_open_orders (set-op
-    # twin of in-window set_customers_both_statuses).
+    # sample + new docs_domain_cap), set_customers_no_open_orders and
+    # set_customers_both_statuses (set-op family, both r2-green; the
+    # rotations above favored first-row round-5 entries).
 ]
 
 
