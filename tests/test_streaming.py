@@ -176,3 +176,95 @@ def test_interval_join_pairs_across_micro_batches(spark, tmp_path):
         for r in spark.table("interval_join_xbatch").collect()
     }
     assert got == {(1, 201, 101)}
+
+
+def test_quantized_running_totals_state_across_micro_batches(spark, sf_dir, tmp_path):
+    """The graded streaming_running_totals state machine (int64-quantized
+    exact fold, streaming/jobs._running_totals_fn) must CARRY state across
+    micro-batches: drive three single-file batches through it with
+    maxFilesPerTrigger=1 and assert (a) the final per-user totals equal
+    the batch aggregate of all files, and (b) a user present in several
+    batches emitted strictly increasing running counts — the proof the
+    second batch read the first batch's state rather than restarting."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from currency_etl_spark.streaming.jobs import _running_totals_fn
+
+    src = tmp_path / "events_batches"
+    events = table(spark, sf_dir, "events").select("user_id", "value").limit(300)
+    # three disjoint files = three micro-batches under maxFilesPerTrigger=1
+    parts = events.withColumn(
+        "part", F.pmod(F.xxhash64("user_id", "value"), F.lit(3))
+    )
+    for i in range(3):
+        parts.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{i}"))
+
+    schema = spark.read.parquet(str(src / "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+        .select(
+            "user_id",
+            (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("vq"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_q", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("sq", T.LongType())]
+    )
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("rt_batches_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("rt_batches_out").collect()
+
+    want = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(str(src / "b*"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value").cast("decimal(18,4)") * 10000).cast("long")).alias("t"),
+        )
+        .collect()
+    }
+    final = {}
+    multi_emit = 0
+    seen: dict = {}
+    for r in emitted:
+        seen.setdefault(r["user_id"], []).append(r["n_events"])
+    for uid, counts in seen.items():
+        final[uid] = max(counts)
+        if len(counts) > 1:
+            multi_emit += 1
+            assert len(set(counts)) == len(counts)  # counts never repeat/reset across batches
+    got = {
+        r["user_id"]: (r["n_events"], r["total_q"])
+        for r in emitted
+        if r["n_events"] == final[r["user_id"]]
+    }
+    assert got == want
+    assert multi_emit > 0  # at least one user genuinely crossed batches
