@@ -35,11 +35,14 @@ from currency_etl_spark.sources import table
 #: doc_id keeps the entry self-contained and oracle-checkable.
 EVAL_MOD = 97
 
-#: Contamination n-gram size. Production decontamination uses 8-13-gram
-#: exact match (the GPT-3/Llama convention); this corpus's documents are
-#: short random sequences over a ~30-word vocabulary, where 8-grams never
-#: collide — word 3-grams (the module-wide shingle size) give the same
-#: plan shape with non-degenerate hit counts at every SF.
+# Contamination n-gram size: production decontamination uses 8-13-gram
+# exact match (the GPT-3/Llama convention); this corpus's documents are
+# short random sequences over a ~30-word vocabulary, where 8-grams never
+# collide — word 3-grams (the module-wide shingle size, _shingles) give
+# the same plan shape with non-degenerate hit counts at every SF.
+
+#: A training document is flagged when MORE than this share of its
+#: shingles appears in the eval split's shingle set.
 DECON_FLAG_THRESHOLD = 0.05
 
 #: Gopher-style quality rule bounds (Rae et al. 2021, table A1 analogues),
@@ -175,19 +178,29 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_tokens(table(spark, sf_dir, "documents"))
     t = F.col("t")
     n_tokens = F.size(t)
-    avg_len = (
-        F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x).cast("double")
-        / n_tokens
+    # raw metrics behind a projection boundary FIRST: the folds/array ops
+    # are interpreted (CodegenFallback), so referencing them from both the
+    # rule boolean and the `passes` conjunction would evaluate each twice
+    # (the _with_tokens lesson, same file)
+    m = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (
+            F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x).cast(
+                "double"
+            )
+            / n_tokens
+        ).alias("avg_len"),
+        (F.size(F.array_distinct(t)).cast("double") / n_tokens).alias("ttr"),
+        _top_token_share(t).alias("top_share"),
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS["en"]))).alias("stop_hits"),
     )
-    ttr = F.size(F.array_distinct(t)).cast("double") / n_tokens
-    top_share = _top_token_share(t)
-    stop_hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS["en"])))
-    ok_len = (n_tokens >= QF_MIN_TOKENS) & (n_tokens <= QF_MAX_TOKENS)
-    ok_word_len = (avg_len >= QF_MIN_AVG_LEN) & (avg_len <= QF_MAX_AVG_LEN)
-    ok_diversity = ttr >= QF_MIN_TTR
-    ok_repetition = top_share <= QF_MAX_TOP_SHARE
-    ok_stopwords = stop_hits >= QF_MIN_STOP_HITS
-    return docs.select(
+    ok_len = (F.col("n_tokens") >= QF_MIN_TOKENS) & (F.col("n_tokens") <= QF_MAX_TOKENS)
+    ok_word_len = (F.col("avg_len") >= QF_MIN_AVG_LEN) & (F.col("avg_len") <= QF_MAX_AVG_LEN)
+    ok_diversity = F.col("ttr") >= QF_MIN_TTR
+    ok_repetition = F.col("top_share") <= QF_MAX_TOP_SHARE
+    ok_stopwords = F.col("stop_hits") >= QF_MIN_STOP_HITS
+    return m.select(
         "doc_id",
         ok_len.alias("ok_len"),
         ok_word_len.alias("ok_word_len"),
@@ -229,18 +242,28 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_tokens(table(spark, sf_dir, "documents"), "text")
     t = F.col("t")
-    subwords = F.aggregate(
-        F.transform(t, lambda w: F.ceil(F.length(w) / SUBWORD_CHARS)),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    return docs.select(
+    # interpreted fold/array_distinct computed ONCE behind a projection
+    # boundary, then referenced by the derived ratio columns
+    m = docs.select(
         "doc_id",
+        F.length("text").alias("n_chars"),
         F.size(t).cast("long").alias("n_tokens_ws"),
-        subwords.alias("n_tokens_subword"),
+        F.aggregate(
+            F.transform(t, lambda w: F.ceil(F.length(w) / SUBWORD_CHARS)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_tokens_subword"),
         F.size(F.array_distinct(t)).cast("long").alias("n_unique"),
-        F.round(F.size(F.array_distinct(t)).cast("double") / F.size(t), 6).alias(
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_subword",
+        "n_unique",
+        F.round(F.col("n_unique").cast("double") / F.col("n_tokens_ws"), 6).alias(
             "type_token_ratio"
         ),
-        F.round(F.length("text").cast("double") / subwords, 6).alias("chars_per_subword"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens_subword"), 6).alias(
+            "chars_per_subword"
+        ),
     )

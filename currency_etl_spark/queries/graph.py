@@ -28,8 +28,11 @@ from currency_etl_spark.sources import table
 PR_ITERS = 3
 #: Rank scale: int64 billionths.
 PR_SCALE = 1_000_000_000
-#: Damping factor 0.85 expressed as integer arithmetic: the update is
-#: rank' = (15 * SCALE) div 100 + (85 * incoming) div 100.
+#: Damping factor 0.85 as integer percentages: the update is
+#: rank' = (PR_TELEPORT_PCT * SCALE) div 100 + (PR_DAMP_PCT * incoming) div 100.
+PR_DAMP_PCT = 85
+PR_TELEPORT_PCT = 100 - PR_DAMP_PCT
+#: Rows emitted (top-k by final rank).
 PR_TOPK = 20
 
 
@@ -47,7 +50,7 @@ def _sql_pr_iter(prev: str, it: int) -> str:
         ),
         r{it} AS (
             SELECT n.node,
-                   {15 * PR_SCALE // 100} + (85 * coalesce(i.inc, CAST(0 AS BIGINT))) // 100 AS rank_q
+                   {PR_TELEPORT_PCT * PR_SCALE // 100} + ({PR_DAMP_PCT} * coalesce(i.inc, CAST(0 AS BIGINT))) // 100 AS rank_q
             FROM nodes n LEFT JOIN inc{it} i ON n.node = i.node
         )"""
 
@@ -126,8 +129,8 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit(15 * PR_SCALE // 100).cast("long")
-                    + F.expr("(CAST(85 AS BIGINT) * __inc) div 100")
+                    F.lit(PR_TELEPORT_PCT * PR_SCALE // 100).cast("long")
+                    + F.expr(f"(CAST({PR_DAMP_PCT} AS BIGINT) * __inc) div 100")
                 ).alias("rank_q"),
             )
         )

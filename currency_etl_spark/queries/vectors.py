@@ -38,6 +38,22 @@ def _sql_sign_bucket(e: str, bits: int = LSH_BITS) -> str:
     )
 
 
+def _probe_list(bits: int = LSH_BITS):
+    """Multi-probe bucket list: the query's own bucket plus every bucket at
+    Hamming distance 1 (each LSH bit flipped once). Single definition for
+    the serving index (knn_lsh_multiprobe) AND the recall report — probe
+    semantics must never drift between what is served and what is graded."""
+    return F.array(
+        F.col("qbucket"), *[F.expr(f"qbucket ^ {1 << i}") for i in range(bits)]
+    )
+
+
+def _sql_probe_list(bits: int = LSH_BITS) -> str:
+    """DuckDB twin of _probe_list (an unnest-able list literal)."""
+    flips = ", ".join(f"xor(qbucket, {1 << i})" for i in range(bits))
+    return f"[qbucket, {flips}]"
+
+
 def _sign_bucket(col: str = "embedding", bits: int = LSH_BITS) -> Column:
     """Sign-LSH bucket: one bit per leading dimension (1 iff component > 0).
     Nearby vectors land in the same bucket with high probability; a narrow
@@ -226,7 +242,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         q AS (SELECT bucket AS qbucket, embedding AS qe FROM b WHERE vec_id = 0),
         probes AS (
             SELECT qbucket, qe,
-                   unnest([qbucket, {", ".join(f"xor(qbucket, {1 << i})" for i in range(LSH_BITS))}]) AS pbucket
+                   unnest({_sql_probe_list()}) AS pbucket
             FROM q
         )
         SELECT b.vec_id, b.label, CAST(b.bucket AS BIGINT) AS bucket,
@@ -255,10 +271,7 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("qe")
     )
-    probe_buckets = F.array(
-        F.col("qbucket"), *[F.expr(f"qbucket ^ {1 << i}") for i in range(LSH_BITS)]
-    )
-    probes = q.select("qbucket", "qe", F.explode(probe_buckets).alias("pbucket"))
+    probes = q.select("qbucket", "qe", F.explode(_probe_list()).alias("pbucket"))
     return (
         b.filter(F.col("vec_id") != 0)
         .join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
@@ -570,7 +583,7 @@ def _sql_topk(cands: str, k: int = RECALL_K) -> str:
                 FROM b JOIN q ON b.bucket = q.qbucket AND b.vec_id <> q.qid),
         probes AS (
             SELECT qid, qe,
-                   unnest([qbucket, {", ".join(f"xor(qbucket, {1 << i})" for i in range(LSH_BITS))}]) AS pbucket
+                   unnest({_sql_probe_list()}) AS pbucket
             FROM q
         ),
         mp AS (SELECT p.qid, b.vec_id, {_sql_cosine('b.embedding', 'p.qe')} AS sim
@@ -630,10 +643,7 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("qid", "vec_id", cos)
     )
-    probe_buckets = F.array(
-        F.col("qbucket"), *[F.expr(f"qbucket ^ {1 << i}") for i in range(LSH_BITS)]
-    )
-    probes = q.select("qid", "qe", F.explode(probe_buckets).alias("pbucket"))
+    probes = q.select("qid", "qe", F.explode(_probe_list()).alias("pbucket"))
     mp = (
         b.join(
             F.broadcast(probes),

@@ -329,6 +329,26 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Contract of the running-totals stateful operator — shared with its
+#: cross-micro-batch test so the test can never drift from the graded
+#: entry (value quantization scale, output and state shapes).
+RUNNING_TOTALS_SCALE = 10000
+RUNNING_TOTALS_OUT_SCHEMA = "user_id long, n_events long, total_q long"
+RUNNING_TOTALS_STATE_SCHEMA = "n long, sq long"
+
+
+def quantize_event_values(df: DataFrame) -> DataFrame:
+    """(user_id, vq): value quantized to exact int64 DECIMAL(18,4)
+    ten-thousandths, JVM-side — the stateful fold then does only integer
+    arithmetic."""
+    return df.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * RUNNING_TOTALS_SCALE)
+        .cast("long")
+        .alias("vq"),
+    )
+
+
 def _running_totals_fn(key, pdf_iter, state):
     """Per-user running-total state machine for applyInPandasWithState:
     state = (n_events, total_q) as int64; each micro-batch folds its rows
@@ -376,26 +396,12 @@ def _running_totals_fn(key, pdf_iter, state):
 )
 def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql import types as T
 
-    stream = _events_stream(spark, sf_dir).select(
-        "user_id",
-        (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("vq"),
-    )
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("total_q", T.LongType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [T.StructField("n", T.LongType()), T.StructField("sq", T.LongType())]
-    )
+    stream = quantize_event_values(_events_stream(spark, sf_dir))
     updates = stream.groupBy("user_id").applyInPandasWithState(
         _running_totals_fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
+        outputStructType=RUNNING_TOTALS_OUT_SCHEMA,
+        stateStructType=RUNNING_TOTALS_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -409,7 +415,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            (F.col("total_q").cast("double") / 10000).alias("total_value"),
+            (F.col("total_q").cast("double") / RUNNING_TOTALS_SCALE).alias("total_value"),
         )
         .orderBy("user_id")
     )

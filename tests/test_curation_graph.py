@@ -19,6 +19,7 @@ from currency_etl_spark.queries.curation import (
 from currency_etl_spark.queries.graph import (
     PR_ITERS,
     PR_SCALE,
+    PR_TELEPORT_PCT,
     graph_pagerank_bipartite,
 )
 from currency_etl_spark.queries.vectors import (
@@ -98,7 +99,7 @@ def test_pq_codes_identity_on_codebook_vectors(spark, sf_dir):
 def test_pagerank_ranks_positive_and_damping_floor(spark, sf_dir):
     rows = graph_pagerank_bipartite(spark, sf_dir).collect()
     assert 0 < len(rows) <= 20
-    floor = (15 * PR_SCALE // 100) / PR_SCALE  # (1-d) teleport mass
+    floor = (PR_TELEPORT_PCT * PR_SCALE // 100) / PR_SCALE  # (1-d) teleport mass
     for r in rows:
         assert r["rank"] >= floor
         assert r["node_type"] in ("part", "supplier")

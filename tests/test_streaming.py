@@ -187,10 +187,15 @@ def test_quantized_running_totals_state_across_micro_batches(spark, sf_dir, tmp_
     batches emitted strictly increasing running counts — the proof the
     second batch read the first batch's state rather than restarting."""
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from currency_etl_spark.streaming.jobs import _running_totals_fn
+    from currency_etl_spark.streaming.jobs import (
+        RUNNING_TOTALS_OUT_SCHEMA,
+        RUNNING_TOTALS_SCALE,
+        RUNNING_TOTALS_STATE_SCHEMA,
+        _running_totals_fn,
+        quantize_event_values,
+    )
 
     src = tmp_path / "events_batches"
     events = table(spark, sf_dir, "events").select("user_id", "value").limit(300)
@@ -204,31 +209,17 @@ def test_quantized_running_totals_state_across_micro_batches(spark, sf_dir, tmp_
         ).parquet(str(src / f"b{i}"))
 
     schema = spark.read.parquet(str(src / "b0")).schema
-    stream = (
+    stream = quantize_event_values(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src / "b*"))
-        .select(
-            "user_id",
-            (F.col("value").cast("decimal(18,4)") * 10000).cast("long").alias("vq"),
-        )
-    )
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("total_q", T.LongType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [T.StructField("n", T.LongType()), T.StructField("sq", T.LongType())]
     )
     q = (
         stream.groupBy("user_id")
         .applyInPandasWithState(
             _running_totals_fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
+            outputStructType=RUNNING_TOTALS_OUT_SCHEMA,
+            stateStructType=RUNNING_TOTALS_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -247,7 +238,9 @@ def test_quantized_running_totals_state_across_micro_batches(spark, sf_dir, tmp_
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.sum((F.col("value").cast("decimal(18,4)") * 10000).cast("long")).alias("t"),
+            F.sum(
+                (F.col("value").cast("decimal(18,4)") * RUNNING_TOTALS_SCALE).cast("long")
+            ).alias("t"),
         )
         .collect()
     }
