@@ -126,14 +126,29 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _top_token_share(t: Column) -> Column:
-    """Share of the most frequent token: max over distinct tokens of that
-    token's occurrence count, divided by the token count. Per-document
-    higher-order functions — O(distinct × tokens) per row, bounded by
-    document length, no shuffle."""
-    counts = F.transform(
-        F.array_distinct(t), lambda u: F.size(F.filter(t, lambda x: x == u))
+    """Share of the most frequent token. Computed as the longest equal-run
+    in the SORTED token list via one linear fold — O(n log n + n) per
+    document instead of the naive O(distinct × tokens) count-per-distinct
+    (these lambdas run interpreted, so the constant factor matters: the
+    naive form measured ~3× slower on this entry at sf0.1). The oracle
+    states the same VALUE with the naive formulation — algorithm choice is
+    engine-local, the max frequency is identical."""
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    best = F.aggregate(
+        F.array_sort(t),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return F.array_max(counts).cast("double") / F.size(t)
+    return best.cast("double") / F.size(t)
 
 
 @register(
