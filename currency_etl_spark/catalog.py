@@ -103,9 +103,9 @@ PRIORITY_ORDER = [
     # agg/join refresh) for docs_dedup_survivors + lang_id_confusion
     # q4_order_priority rotated out (r2-green; q1/q3/q5 siblings in
     # window) for the new embedding_pq first row
-    "top_customers",
-    # topk_orders_per_segment rotated out (r2-green, plan-tested; top-k
-    # family held by in-window top_customers) for graph_pagerank_bipartite;
+    # top_customers and topk_orders_per_segment rotated out (r2-green,
+    # plan-tested, loader-independent) for events_sketch_rollup and
+    # graph_pagerank_bipartite;
     # rollup_segment_nation rotated out (r2-green; grouping_sets sibling
     # in window) for the new knn_recall_report first row
     "ref_rolling_avg7",
@@ -130,6 +130,7 @@ PRIORITY_ORDER = [
     "graph_pagerank_bipartite",
     "docs_dedup_survivors",
     "lang_id_confusion",
+    "events_sketch_rollup",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+

@@ -1633,3 +1633,62 @@ def events_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(touched), ev["hour_bucket"].eqNullSafe(touched["t_hour"]), "left_semi")
     )
     return kept.unionByName(recomputed).orderBy("hour_bucket", "event_type")
+
+
+@register(
+    "events_sketch_rollup",
+    oracle="""
+        -- the two-level sketch pipeline must land within tolerance of the
+        -- exact answer; the oracle's TRUE literal makes an out-of-tolerance
+        -- merge a hash mismatch (the approx_distinct_stats convention)
+        SELECT event_type,
+               count(DISTINCT CAST(ts AS DATE)) AS n_days,
+               count(DISTINCT user_id) AS exact_users,
+               TRUE AS merged_within_2pct
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("aggregate", "approx", "sketch"),
+    doc=(
+        "Mergeable-sketch rollup: per-(day, type) HyperLogLog sketches "
+        "(hll_sketch_agg) are UNIONED across days per type (hll_union_agg) "
+        "and the merged estimate is graded against the exact distinct "
+        "count. This is the re-aggregation property approx_distinct_stats "
+        "doesn't exercise: at 100 TB the daily sketches are a few KB each "
+        "in a rollup table, and any ad-hoc period (week, month, lifetime) "
+        "aggregates by sketch union WITHOUT rescanning events — register "
+        "maxima are commutative, so the merge is exact w.r.t. the sketch "
+        "and deterministic under any partitioning."
+    ),
+)
+def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type", "user_id"
+    )
+    # level 1: the stored daily rollup — one sketch per (day, type)
+    daily = e.groupBy("d", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    # level 2: ad-hoc period = union of daily sketches, no events rescan
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.02
+            ).alias("merged_within_2pct"),
+        )
+    )
