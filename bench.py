@@ -26,8 +26,8 @@ def materialize(df) -> None:
 
 #: Untimed warmup entries (JVM/codegen/stream-lifecycle one-time costs).
 #: tests/test_bench_contract.py asserts every name still exists in the
-#: catalog — a stale name here is silently skipped (try/except below),
-#: which would quietly un-warm the heaviest codegen units.
+#: catalog; the warmup loop additionally guards per name so one stale or
+#: failing entry cannot un-warm the ones after it.
 WARMUP_TIMED_SF = ("top_customers", "topk_orders_per_segment")
 WARMUP_TINY_SF = (
     "dedup_minhash_lsh",
@@ -87,10 +87,18 @@ def main() -> None:
             streaming_sessions(spark, tiny)
             streaming_dedup(spark, tiny)
             streaming_interval_join(spark, tiny)
-            for warm in WARMUP_TINY_SF:
-                materialize(catalog[warm].spark_fn(spark, tiny))
         except Exception:
             pass
+        # per-name guard + per-name try: one failing/renamed warmup entry
+        # must not un-warm the ones after it (the heaviest codegen units
+        # sit at the END of WARMUP_TINY_SF)
+        for warm in WARMUP_TINY_SF:
+            if warm not in catalog:
+                continue
+            try:
+                materialize(catalog[warm].spark_fn(spark, tiny))
+            except Exception:
+                pass
 
     # Two timed passes, per-query MIN, capped by a wall-clock budget.
     # The host occasionally has multi-second contention episodes that

@@ -1646,6 +1646,7 @@ def events_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(DISTINCT user_id) AS exact_users,
                TRUE AS merged_within_2pct
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY event_type
         ORDER BY event_type
     """,
@@ -1663,8 +1664,13 @@ def events_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("d"), "event_type", "user_id"
+    # NULL-ts rows are excluded in BOTH engines: Spark's groupBy would
+    # otherwise create a d=NULL daily group that the oracle's
+    # count(DISTINCT date) skips (the round-4 class of silent corpus drift)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("d"), "event_type", "user_id")
     )
     # level 1: the stored daily rollup — one sketch per (day, type)
     daily = e.groupBy("d", "event_type").agg(

@@ -57,6 +57,20 @@ def quantize_vec(col: str = "embedding") -> Column:
     )
 
 
+def seed_centroids(q: DataFrame, k: int) -> DataFrame:
+    """1-row broadcastable codebook: the first k vectors (vec_id < k) of a
+    (vec_id, qv)-shaped frame as sort_array(collect_list(struct(cid, cq))).
+    SINGLE definition of the deterministic seeding convention — the
+    kmeans_assign_step and trained-IVF (queries/vectors.py) oracles both
+    hardcode vec_id < k, so Spark-side seeding must never drift between
+    them."""
+    return (
+        q.filter(F.col("vec_id") < k)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("qv").alias("cq")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+
+
 def int_l2(a: Column, b: Column) -> Column:
     """Exact integer squared-L2 between two quantized vectors — summation-
     order-independent, so engine-portable with no float caveats."""
@@ -301,11 +315,7 @@ def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explosion to N×k, no argmin shuffle; the k-row mean aggregation below
     # is the iteration's ONLY exchange (array_min on struct<dist,cid> is
     # the lexicographic argmin, ties to the lowest cid).
-    cents = (
-        q.filter(F.col("vec_id") < KMEANS_K)
-        .select(F.struct(F.col("vec_id").alias("cid"), F.col("qv").alias("cq")).alias("c"))
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
+    cents = seed_centroids(q, KMEANS_K)
 
     def _dist_to(c):
         return int_l2(F.col("qv"), c["cq"])

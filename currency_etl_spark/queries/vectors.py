@@ -331,6 +331,7 @@ IVF_TOPK = 5
 # in queries/training.py (Q_SCALE) — see quantize_vec/int_l2 there
 from currency_etl_spark.queries.training import int_l2 as _dist_q  # noqa: E402
 from currency_etl_spark.queries.training import quantize_vec as _q_longs  # noqa: E402
+from currency_etl_spark.queries.training import seed_centroids  # noqa: E402
 
 
 def _dist_d(qv: Column, cm: Column) -> Column:
@@ -447,11 +448,7 @@ _SQL_DIST_Q = (
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", "label", _q_longs().alias("qv"))
-    cents0 = (
-        q.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(F.struct(F.col("vec_id").alias("cid"), F.col("qv").alias("cq")).alias("c"))
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
+    cents0 = seed_centroids(q.select("vec_id", "qv"), N_CENTROIDS)
     assigned0 = q.crossJoin(F.broadcast(cents0)).select(
         "vec_id",
         "qv",

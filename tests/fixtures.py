@@ -40,3 +40,24 @@ def write_raw_json(records: list[dict], path: str) -> str:
     with open(path, "w", encoding="utf-8") as f:
         json.dump(records, f, ensure_ascii=False, indent=2)
     return path
+
+
+def write_documents(tmpdir: str, rows: list) -> str:
+    """documents-shaped parquet from (doc_id, text, lang, source) rows —
+    the ONE fixture writer for the corpus `documents` schema, so a schema
+    change lands in every test that synthesizes documents (the round-4
+    corpus-drift lesson)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _, _, _ in rows], pa.int64()),
+            "text": pa.array([x for _, x, _, _ in rows], pa.string()),
+            "lang": pa.array([l for _, _, l, _ in rows], pa.string()),
+            "source": pa.array([s for _, _, _, s in rows], pa.string()),
+            "n_chars": pa.array([len(x) for _, x, _, _ in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "documents.parquet"))
+    return tmpdir

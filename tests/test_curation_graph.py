@@ -122,23 +122,11 @@ _VOCAB = ["alpha", "beta", "gamma", "delta"]
 
 
 def _write_texts(tmpdir: str, rows: list) -> str:
-    """documents-shaped parquet from explicit (doc_id, text) rows."""
-    import os
+    """(doc_id, text) rows → documents parquet via the shared fixture
+    writer (tests/fixtures.py)."""
+    from tests.fixtures import write_documents
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    t = pa.table(
-        {
-            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
-            "text": pa.array([x for _, x in rows], pa.string()),
-            "lang": pa.array(["xx"] * len(rows), pa.string()),
-            "source": pa.array(["s0"] * len(rows), pa.string()),
-            "n_chars": pa.array([len(x) for _, x in rows], pa.int64()),
-        }
-    )
-    pq.write_table(t, os.path.join(tmpdir, "documents.parquet"))
-    return tmpdir
+    return write_documents(tmpdir, [(d, x, "xx", "s0") for d, x in rows])
 
 
 def _py_shingles(text: str) -> list:

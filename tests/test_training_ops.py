@@ -151,23 +151,17 @@ _PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(Healt
 
 
 def _write_docs(tmpdir: str, docs: list) -> str:
-    """documents-shaped parquet: (doc_id, text, lang, source, n_chars)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-    import os
+    """(doc_id, n_tokens, lang, source) → documents parquet of n-token
+    texts, via the shared fixture writer (tests/fixtures.py)."""
+    from tests.fixtures import write_documents
 
-    text = ["w " * max(0, n - 1) + ("w" if n else "") for _, n, _, _ in docs]
-    t = pa.table(
-        {
-            "doc_id": pa.array([d for d, _, _, _ in docs], pa.int64()),
-            "text": pa.array(text, pa.string()),
-            "lang": pa.array([l for _, _, l, _ in docs], pa.string()),
-            "source": pa.array([s for _, _, _, s in docs], pa.string()),
-            "n_chars": pa.array([len(x) for x in text], pa.int64()),
-        }
+    return write_documents(
+        tmpdir,
+        [
+            (d, "w " * max(0, n - 1) + ("w" if n else ""), l, s)
+            for d, n, l, s in docs
+        ],
     )
-    pq.write_table(t, os.path.join(tmpdir, "documents.parquet"))
-    return tmpdir
 
 
 @given(
