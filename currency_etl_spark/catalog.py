@@ -97,7 +97,9 @@ PRIORITY_ORDER = [
     "events_pivot_by_type",
     "events_sessionize",
     "events_type_transitions",
-    "events_range_join_binned",
+    # events_range_join_binned rotated out (r2-green; the loader change is
+    # proven by ~20 in-window events consumers and the in-window as-of
+    # twins) for the new events_anomaly_mad first row
     "q1_pricing_summary",
     # q3/q5 rotated out (r2-green, plan-tested; q1 carries the TPC-H
     # agg/join refresh) for docs_dedup_survivors + lang_id_confusion
@@ -131,6 +133,7 @@ PRIORITY_ORDER = [
     "docs_dedup_survivors",
     "lang_id_confusion",
     "events_sketch_rollup",
+    "events_anomaly_mad",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+

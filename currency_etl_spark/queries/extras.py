@@ -1698,3 +1698,66 @@ def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_within_2pct"),
         )
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+        WITH m1 AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        d AS (
+            SELECT e.event_type, abs(e.value - m1.med) AS dev, m1.med
+            FROM events e JOIN m1 USING (event_type)
+        ),
+        m2 AS (
+            SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM d GROUP BY event_type
+        )
+        SELECT d.event_type,
+               count(*) AS n_events,
+               round(min(d.med), 6) AS med,
+               round(min(m2.mad), 6) AS mad,
+               CAST(count(*) FILTER (WHERE d.dev > 3 * m2.mad) AS BIGINT) AS n_outliers,
+               round(CAST(count(*) FILTER (WHERE d.dev > 3 * m2.mad) AS DOUBLE)
+                     / count(*), 6) AS outlier_rate
+        FROM d JOIN m2 USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    tags=("aggregate", "quality", "timeseries"),
+    doc=(
+        "Robust outlier detection per event type: median / MAD (median "
+        "absolute deviation) with a 3-MAD fence — the data-quality gate "
+        "that, unlike mean/stddev z-scores, outliers themselves cannot "
+        "drag. Three passes, each a per-type aggregate with the tiny "
+        "(|types|-row) stats broadcast back — at 100 TB the fact table is "
+        "scanned, never shuffled, and exact percentile() can be swapped "
+        "for approx_percentile when the tolerance budget allows "
+        "(approx_distinct_stats shows that form). Exact percentile() "
+        "matches DuckDB quantile_cont bit-for-bit on doubles, so the "
+        "fence comparisons agree exactly."
+    ),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    m1 = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    d = e.join(F.broadcast(m1), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    m2 = d.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    j = d.join(F.broadcast(m2), "event_type")
+    is_out = F.col("dev") > 3 * F.col("mad")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count_if(is_out).alias("n_outliers"),
+            F.round(F.count_if(is_out).cast("double") / F.count(F.lit(1)), 6).alias(
+                "outlier_rate"
+            ),
+        )
+    )
