@@ -138,6 +138,20 @@ HEADLINERS = {
         "narrow projection — no Exchange after the broadcast, so the "
         "corpus is scanned exactly once."
     ),
+    "graph_pagerank_bipartite": (
+        "Iterative PageRank. Check: the edge list (with window-derived "
+        "degrees) reads from ONE checkpointed relation (ExistingRDD) in "
+        "every iteration — no parquet re-scan per round; each round is "
+        "one join + integer partial_sum exchange; the final top-k is "
+        "TakeOrderedAndProject, never a global sort."
+    ),
+    "events_sketch_rollup": (
+        "Mergeable-sketch rollup. Check: two aggregation levels — "
+        "partial/final hll_sketch_agg per (day, type), then "
+        "hll_union_agg per type over the daily sketches; the events "
+        "scan happens once per branch and the merge level's input is "
+        "sketch-sized (days × types rows), not event-sized."
+    ),
 }
 
 
