@@ -94,7 +94,8 @@ PRIORITY_ORDER = [
     # --- last graded round 2: events consumers first (their loader input
     #     path changed this round), then the heaviest multi-operator plans ---
     "events_hourly",
-    "events_pivot_by_type",
+    # events_pivot_by_type rotated out (r2-green; ~20 events consumers
+    # remain in-window to prove the loader) for docs_curation_pipeline
     "events_sessionize",
     "events_type_transitions",
     # events_range_join_binned rotated out (r2-green; the loader change is
@@ -134,6 +135,7 @@ PRIORITY_ORDER = [
     "lang_id_confusion",
     "events_sketch_rollup",
     "events_anomaly_mad",
+    "docs_curation_pipeline",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+

@@ -282,3 +282,78 @@ def docs_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_subword"
         ),
     )
+
+
+@register(
+    "docs_curation_pipeline",
+    oracle=None,  # composed below from the three stage oracles
+    tags=("llm", "curation", "composite"),
+    doc=(
+        "The end-to-end curation pipeline as ONE composed plan: quality "
+        "filter (passes) ∧ decontamination (not flagged, eval split "
+        "excluded) ∧ near-dup survivor election (kept), reported as the "
+        "final corpus's per-language document/token mixture. This is what "
+        "a training-data team actually ships — the stage entries are its "
+        "unit tests. Composition is doc_id semi-joins of the stage "
+        "outputs (each stage's verdict column), so Catalyst plans the "
+        "whole pipeline together; at 100 TB the verdict frames are "
+        "key+boolean only and the corpus text is scanned once for the "
+        "final token count."
+    ),
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    from currency_etl_spark.queries.llm_ops import docs_dedup_survivors
+
+    docs = table(spark, sf_dir, "documents")
+    qf = docs_quality_filter(spark, sf_dir).filter("passes").select("doc_id")
+    dc = (
+        docs_decontaminate(spark, sf_dir)
+        .filter(~F.col("flagged"))
+        .select("doc_id")
+    )
+    sv = docs_dedup_survivors(spark, sf_dir).filter("kept").select("doc_id")
+    base = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    kept = base.join(qf, "doc_id").join(dc, "doc_id").join(sv, "doc_id")
+    agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    total = F.sum("n_docs").over(_W.partitionBy())
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / total, 6).alias("doc_share"),
+    )
+
+
+# single source of truth: the pipeline oracle wraps the three stage
+# oracles as derived tables (decontamination's training-split restriction
+# also excludes the eval docs from the final corpus)
+from currency_etl_spark.catalog import CATALOG as _CATALOG  # noqa: E402
+
+_CATALOG["docs_curation_pipeline"].oracle = f"""
+    WITH qf AS ({_CATALOG["docs_quality_filter"].oracle}),
+    dc AS ({_CATALOG["docs_decontaminate"].oracle}),
+    sv AS ({_CATALOG["docs_dedup_survivors"].oracle}),
+    kept AS (
+        SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_tokens
+        FROM documents d
+        JOIN qf ON d.doc_id = qf.doc_id AND qf.passes
+        JOIN dc ON d.doc_id = dc.doc_id AND NOT dc.flagged
+        JOIN sv ON d.doc_id = sv.doc_id AND sv.kept
+    ),
+    agg AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM kept GROUP BY lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share
+    FROM agg
+    ORDER BY lang
+"""
