@@ -176,3 +176,39 @@ def test_decontaminate_matches_python_reference(spark, tmp_path_factory, docs):
         for r in docs_decontaminate(spark, d).collect()
     }
     assert got == want
+
+
+def test_curation_pipeline_equals_stage_intersection(spark, sf_dir):
+    """The composed pipeline must equal the manual intersection of its
+    three stage verdicts — computed independently here from the stage
+    entries' own outputs (the oracle checks values; this pins the
+    composition semantics: inner joins on doc_id, eval split excluded)."""
+    from currency_etl_spark.queries.curation import docs_curation_pipeline
+    from currency_etl_spark.queries.llm_ops import docs_dedup_survivors
+
+    qf_pass = {
+        r["doc_id"] for r in docs_quality_filter(spark, sf_dir).collect() if r["passes"]
+    }
+    dc_clean = {
+        r["doc_id"]
+        for r in docs_decontaminate(spark, sf_dir).collect()
+        if not r["flagged"]
+    }
+    sv_kept = {
+        r["doc_id"] for r in docs_dedup_survivors(spark, sf_dir).collect() if r["kept"]
+    }
+    keep = qf_pass & dc_clean & sv_kept
+    docs = {
+        r["doc_id"]: (r["lang"], len(r["text"].split(" ")))
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    want: dict = {}
+    for d in keep:
+        lang, n = docs[d]
+        cnt, tok = want.get(lang, (0, 0))
+        want[lang] = (cnt + 1, tok + n)
+    got = {
+        r["lang"]: (r["n_docs"], r["n_tokens"])
+        for r in docs_curation_pipeline(spark, sf_dir).collect()
+    }
+    assert got == want
