@@ -1761,3 +1761,75 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                             OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM g
+        ),
+        sess AS (
+            SELECT user_id, sid, count(*) AS n_events,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_s
+            FROM s GROUP BY user_id, sid
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS singleton_sessions,
+               round(quantile_cont(dur_s, 0.5), 6) AS med_duration_s,
+               round(quantile_cont(dur_s, 0.9), 6) AS p90_duration_s,
+               round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_events_per_session
+        FROM sess
+    """,
+    tags=("timeseries", "session", "aggregate"),
+    doc=(
+        "Session-duration distribution: gap-based sessionization (the "
+        "events_sessionize / streaming_sessions convention, 30-min gap) "
+        "rolled up to corpus-level health stats — session count, "
+        "single-event bounce sessions, median/p90 duration, events per "
+        "session. One window shuffle on user_id + one (user, sid) "
+        "aggregate reusing the same partitioning, then a scalar collapse "
+        "of session-count-sized data. Durations derive from integer "
+        "epoch-微s diffs so both engines compute identical doubles; exact "
+        "percentile() matches quantile_cont bit-for-bit."
+    ),
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us >= 1800000000), 1
+    ).otherwise(0)
+    s = e.withColumn(
+        "sid",
+        F.sum(is_new).over(w.rowsBetween(_W.unboundedPreceding, 0)).cast("long"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1000000.0
+        ).alias("dur_s"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_if(F.col("n_events") == 1).alias("singleton_sessions"),
+        F.round(F.expr("percentile(dur_s, 0.5)"), 6).alias("med_duration_s"),
+        F.round(F.expr("percentile(dur_s, 0.9)"), 6).alias("p90_duration_s"),
+        F.round(F.sum("n_events").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_events_per_session"
+        ),
+    )
