@@ -1833,3 +1833,44 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_events_per_session"
         ),
     )
+
+
+@register(
+    "orders_weekday_seasonality",
+    oracle="""
+        SELECT CAST(date_part('isodow', o_orderdate) AS BIGINT) AS isodow,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6) AS order_share
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("aggregate", "timeseries", "date"),
+    doc=(
+        "Order seasonality by ISO weekday (1=Mon..7=Sun): volume, exact-"
+        "decimal revenue, and each weekday's share of orders. One partial/"
+        "final aggregate to 7 groups plus a broadcast-sized share window — "
+        "scan-bound at any scale. Spark's weekday() (0=Mon) + 1 equals "
+        "DuckDB's isodow, pinned explicitly instead of relying on either "
+        "engine's 1=Sunday dayofweek()."
+    ),
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    o = table(spark, sf_dir, "orders").select(
+        (F.weekday("o_orderdate") + 1).cast("long").alias("isodow"), "o_totalprice"
+    )
+    agg = o.groupBy("isodow").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+    )
+    return agg.select(
+        "isodow",
+        "n_orders",
+        "revenue",
+        F.round(
+            F.col("n_orders").cast("double") / F.sum("n_orders").over(_W.partitionBy()), 6
+        ).alias("order_share"),
+    )

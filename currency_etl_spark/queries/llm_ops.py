@@ -1537,3 +1537,47 @@ CATALOG["lang_id_confusion"].oracle = f"""
     GROUP BY labeled_lang, predicted_lang
     ORDER BY labeled_lang, predicted_lang
 """
+
+
+@register(
+    "dedup_graph_degree_stats",
+    oracle=None,  # composed below from the dedup_minhash_lsh oracle
+    tags=("llm", "dedup", "graph", "eval"),
+    doc=(
+        "Candidate-graph degree distribution — the dedup diagnostics run "
+        "BEFORE clustering: how many near-dup partners each document has, "
+        "as a degree histogram. A heavy tail here means the LSH band "
+        "width / DF_CAP need retuning before the pair list explodes; at "
+        "100 TB this is the cheap health check (pairs are already "
+        "banded+capped, the histogram is two key-only aggregations) that "
+        "gates the expensive verify/cluster stages."
+    ),
+)
+def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+CATALOG["dedup_graph_degree_stats"].oracle = f"""
+    WITH pairs AS ({CATALOG["dedup_minhash_lsh"].oracle}),
+    ends AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+    ),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM ends GROUP BY doc_id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg
+    GROUP BY degree
+    ORDER BY degree
+"""
