@@ -212,3 +212,48 @@ def test_curation_pipeline_equals_stage_intersection(spark, sf_dir):
         for r in docs_curation_pipeline(spark, sf_dir).collect()
     }
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcdefg", min_size=1, max_size=13), min_size=1, max_size=8
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@_PROP
+def test_subword_tokens_matches_python_reference(spark, tmp_path_factory, texts):
+    """Whitespace/subword/unique counts and both ratios hold for ARBITRARY
+    word lengths (1..13 chars — crossing the ceil(len/4) boundaries) and
+    repetition patterns, vs an independent Python reference."""
+    import math
+
+    from currency_etl_spark.queries.curation import SUBWORD_CHARS, docs_subword_tokens
+
+    d = str(tmp_path_factory.mktemp("prop_subword"))
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    _write_texts(d, rows)
+    want = {}
+    for i, ws in enumerate(texts):
+        text = " ".join(ws)
+        sub = sum(math.ceil(len(w) / SUBWORD_CHARS) for w in ws)
+        want[i] = (
+            len(ws),
+            sub,
+            len(set(ws)),
+            round(len(set(ws)) / len(ws), 6),
+            round(len(text) / sub, 6),
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens_ws"],
+            r["n_tokens_subword"],
+            r["n_unique"],
+            r["type_token_ratio"],
+            r["chars_per_subword"],
+        )
+        for r in docs_subword_tokens(spark, d).collect()
+    }
+    assert got == want
