@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from currency_etl_spark.catalog import register
+from currency_etl_spark.catalog import CATALOG, register
 from currency_etl_spark.sources import table
 
 
@@ -1874,3 +1874,46 @@ def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("double") / F.sum("n_orders").over(_W.partitionBy()), 6
         ).alias("order_share"),
     )
+
+
+@register(
+    "events_scd2_asof",
+    oracle=None,  # composed below from the events_scd2_history oracle
+    tags=("scd2", "asof", "window"),
+    doc=(
+        "Point-in-time (time-travel) lookup over the SCD2 history — the "
+        "query the versioned intervals exist to serve: each user's state "
+        "valid AS OF an anchor instant (max event time minus 7 days — "
+        "data-anchored, never wall-clock). Composes events_scd2_history; "
+        "the anchor is a 1-row broadcast scalar, the validity predicate "
+        "is a narrow filter over the history, so the whole lookup adds "
+        "zero shuffles to the history's single user_id exchange. At "
+        "100 TB the history is stored partitioned by valid_from date and "
+        "the same predicate prunes to the anchor's partitions."
+    ),
+)
+def events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = events_scd2_history(spark, sf_dir)
+    anchor = (
+        table(spark, sf_dir, "events")
+        .agg(F.expr("max(ts) - INTERVAL 7 DAYS").alias("t0"))
+    )
+    return (
+        hist.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("valid_from") <= F.col("t0"))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("t0")))
+        )
+        .select("user_id", "event_type", "valid_from", "version")
+    )
+
+
+CATALOG["events_scd2_asof"].oracle = f"""
+    WITH hist AS ({CATALOG["events_scd2_history"].oracle}),
+    anchor AS (SELECT max(ts) - INTERVAL 7 DAY AS t0 FROM events)
+    SELECT h.user_id, h.event_type, h.valid_from, h.version
+    FROM hist h, anchor
+    WHERE h.valid_from <= anchor.t0
+      AND (h.valid_to IS NULL OR h.valid_to > anchor.t0)
+    ORDER BY h.user_id
+"""
