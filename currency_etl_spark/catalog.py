@@ -95,8 +95,9 @@ PRIORITY_ORDER = [
     #     path changed this round), then the heaviest multi-operator plans ---
     "events_hourly",
     # events_pivot_by_type rotated out (r2-green; ~20 events consumers
-    # remain in-window to prove the loader) for docs_curation_pipeline
-    "events_sessionize",
+    # remain in-window to prove the loader) for docs_curation_pipeline;
+    # events_sessionize rotated out (r2-green; streaming_sessions is its
+    # in-window oracle twin) for streaming_scd2
     "events_type_transitions",
     # events_range_join_binned rotated out (r2-green; the loader change is
     # proven by ~20 in-window events consumers and the in-window as-of
@@ -136,6 +137,7 @@ PRIORITY_ORDER = [
     "events_sketch_rollup",
     "events_anomaly_mad",
     "docs_curation_pipeline",
+    "streaming_scd2",
     # Deferred to r6 on standing r2-green rows (window full; each family
     # holds an r4-green or in-window sibling; the ref_* six DO read the
     # events loader changed this round, but that path is exercised by 20+

@@ -419,3 +419,107 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _scd2_fn(key, pdf_iter, state):
+    """Per-user SCD2 change detector for applyInPandasWithState: state is
+    (current_type, current_valid_from_us, version); each micro-batch is
+    sorted by (ts, event_id) — the stream is an append-ordered log ACROSS
+    batches (the standard CDC ingestion contract), and the sort makes
+    within-batch arrival order irrelevant — and every type CHANGE emits
+    one immutable version row. Timestamps travel as int64 micros so the
+    state never holds engine-specific time types."""
+    import pandas as pd
+
+    if state.exists:
+        cur_type, _cur_from, version = state.get
+    else:
+        cur_type, _cur_from, version = None, 0, 0
+    frames = [pdf for pdf in pdf_iter]
+    rows = pd.concat(frames).sort_values(["ts_us", "event_id"])
+    out_type, out_from, out_ver = [], [], []
+    for t_us, et in zip(rows["ts_us"], rows["event_type"]):
+        if cur_type is None or et != cur_type:
+            version += 1
+            cur_type = et
+            _cur_from = int(t_us)
+            out_type.append(et)
+            out_from.append(int(t_us))
+            out_ver.append(version)
+    state.update((cur_type, _cur_from, version))
+    if out_ver:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ver),
+                "event_type": out_type,
+                "valid_from_us": out_from,
+                "version": out_ver,
+            }
+        )
+
+
+@register(
+    "streaming_scd2",
+    oracle=None,  # bound below to the batch history oracle — exact twin
+    tags=("streaming", "stateful", "scd2", "custom"),
+    doc=(
+        "Streaming SCD2 — CDC interval-building as a custom stateful "
+        "operator: applyInPandasWithState tracks each user's current "
+        "type/version in the state store and emits one immutable row per "
+        "change; the batch rollup closes intervals (lead over the emitted "
+        "versions) exactly like the batch events_scd2_history, whose "
+        "oracle grades this entry verbatim. The contract is an append-"
+        "ordered log per key across micro-batches (standard CDC); within "
+        "a batch arrival order is irrelevant (sorted in the fold). State "
+        "is one (type, from, version) triple per user — O(entities), not "
+        "O(events) — so dimension history maintains itself incrementally "
+        "at 100 TB instead of being rebuilt by nightly backfills."
+    ),
+)
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    changes = stream.groupBy("user_id").applyInPandasWithState(
+        _scd2_fn,
+        outputStructType="user_id long, event_type string, valid_from_us long, version long",
+        stateStructType="cur_type string, cur_from long, version long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_memory(spark, changes, "streaming_scd2_out", mode="update")
+    # close the intervals: version order IS (ts, event_id) order by
+    # construction, so lead over version reproduces the batch history
+    w = W.partitionBy("user_id").orderBy("version")
+    return (
+        sink.select(
+            "user_id",
+            "event_type",
+            F.timestamp_micros("valid_from_us").alias("valid_from"),
+            "version",
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+            "version",
+            F.lead("valid_from").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+from currency_etl_spark.catalog import CATALOG as _CATALOG  # noqa: E402
+# imported for its registration side effect: Python workers re-import this
+# module to unpickle _scd2_fn, and the binding below must resolve there
+# too, regardless of module import order
+from currency_etl_spark.queries import extras as _extras  # noqa: E402, F401
+
+_CATALOG["streaming_scd2"].oracle = _CATALOG["events_scd2_history"].oracle

@@ -261,3 +261,78 @@ def test_quantized_running_totals_state_across_micro_batches(spark, sf_dir, tmp_
     }
     assert got == want
     assert multi_emit > 0  # at least one user genuinely crossed batches
+
+
+def test_streaming_scd2_versions_continue_across_micro_batches(spark, sf_dir, tmp_path):
+    """The SCD2 state machine must continue version numbering and change
+    detection ACROSS micro-batches under the append-ordered-log contract:
+    split events into two time-ordered files, drive them as separate
+    batches (maxFilesPerTrigger=1, mtimes pinned so file order == time
+    order), and assert the emitted history equals the batch
+    events_scd2_history over the same rows — including versions that
+    straddle the batch boundary, and NO duplicate (user, version) rows."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from currency_etl_spark.streaming.jobs import _scd2_fn
+
+    src = tmp_path / "scd2_batches"
+    events = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cut = events.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    early = events.filter(F.unix_micros("ts") <= cut)
+    late = events.filter(F.unix_micros("ts") > cut)
+    early.coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    late.coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    now = time.time()
+    for i, b in enumerate(("b0", "b1")):  # file order == event-time order
+        for f in (src / b).iterdir():
+            os.utime(f, (now + i * 10, now + i * 10))
+
+    schema = spark.read.parquet(str(src / "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "b*"))
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type")
+    )
+    q = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_fn,
+            outputStructType="user_id long, event_type string, valid_from_us long, version long",
+            stateStructType="cur_type string, cur_from long, version long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("scd2_xbatch_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("scd2_xbatch_out").collect()
+    got = {(r["user_id"], r["version"]): (r["event_type"], r["valid_from_us"]) for r in emitted}
+    assert len(got) == len(emitted)  # a version is emitted exactly once
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        events.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .withColumn(
+            "version",
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+            .cast("long"),
+        )
+        .select("user_id", "event_type", F.unix_micros("ts").alias("vf"), "version")
+    )
+    want = {(r["user_id"], r["version"]): (r["event_type"], r["vf"]) for r in hist.collect()}
+    assert got == want
