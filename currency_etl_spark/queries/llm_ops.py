@@ -1581,3 +1581,69 @@ CATALOG["dedup_graph_degree_stats"].oracle = f"""
     GROUP BY degree
     ORDER BY degree
 """
+
+
+@register(
+    "docs_embedding_coverage",
+    oracle="""
+        SELECT d.lang,
+               count(*) AS n_docs,
+               CAST(count(e.vec_id) AS BIGINT) AS n_embedded,
+               round(CAST(count(e.vec_id) AS DOUBLE) / count(*), 6) AS coverage,
+               CAST(coalesce(sum(
+                   CASE WHEN e.vec_id IS NOT NULL THEN CAST(round(sqrt(list_reduce(
+                       list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE),
+                       (a, b) -> a + b)) * 1000000) AS BIGINT) END), 0) AS DOUBLE)
+                   / 1000000 AS sum_norms
+        FROM documents d
+        LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """,
+    tags=("llm", "vector", "join", "audit"),
+    doc=(
+        "Text↔vector store coverage audit: per language, how many "
+        "documents have an embedding row (doc_id = vec_id linkage) and "
+        "the summed L2 norms of the covered vectors — the join-health "
+        "check run before any retrieval/dedup stage trusts the vector "
+        "store. One equi-join shuffle keyed on the id; at 100 TB both "
+        "sides are bucketed on the id and the join is co-located. Norm "
+        "folds are index-ordered per vector (bit-identical across "
+        "engines) and quantized to int64 millionths before the group "
+        "sum, so the cross-partition summation is exact in any order."
+    ),
+)
+def docs_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    # per-vector norms are bit-identical in both engines (index-ordered
+    # folds); quantize each to int64 millionths BEFORE the group sum so
+    # the cross-partition summation is exact integer math in any order
+    # (the catalog's decimal-sum rule, in the quantize_vec convention)
+    j = d.join(e, d.doc_id == e.vec_id, "left").select(
+        "lang",
+        "vec_id",
+        F.when(
+            F.col("vec_id").isNotNull(), F.round(norm * 1000000).cast("long")
+        ).alias("norm_q"),
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("vec_id").alias("n_embedded"),
+            F.round(F.count("vec_id").cast("double") / F.count(F.lit(1)), 6).alias(
+                "coverage"
+            ),
+            (
+                F.coalesce(F.sum("norm_q"), F.lit(0)).cast("double") / 1000000
+            ).alias("sum_norms"),
+        )
+    )
