@@ -257,3 +257,65 @@ def test_subword_tokens_matches_python_reference(spark, tmp_path_factory, texts)
         for r in docs_subword_tokens(spark, d).collect()
     }
     assert got == want
+
+
+def test_scd2_asof_is_consistent_with_history(spark, sf_dir):
+    """The as-of lookup must return exactly one interval per user active
+    before the anchor, and that interval must contain the anchor."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import events_scd2_asof, events_scd2_history
+
+    t0 = (
+        table(spark, sf_dir, "events")
+        .agg(F.expr("max(ts) - INTERVAL 7 DAYS").alias("t0"))
+        .collect()[0]["t0"]
+    )
+    hist = events_scd2_history(spark, sf_dir).collect()
+    active_users = {r["user_id"] for r in hist if r["valid_from"] <= t0}
+    got = events_scd2_asof(spark, sf_dir).collect()
+    assert {r["user_id"] for r in got} == active_users
+    assert len(got) == len(active_users)  # exactly one interval each
+    by_key = {(r["user_id"], r["version"]): r for r in hist}
+    for r in got:
+        h = by_key[(r["user_id"], r["version"])]
+        assert h["valid_from"] <= t0
+        assert h["valid_to"] is None or h["valid_to"] > t0
+
+
+def test_embedding_coverage_totals(spark, sf_dir):
+    """Coverage cells must sum to the corpus and the vector-store overlap."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.llm_ops import docs_embedding_coverage
+
+    rows = docs_embedding_coverage(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    doc_ids = table(spark, sf_dir, "documents").select("doc_id")
+    vec_ids = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    n_overlap = doc_ids.join(vec_ids, "doc_id").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_embedded"] for r in rows) == n_overlap
+    for r in rows:
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["sum_norms"] >= 0.0
+        assert (r["n_embedded"] == 0) == (r["sum_norms"] == 0.0)
+
+
+def test_sketch_rollup_tolerance_holds_at_larger_sf(spark):
+    """The merged-sketch estimate stays within its graded tolerance at the
+    bench SF too (150→~1500 users — past the HLL sparse-exact regime at
+    least at the largest local corpus available)."""
+    import os
+
+    from currency_etl_spark.queries.extras import events_sketch_rollup
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        import pytest
+
+        pytest.skip("sf0.1 corpus not present")
+    rows = events_sketch_rollup(spark, sf_dir).collect()
+    assert rows and all(r["merged_within_2pct"] for r in rows)
