@@ -45,6 +45,17 @@ def get_spark(app_name: str = "currency_etl_spark", cpus: int | None = None) -> 
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # HotSpot never JIT-compiles a method over 8000 bytecodes
+        # (-XX:DontCompileHugeMethods, on by default) — wide codegen units
+        # (the 16-min signature aggregate, 8-agg decimal rollups) exceed
+        # that, so their generated mega-method runs interpreted FOREVER
+        # while C2 burns ~30 s of background CPU on the rest of the class,
+        # taxing the queries that follow (measured: the query after the
+        # MinHash verify stage ran 10x slow with the default 65535 limit).
+        # Capping at the JIT threshold makes Catalyst fall back to the
+        # split/interpreted path for those few operators only — measured
+        # 2x on a mixed catalog sweep, and the win grows with catalog size.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ces_spark_warehouse"))
         .config("spark.sql.parquet.compression.codec", "snappy")
