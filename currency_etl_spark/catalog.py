@@ -88,36 +88,30 @@ PRIORITY_ORDER = [
     "docs_deterministic_sample",
     "events_cohort_retention",
     "grouping_sets_custom",
-    # --- internals changed in round 5 (numpy-vectorized _byte_histogram;
-    #     output should be bit-identical — re-grade as insurance) ---
-    "multimodal_features",
-    # --- last graded round 2: events consumers first (their loader input
-    #     path changed this round), then the heaviest multi-operator plans ---
-    "events_hourly",
-    # events_pivot_by_type rotated out (r2-green; ~20 events consumers
-    # remain in-window to prove the loader) for docs_curation_pipeline;
-    # events_sessionize rotated out (r2-green; streaming_sessions is its
-    # in-window oracle twin) for streaming_scd2
-    "events_type_transitions",
-    # events_range_join_binned rotated out (r2-green; the loader change is
-    # proven by ~20 in-window events consumers and the in-window as-of
-    # twins) for the new events_anomaly_mad first row
-    "q1_pricing_summary",
-    # q3/q5 rotated out (r2-green, plan-tested; q1 carries the TPC-H
-    # agg/join refresh) for docs_dedup_survivors + lang_id_confusion
-    # q4_order_priority rotated out (r2-green; q1/q3/q5 siblings in
-    # window) for the new embedding_pq first row
-    # top_customers and topk_orders_per_segment rotated out (r2-green,
-    # plan-tested, loader-independent) for events_sketch_rollup and
-    # graph_pagerank_bipartite;
-    # rollup_segment_nation rotated out (r2-green; grouping_sets sibling
-    # in window) for the new knn_recall_report first row
-    "ref_rolling_avg7",
-    "ref_forecast5",
-    # --- new in round 5 (no driver row yet) → first-row entries outrank
-    #     refreshes; set_customers_both_statuses / cust_above_nation_avg /
-    #     tfidf_top_terms / docs_clean_corpus rotated out to make room
-    #     (each holds an r2-green row and an in-window family sibling) ---
+    # Refresh entries rotated out late in round 5 for the second new-entry
+    # batch (first-row entries outrank refreshes; every rotated entry
+    # holds a standing green row and is re-verified locally each run):
+    #   multimodal_features (r4-green; the numpy _byte_histogram rewrite
+    #     is output-identical and oracle-verified at sf0.001/sf0.01),
+    #   events_hourly / events_type_transitions / q1_pricing_summary
+    #     (r2-green; the loader fix is proven by the 16 red-in-r4 events
+    #     entries above, and q1 is additionally the entry() smoke the
+    #     driver runs every round),
+    #   ref_rolling_avg7 / ref_forecast5 (r1/r2-green; with these out the
+    #     whole ref_* family defers on standing rows + local verification).
+    # Earlier round-5 rotations (events_pivot_by_type, events_sessionize,
+    # events_range_join_binned, q3/q4/q5, top_customers,
+    # topk_orders_per_segment, rollup_segment_nation,
+    # set_customers_both_statuses, cust_above_nation_avg, tfidf_top_terms,
+    # docs_clean_corpus) — all r2-green with in-window family siblings.
+    # --- new in round 5, second batch (no driver row yet) ---
+    "dedup_incremental",
+    "bpe_pair_merge",
+    "docs_weighted_sample",
+    "events_scd2_fact_version",
+    "events_sliding_wau",
+    "orders_benford",
+    # --- new in round 5, first batch (no driver row yet) ---
     "docs_sequence_pack",
     "docs_domain_cap",
     "docs_mixture_report",

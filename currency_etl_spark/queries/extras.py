@@ -1917,3 +1917,175 @@ CATALOG["events_scd2_asof"].oracle = f"""
       AND (h.valid_to IS NULL OR h.valid_to > anchor.t0)
     ORDER BY h.user_id
 """
+
+
+@register(
+    "orders_benford",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+            FROM orders
+            WHERE o_totalprice >= 1
+        ),
+        counted AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+        )
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share,
+               round(log10(1.0 + 1.0 / digit), 6) AS benford,
+               round(CAST(n AS DOUBLE) / sum(n) OVER () - log10(1.0 + 1.0 / digit), 6) AS delta
+        FROM counted
+        ORDER BY digit
+    """,
+    tags=("quality", "profiling"),
+    doc=(
+        "Benford's-law first-digit audit over order totals — the classic "
+        "fabricated-data / unit-mixup detector a data-quality gate runs "
+        "over monetary columns. The leading digit comes from exact integer "
+        "formatting (floor -> bigint -> string), never floating log10 of "
+        "the value, so the digit assignment is bit-identical across "
+        "engines; shares and the Benford expectation log10(1+1/d) are "
+        "computed from exact counts. One groupBy on a 9-value key + a "
+        "1-partition window over 9 rows — at 100 TB the map-side partial "
+        "agg reduces everything before the single tiny shuffle."
+    ),
+)
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    counted = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n").over(W.partitionBy())
+    share = F.col("n").cast("double") / total
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counted.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(benford, 6).alias("benford"),
+        F.round(share - benford, 6).alias("delta"),
+    ).orderBy("digit")
+
+
+@register(
+    "events_sliding_wau",
+    oracle="""
+        WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        days AS (SELECT DISTINCT d AS day FROM pairs),
+        agg AS (
+            SELECT days.day,
+                   CAST(count(DISTINCT CASE WHEN p.d = days.day THEN p.user_id END) AS BIGINT) AS dau,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau7
+            FROM days JOIN pairs p
+              ON p.d <= days.day AND p.d >= days.day - INTERVAL 6 DAY
+            GROUP BY days.day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau7,
+               round(CAST(dau AS DOUBLE) / wau7, 6) AS stickiness
+        FROM agg
+        ORDER BY day
+    """,
+    tags=("events", "window", "distinct"),
+    doc=(
+        "Sliding 7-day distinct active users (WAU) plus same-day DAU and "
+        "the DAU/WAU stickiness ratio, per day. Sliding COUNT(DISTINCT) "
+        "can't ride a window frame, so the scalable shape is: dedup the "
+        "raw stream to (day, user) pairs FIRST (the one big shuffle — at "
+        "100 TB this collapses billions of events to ~|users|x|days| "
+        "rows), then fan each pair out to the <=7 window-end days via a "
+        "broadcast range join against the tiny day dimension, and count "
+        "distinct per day. DAU rides the same aggregation as a "
+        "conditional distinct count — no second pass over the stream."
+    ),
+)
+def events_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = pairs.select(F.col("d").alias("day")).distinct()
+    j = pairs.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day")) & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    )
+    agg = j.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau7"),
+    )
+    return agg.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau7",
+        F.round(F.col("dau").cast("double") / F.col("wau7"), 6).alias("stickiness"),
+    ).orderBy("day")
+
+
+@register(
+    "events_scd2_fact_version",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        chg AS (
+            SELECT user_id, ts, event_id FROM seq
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT e.event_id, e.user_id, e.ts, e.event_type,
+               CAST((SELECT count(*) FROM chg c
+                     WHERE c.user_id = e.user_id
+                       AND (c.ts < e.ts OR (c.ts = e.ts AND c.event_id <= e.event_id))) AS BIGINT) AS version
+        FROM events e
+        ORDER BY e.user_id, e.ts, e.event_id
+    """,
+    tags=("scd2", "window", "temporal-join"),
+    doc=(
+        "Point-in-time dimension-version assignment for EVERY fact row — "
+        "the bulk temporal join that stamps each event with the SCD2 "
+        "version (events_scd2_history) active at its timestamp. Because "
+        "the history derives from the same keyed stream, the interval "
+        "join is eliminated entirely: version is a running count of "
+        "change points within one (user_id) window pass — zero joins, one "
+        "shuffle, and exact (ts, event_id) tie handling that an interval "
+        "join on ts alone would get wrong for same-instant changes. The "
+        "oracle proves the equivalence from the join side (an as-of count "
+        "per fact row). At 100 TB this join elimination is the difference "
+        "between a window over co-partitioned facts and a full "
+        "fact-by-dimension range join."
+    ),
+)
+def events_scd2_fact_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    chg = (
+        F.when(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1)
+        .otherwise(0)
+    )
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg).over(running).cast("long").alias("version"),
+    )

@@ -1647,3 +1647,108 @@ def docs_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_norms"),
         )
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(unnest(list_distinct({_SQL_SHINGLES.format(t='t')}))), 1, 7)) AS BIGINT) AS x
+            FROM toks
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sig_sql()}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_idx, {_band_key_sql(band)} AS band_key FROM sig" for band in range(MINHASH_BANDS))}
+        ),
+        bands_capped AS (
+            SELECT * FROM bands
+            QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {DF_CAP}
+        ),
+        cand AS (
+            SELECT n.doc_id AS doc_id, CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_candidates
+            FROM bands_capped n JOIN bands_capped o
+              ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+            WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+            GROUP BY n.doc_id
+        ),
+        dig AS (SELECT doc_id, md5(text) AS dig FROM documents),
+        exact AS (
+            SELECT DISTINCT nd.doc_id FROM dig nd
+            WHERE nd.doc_id % 10 = 7
+              AND EXISTS (SELECT 1 FROM dig od WHERE od.doc_id % 10 <> 7 AND od.dig = nd.dig)
+        )
+        SELECT d.doc_id,
+               (e.doc_id IS NOT NULL) AS exact_dup,
+               coalesce(c.n_candidates, 0) AS n_candidates,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                    WHEN coalesce(c.n_candidates, 0) > 0 THEN 'near_candidate'
+                    ELSE 'unique' END AS verdict
+        FROM documents d
+        LEFT JOIN exact e ON e.doc_id = d.doc_id
+        LEFT JOIN cand c ON c.doc_id = d.doc_id
+        WHERE d.doc_id % 10 = 7
+        ORDER BY d.doc_id
+    """,
+    tags=("llm", "dedup", "incremental"),
+    doc=(
+        "Incremental dedup: screen a NEW ingest batch (deterministic 10% "
+        "slice, doc_id % 10 = 7) against the EXISTING corpus without ever "
+        "re-pairing the corpus with itself — the shape every continuously "
+        "ingesting 100 TB pipeline needs, where corpus x corpus work is "
+        "O(N^2-ish) but batch x corpus is O(|batch|). Exact layer: md5 "
+        "digest semi-join (new against old digests). Near layer: MinHash "
+        "band keys of the batch joined against the corpus's band keys "
+        "only (new x old candidate generation; corpus bands are exactly "
+        "what a production system keeps as a persistent LSH index, so the "
+        "corpus side is a stored-index scan, not a recompute). Per new "
+        "doc: the exact flag, the distinct corpus-candidate count, and a "
+        "triage verdict."
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    bands = _bands(_signatures(_shingle_docs(spark, sf_dir)))
+    capped = _cap_groups(bands, ["band_idx", "band_key"])
+    newb = capped.filter(F.col("doc_id") % 10 == 7).alias("n")
+    oldb = capped.filter(F.col("doc_id") % 10 != 7).alias("o")
+    cand = (
+        newb.join(oldb, ["band_idx", "band_key"])
+        .select(F.col("n.doc_id").alias("doc_id"), F.col("o.doc_id").alias("dup_of"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    dig = docs.select("doc_id", F.md5("text").alias("dig"))
+    old_digests = dig.filter(~is_new).select("dig").distinct()
+    exact = (
+        dig.filter(is_new)
+        .join(old_digests, "dig", "left_semi")
+        .select("doc_id", F.lit(True).alias("hit"))
+    )
+    flagged = (
+        docs.filter(is_new)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(cand, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("hit", F.lit(False)).alias("exact_dup"),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        )
+    )
+    return flagged.select(
+        "doc_id",
+        "exact_dup",
+        "n_candidates",
+        F.when(F.col("exact_dup"), "exact")
+        .when(F.col("n_candidates") > 0, "near_candidate")
+        .otherwise("unique")
+        .alias("verdict"),
+    ).orderBy("doc_id")

@@ -345,3 +345,162 @@ def kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(4)
         ],
     ).orderBy("centroid_id")
+
+
+def _sym_pairs(enc: Column) -> Column:
+    """Array of adjacent-symbol pair structs from a '|'-delimited symbol
+    encoding ('|h|e|llo|' -> [(h,e),(e,llo)]). Guarded for single-symbol
+    words: Spark's sequence(1, 0) would generate a DESCENDING range, so
+    the empty case is explicit."""
+    syms = F.filter(F.split(enc, r"\|"), lambda x: x != F.lit(""))
+    idx = F.when(F.size(syms) > 1, F.sequence(F.lit(1), F.size(syms) - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("l"), F.element_at(syms, i + 1).alias("r")
+        ),
+    )
+
+
+#: Shared SQL fragment: adjacent-symbol pair relation from an `enc` column
+#: (mirrors _sym_pairs; DuckDB range(1, 1) is already empty, no guard).
+_SQL_PAIRS = """
+    SELECT l, r, freq FROM (
+        SELECT syms[i] AS l, syms[i + 1] AS r, freq FROM (
+            SELECT freq, syms, unnest(range(1, len(syms))) AS i
+            FROM (SELECT freq, list_filter(string_split(enc, '|'), x -> x <> '') AS syms FROM {enc})
+        )
+    )
+"""
+
+
+@register(
+    "bpe_pair_merge",
+    oracle=f"""
+        WITH words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+            WHERE length(w) > 0 GROUP BY w
+        ),
+        enc0 AS (SELECT freq, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc FROM words),
+        pairs0 AS ({_SQL_PAIRS.format(enc='enc0')}),
+        pc0 AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs0 GROUP BY l, r),
+        top AS (SELECT l AS tl, r AS tr FROM pc0 ORDER BY cnt DESC, l, r LIMIT 1),
+        enc1 AS (
+            SELECT freq, replace(enc, '|' || tl || '|' || tr, '|' || tl || tr) AS enc
+            FROM enc0, top
+        ),
+        pairs1 AS ({_SQL_PAIRS.format(enc='enc1')}),
+        pc1 AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs1 GROUP BY l, r)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS merge_rank,
+               l AS left_sym, r AS right_sym, cnt AS pair_count
+        FROM pc1
+        ORDER BY cnt DESC, l, r
+        LIMIT 15
+    """,
+    tags=("llm", "training", "tokenizer", "iterative"),
+    doc=(
+        "One full iteration of BPE tokenizer training: count adjacent-"
+        "symbol pairs weighted by word frequency, apply the argmax merge "
+        "greedily left-to-right, and re-rank the next merge candidates. "
+        "The scale shape is the real one: pair statistics come from the "
+        "DISTINCT-word relation (vocab-sized, not corpus-sized — the "
+        "groupBy(word) collapse is the only pass over the raw corpus), "
+        "the winning merge is a broadcast 1-row scalar, and the merge "
+        "application is a narrow map over the vocab. The '|'-delimited "
+        "symbol encoding makes left-to-right replace() reproduce BPE's "
+        "greedy merge semantics identically in both engines (leading "
+        "delimiter, no trailing one in the pattern, so back-to-back "
+        "occurrences all merge)."
+    ),
+)
+def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    enc0 = words.select(
+        "freq",
+        F.concat(F.lit("|"), F.regexp_replace("w", "(.)", r"$1|")).alias("enc"),
+    )
+
+    def pair_counts(enc_df: DataFrame) -> DataFrame:
+        return (
+            enc_df.select("freq", F.explode(_sym_pairs(F.col("enc"))).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    top = (
+        pair_counts(enc0)
+        .orderBy(F.desc("cnt"), "l", "r")
+        .limit(1)
+        .select(F.col("l").alias("tl"), F.col("r").alias("tr"))
+    )
+    enc1 = enc0.crossJoin(F.broadcast(top)).select(
+        "freq",
+        F.expr("replace(enc, concat('|', tl, '|', tr), concat('|', tl, tr))").alias("enc"),
+    )
+    ranked = pair_counts(enc1)
+    w = Window.orderBy(F.desc("cnt"), "l", "r")
+    return (
+        ranked.select(
+            F.row_number().over(w).cast("long").alias("merge_rank"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("cnt").alias("pair_count"),
+        )
+        .orderBy("merge_rank")
+        .limit(15)
+    )
+
+
+#: 2^52 — md5-derived 52-bit uniform denominator (exact double).
+_U_DENOM = 4503599627370496.0
+
+
+@register(
+    "docs_weighted_sample",
+    oracle=f"""
+        SELECT doc_id, n_chars, round(k, 9) AS sample_key
+        FROM (
+            SELECT doc_id, n_chars,
+                   -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                       / {_U_DENOM!r}) / n_chars AS k
+            FROM documents
+        )
+        ORDER BY k, doc_id
+        LIMIT 20
+    """,
+    tags=("llm", "training", "sampling"),
+    doc=(
+        "Weighted sampling without replacement via the exponential race "
+        "(Efraimidis-Spirakis A-ES): each doc draws a deterministic "
+        "md5-seeded uniform u in (0,1], its arrival time is -ln(u)/weight "
+        "(weight = n_chars), and the k smallest arrival times form the "
+        "sample — longer docs proportionally likelier, reproducible "
+        "run-to-run. The 100 TB shape: one narrow map to score plus a "
+        "TakeOrderedAndProject top-k — per-partition heaps, only k rows "
+        "per partition reach the driver, never a global sort. This is the "
+        "standard way to draw a fixed-size weighted training subset in "
+        "one pass without materializing per-row random state."
+    ),
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    u = (v + F.lit(1)) / F.lit(_U_DENOM)
+    k = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(20)
+        .select("doc_id", "n_chars", F.round("k", 9).alias("sample_key"))
+    )
