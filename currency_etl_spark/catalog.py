@@ -85,7 +85,9 @@ PRIORITY_ORDER = [
     "events_trend",
     "q6_forecast_revenue",
     "q12_shipmode_priority",
-    "docs_deterministic_sample",
+    # docs_deterministic_sample rotated out late in round 5 for the new
+    # streaming_enrich first row (r1-green standing row; sampling family
+    # covered in-window by docs_weighted_sample + docs_domain_cap)
     "events_cohort_retention",
     "grouping_sets_custom",
     # Refresh entries rotated out late in round 5 for the second new-entry
@@ -105,6 +107,7 @@ PRIORITY_ORDER = [
     # set_customers_both_statuses, cust_above_nation_avg, tfidf_top_terms,
     # docs_clean_corpus) — all r2-green with in-window family siblings.
     # --- new in round 5, second batch (no driver row yet) ---
+    "streaming_enrich",
     "dedup_incremental",
     "bpe_pair_merge",
     "docs_weighted_sample",

@@ -523,3 +523,46 @@ from currency_etl_spark.catalog import CATALOG as _CATALOG  # noqa: E402
 from currency_etl_spark.queries import extras as _extras  # noqa: E402, F401
 
 _CATALOG["streaming_scd2"].oracle = _CATALOG["events_scd2_history"].oracle
+
+
+@register(
+    "streaming_enrich",
+    oracle="""
+        SELECT c.c_mktsegment AS segment, e.event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2
+        ORDER BY segment, event_type
+    """,
+    tags=("streaming", "join", "enrichment"),
+    doc=(
+        "Stream-static enrichment join: the event stream joined against "
+        "the static customer dimension (user_id = c_custkey) inside the "
+        "streaming query, then aggregated per (market segment, event "
+        "type). This is the standard real-time enrichment topology — the "
+        "static side is re-planned per micro-batch, broadcast to the "
+        "stream's tasks, and needs NO watermark or state (unlike "
+        "stream-stream joins); only the post-join aggregation is "
+        "stateful. At 100 TB the dimension is a broadcast (or bucketed) "
+        "lookup table refreshed between micro-batches, and the identical "
+        "batch SQL is the exactness oracle."
+    ),
+)
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.sources import table
+
+    stream = _events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+    return (
+        _run_to_memory(spark, agg, "streaming_enrich_out")
+        .select("segment", "event_type", "n_events", "total_value")
+        .orderBy("segment", "event_type")
+    )
