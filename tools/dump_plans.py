@@ -152,6 +152,40 @@ HEADLINERS = {
         "scan happens once per branch and the merge level's input is "
         "sketch-sized (days × types rows), not event-sized."
     ),
+    "dedup_incremental": (
+        "Incremental (new-batch × corpus) dedup. Check: both the exact "
+        "digest join and the band join are batch-vs-corpus only (the "
+        "filters on doc_id % 10 sit UNDER the joins, so no corpus×corpus "
+        "pair work); the band join keys are the capped band buckets; at "
+        "the test SFs the small batch side broadcasts, at 100 TB it "
+        "shuffles by band key against the stored index."
+    ),
+    "events_sliding_wau": (
+        "Sliding COUNT(DISTINCT). Check: the (day,user) dedup aggregate "
+        "sits directly on the scan (raw events collapse before any join); "
+        "the day dimension arrives as BroadcastExchange into a "
+        "nested-loop range join whose build side is days-sized; Expand "
+        "feeds the two distinct counts from one input."
+    ),
+    "events_scd2_fact_version": (
+        "Join-eliminated temporal stamp. Check: a single hashpartitioning "
+        "exchange on user_id feeds one Window housing BOTH the lag "
+        "change-detect and the running sum — no join operator anywhere "
+        "in the plan, no second exchange."
+    ),
+    "bpe_pair_merge": (
+        "Tokenizer merge step. Check: pair counting aggregates the "
+        "vocab-sized word relation (the only corpus-sized work is the "
+        "word-frequency groupBy); the argmax merge enters as a "
+        "BroadcastNestedLoopJoin of a 1-row relation; the final ranking "
+        "is a LIMIT over a tiny pair relation."
+    ),
+    "docs_weighted_sample": (
+        "Weighted sample. Check: scoring is a narrow Project over the "
+        "scan (no exchange before the top-k) and the plan ends in "
+        "TakeOrderedAndProject — per-partition heaps, never a global "
+        "sort."
+    ),
 }
 
 
