@@ -158,6 +158,11 @@ PRIORITY_ORDER = [
     # sample + new docs_domain_cap), set_customers_no_open_orders and
     # set_customers_both_statuses (set-op family, both r2-green; the
     # rotations above favored first-row round-5 entries).
+    #
+    # NO SLOT THIS ROUND (window full; registered late in round 5, locally
+    # oracle-verified at sf0.001/sf0.01 + vanilla-session checked): the
+    # governance pair docs_shard_manifest / docs_split_leakage MUST LEAD
+    # the round-6 window for their first driver rows.
 ]
 
 

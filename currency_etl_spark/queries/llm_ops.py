@@ -1752,3 +1752,116 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unique")
         .alias("verdict"),
     ).orderBy("doc_id")
+
+
+#: Split-hash modulus: buckets 0-17 train, 18 val, 19 test (90/5/5).
+SPLIT_MOD = 20
+
+
+def _split_label(col: str):
+    s = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10).cast("long")
+        % SPLIT_MOD
+    )
+    return F.when(s < 18, "train").when(s == 18, "val").otherwise("test")
+
+
+def _split_label_sql(col: str) -> str:
+    return (
+        f"CASE WHEN (CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 4)) AS BIGINT) % {SPLIT_MOD}) < 18 THEN 'train' "
+        f"WHEN (CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 4)) AS BIGINT) % {SPLIT_MOD}) = 18 THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+@register(
+    "docs_split_leakage",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(unnest(list_distinct({_SQL_SHINGLES.format(t='t')}))), 1, 7)) AS BIGINT) AS x
+            FROM toks
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sig_sql()}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_idx, {_band_key_sql(band)} AS band_key FROM sig" for band in range(MINHASH_BANDS))}
+        ),
+        bands_capped AS (
+            SELECT * FROM bands
+            QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {DF_CAP}
+        ),
+        near_pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_capped a JOIN bands_capped b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        dig AS (
+            SELECT doc_id, md5(lower(trim(text))) AS k FROM documents
+            QUALIFY count(*) OVER (PARTITION BY md5(lower(trim(text)))) <= {DF_CAP}
+        ),
+        exact_pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM dig a JOIN dig b ON a.k = b.k AND a.doc_id < b.doc_id
+        ),
+        all_pairs AS (
+            SELECT 'near' AS kind, doc_a, doc_b FROM near_pairs
+            UNION ALL
+            SELECT 'exact' AS kind, doc_a, doc_b FROM exact_pairs
+        )
+        SELECT kind,
+               least({_split_label_sql('doc_a')}, {_split_label_sql('doc_b')}) AS split_a,
+               greatest({_split_label_sql('doc_a')}, {_split_label_sql('doc_b')}) AS split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM all_pairs
+        GROUP BY 1, 2, 3
+        ORDER BY kind, split_a, split_b
+    """,
+    tags=("llm", "governance", "dedup", "split"),
+    doc=(
+        "Train/val/test split-leakage audit: hash-split the corpus 90/5/5 "
+        "(stable md5 of doc_id), then count exact-duplicate and MinHash-"
+        "LSH near-duplicate pairs by the split pair they land in — the "
+        "cross-split rows are evaluation contamination (a test doc whose "
+        "near-twin sits in train inflates every benchmark run on it). "
+        "Complements docs_decontaminate (external benchmark vs corpus) "
+        "with the INTERNAL split check. Scale shape: both pair relations "
+        "are the already-bounded dedup machinery (banded LSH + df-capped "
+        "posting lists), and split labels derive arithmetically from the "
+        "pair's own ids — labeling needs no join against the corpus at "
+        "all."
+    ),
+)
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    near = _band_pairs(_bands(_signatures(_shingle_docs(spark, sf_dir)))).select(
+        F.lit("near").alias("kind"), "doc_a", "doc_b"
+    )
+    dig = docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("k"))
+    exact = (
+        _cap_groups(dig, ["k"])
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+        .select(
+            F.lit("exact").alias("kind"),
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+        )
+    )
+    allp = near.unionByName(exact)
+    return (
+        allp.select(
+            "kind",
+            F.least(_split_label("doc_a"), _split_label("doc_b")).alias("split_a"),
+            F.greatest(_split_label("doc_a"), _split_label("doc_b")).alias("split_b"),
+        )
+        .groupBy("kind", "split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("kind", "split_a", "split_b")
+    )

@@ -504,3 +504,55 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_chars", F.round("k", 9).alias("sample_key"))
     )
+
+
+#: Shard count for the export manifest (a real export uses thousands;
+#: 16 keeps the graded output readable while exercising the same plan).
+N_SHARDS = 16
+
+
+@register(
+    "docs_shard_manifest",
+    oracle=f"""
+        SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % {N_SHARDS} AS INTEGER) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM documents
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    tags=("llm", "training", "export"),
+    doc=(
+        "Training-shard export manifest: every document is routed to a "
+        "shard by a stable content-independent hash (md5 of doc_id — "
+        "reshuffling-safe and reproducible across runs), and the manifest "
+        "reports per-shard document/char/token totals — the balance audit "
+        "run before writing shards, because a skewed shard becomes the "
+        "straggler of every epoch. One map-side-combinable aggregation on "
+        "a {N}-key shard id; the export itself is "
+        "df.repartition(shard).write — the manifest's groupBy IS its "
+        "dry-run."
+    ).replace("{N}", str(N_SHARDS)),
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % N_SHARDS
+    ).cast("int")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "n_chars",
+            _tok_count().alias("toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("toks").alias("total_tokens"),
+        )
+        .orderBy("shard")
+    )
