@@ -2089,3 +2089,65 @@ def events_scd2_fact_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum(chg).over(running).cast("long").alias("version"),
     )
+
+
+@register(
+    "events_ewma_revenue",
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+            FROM events GROUP BY 1
+        ),
+        idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS i FROM daily),
+        ew AS (
+            SELECT i, day, x, x AS ewma FROM idx WHERE i = 1
+            UNION ALL
+            SELECT idx.i, idx.day, idx.x, 0.3::DOUBLE * idx.x + 0.7::DOUBLE * ew.ewma
+            FROM idx JOIN ew ON idx.i = ew.i + 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               x AS revenue,
+               round(ewma, 6) AS ewma,
+               round(x / lag(ewma) OVER (ORDER BY day), 6) AS ratio
+        FROM ew
+        ORDER BY day
+    """,
+    tags=("events", "timeseries", "anomaly", "iterative"),
+    doc=(
+        "EWMA control chart over daily event revenue (alpha = 0.3): "
+        "e_d = 0.3 x_d + 0.7 e_(d-1), plus each day's revenue-to-prior-"
+        "smoothed ratio — the classic monitoring gate for ingest-volume "
+        "anomalies. The recurrence is inherently sequential, so the "
+        "scalable decomposition is: the corpus-sized work is ONE "
+        "map-side-combinable daily aggregation; the fold then runs over "
+        "the days-sized relation (thousands of rows at any corpus size) "
+        "as an ordered-prefix aggregate — sequential where the math "
+        "demands it, parallel where the data is. Exact decimal daily "
+        "sums enter the fold, and both engines execute the identical "
+        "double operation sequence, so results match bit-for-bit against "
+        "the recursive-CTE oracle."
+    ),
+)
+def events_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("x")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    xs = F.collect_list("x").over(w)
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.element_at(xs, 1),
+        lambda acc, v: F.lit(0.3) * v + F.lit(0.7) * acc,
+    )
+    with_ewma = daily.select("day", "x", ewma.alias("ewma"))
+    lagw = W.orderBy("day")
+    return with_ewma.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("revenue"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round(F.col("x") / F.lag("ewma").over(lagw), 6).alias("ratio"),
+    ).orderBy("day")
