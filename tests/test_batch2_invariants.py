@@ -181,3 +181,59 @@ def test_benford_accounting(spark, sf_dir):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4  # shares rounded to 6dp
     for r in rows:
         assert r.delta == pytest.approx(r.share - r.benford, abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# EWMA: Python-reference recurrence.
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_python_reference(spark, sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+            FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY day"""
+    ).fetchall()
+    ew = None
+    want = {}
+    for day, x in daily:
+        ew = x if ew is None else 0.3 * x + 0.7 * ew
+        want[day.strftime("%Y-%m-%d")] = round(ew, 6)
+    rows = CATALOG["events_ewma_revenue"].spark_fn(spark, sf_dir).collect()
+    assert {r.day: r.ewma for r in rows} == want
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest: totals must account for every document exactly once.
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_accounts_for_corpus(spark, sf_dir):
+    import duckdb
+
+    rows = CATALOG["docs_shard_manifest"].spark_fn(spark, sf_dir).collect()
+    con = duckdb.connect()
+    n_docs, total_chars = con.sql(
+        f"SELECT count(*), sum(n_chars) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.total_chars for r in rows) == total_chars
+    assert all(0 <= r.shard < 16 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Split leakage: pair accounting vs the dedup machinery it reuses.
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_accounts_for_all_lsh_pairs(spark, sf_dir):
+    leak = CATALOG["docs_split_leakage"].spark_fn(spark, sf_dir).collect()
+    n_near = sum(r.n_pairs for r in leak if r.kind == "near")
+    lsh_pairs = CATALOG["dedup_minhash_lsh"].spark_fn(spark, sf_dir).count()
+    assert n_near == lsh_pairs  # every candidate pair lands in exactly one cell
+    for r in leak:
+        assert r.split_a <= r.split_b  # normalized pair labels
+        assert r.n_pairs > 0
