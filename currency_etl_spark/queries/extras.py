@@ -2003,19 +2003,25 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "can't ride a window frame, so the scalable shape is: dedup the "
         "raw stream to (day, user) pairs FIRST (the one big shuffle — at "
         "100 TB this collapses billions of events to ~|users|x|days| "
-        "rows), then fan each pair out to the <=7 window-end days via a "
-        "broadcast range join against the tiny day dimension, and count "
-        "distinct per day. DAU rides the same aggregation as a "
-        "conditional distinct count — no second pass over the stream."
+        "rows), then fan each pair out to its <=7 window-end days as a "
+        "NARROW explode of day offsets (never a nested-loop range join — "
+        "that would test every pair against every day), keep only "
+        "window ends that exist in the data via a broadcast semi-join "
+        "against the tiny day dimension, and count distinct per day. DAU "
+        "rides the same aggregation as a conditional distinct count — no "
+        "second pass over the stream."
     ),
 )
 def events_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
     days = pairs.select(F.col("d").alias("day")).distinct()
-    j = pairs.join(
-        F.broadcast(days),
-        (F.col("d") <= F.col("day")) & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+    j = pairs.select(
+        "d",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+    ).withColumn("day", F.date_add(F.col("d"), F.col("off"))).join(
+        F.broadcast(days), "day", "left_semi"
     )
     agg = j.groupBy("day").agg(
         F.countDistinct(

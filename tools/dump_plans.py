@@ -163,9 +163,10 @@ HEADLINERS = {
     "events_sliding_wau": (
         "Sliding COUNT(DISTINCT). Check: the (day,user) dedup aggregate "
         "sits directly on the scan (raw events collapse before any join); "
-        "the day dimension arrives as BroadcastExchange into a "
-        "nested-loop range join whose build side is days-sized; Expand "
-        "feeds the two distinct counts from one input."
+        "the <=7 window-end fanout is a narrow Generate (explode of day "
+        "offsets) followed by a BroadcastHashJoin LeftSemi against the "
+        "days-sized dimension — no nested-loop range join anywhere; "
+        "Expand feeds the two distinct counts from one input."
     ),
     "events_scd2_fact_version": (
         "Join-eliminated temporal stamp. Check: a single hashpartitioning "
