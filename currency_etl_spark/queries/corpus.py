@@ -524,6 +524,7 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.lit(0).alias("side"),  # clicks sort before a purchase at the same ts → '>=' semantics
+        "event_id",
         F.lit(None).cast("long").alias("p_event_id"),
         F.col("ts").alias("c_ts"),
         F.col("value").alias("c_value"),
@@ -532,13 +533,19 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.lit(1).alias("side"),
+        "event_id",
         F.col("event_id").alias("p_event_id"),
         F.lit(None).cast("timestamp").alias("c_ts"),
         F.lit(None).cast("double").alias("c_value"),
     )
+    # event_id closes the total order: among several clicks at the same
+    # (user, ts) instant the HIGHEST event_id wins deterministically.
+    # (The corpus has no such ties, so the ASOF-join oracle — which
+    # leaves tie choice unspecified — is unaffected; without this the
+    # engine's own answer would depend on partition merge order.)
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     merged = clicks.unionByName(purchases).select(

@@ -48,6 +48,11 @@ ROWS = [
     (12, _tick(0), 4, "view", 1.0, "{}"),
     (10, _tick(0), 4, "click", 1.0, "{}"),
     (11, _tick(9), 4, "purchase", 1.0, "{}"),
+    # user 5: TWO clicks at the same instant, then a purchase — the as-of
+    # tie (engine rule: highest event_id wins)
+    (20, _tick(0), 5, "click", 10.0, "{}"),
+    (21, _tick(0), 5, "click", 20.0, "{}"),
+    (22, _tick(1), 5, "purchase", 5.0, "{}"),
 ]
 
 
@@ -107,3 +112,22 @@ def test_fact_version_assigns_tied_events_their_own_versions(spark, tie_dir):
     }
     assert facts[1] == 1 and facts[2] == 2 and facts[3] == 2
     assert facts[10] == 1 and facts[12] == 2 and facts[11] == 3
+
+
+def test_asof_click_tie_highest_event_id_wins(spark, tie_dir):
+    """Two same-user clicks at the same instant: the as-of join must pick
+    ONE deterministically (the engine rule is highest event_id). DuckDB's
+    ASOF join leaves the tie unspecified, so this is pinned here rather
+    than in the oracle."""
+    rows = {
+        r.event_id: r
+        for r in CATALOG["asof_purchase_last_click"].spark_fn(spark, tie_dir).collect()
+    }
+    assert rows[22].click_value == 20.0  # event 21, not event 20
+    assert rows[22].click_ts == T0
+    # rerun → same answer (determinism, not partition-merge luck)
+    again = {
+        r.event_id: r.click_value
+        for r in CATALOG["asof_purchase_last_click"].spark_fn(spark, tie_dir).collect()
+    }
+    assert again[22] == 20.0
