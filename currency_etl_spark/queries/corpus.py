@@ -519,52 +519,32 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.operators.asof import asof_join
+
     e = table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),  # clicks sort before a purchase at the same ts → '>=' semantics
-        "event_id",
-        F.lit(None).cast("long").alias("p_event_id"),
-        F.col("ts").alias("c_ts"),
-        F.col("value").alias("c_value"),
-    )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_seq"), "value"
+    )
+    # backward as-of, exact matches allowed; among same-instant clicks the
+    # highest event_id wins (the operator's documented backward tie rule)
+    out = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        value_cols=["value"],
+        seq="c_seq",
+        direction="backward",
+    )
+    return out.select(
         "event_id",
-        F.col("event_id").alias("p_event_id"),
-        F.lit(None).cast("timestamp").alias("c_ts"),
-        F.lit(None).cast("double").alias("c_value"),
-    )
-    # event_id closes the total order: among several clicks at the same
-    # (user, ts) instant the HIGHEST event_id wins deterministically.
-    # (The corpus has no such ties, so the ASOF-join oracle — which
-    # leaves tie choice unspecified — is unaffected; without this the
-    # engine's own answer would depend on partition merge order.)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    merged = clicks.unionByName(purchases).select(
         "user_id",
-        "ts",
-        "side",
-        "p_event_id",
-        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
-        F.last("c_value", ignorenulls=True).over(w).alias("click_value"),
-    )
-    return (
-        merged.filter(F.col("side") == 1)
-        .select(
-            F.col("p_event_id").alias("event_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            "click_ts",
-            "click_value",
-        )
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_right").alias("click_ts"),
+        F.col("value_right").alias("click_value"),
     )
 
 
