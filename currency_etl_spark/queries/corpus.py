@@ -476,17 +476,11 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = 30 * 60 * 1_000_000
-    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", F.unix_micros("ts").alias("us"))
-    g = e.withColumn(
-        "is_new",
-        F.when(
-            # >= matches session_window's half-open [ts, ts+gap) windows
-            (F.col("us") - F.lag("us").over(w) >= gap_us) | F.lag("ts").over(w).isNull(), 1
-        ).otherwise(0),
-    )
-    s = g.withColumn("session_id", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    from currency_etl_spark.operators.sessionize import sessionize
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # gap>=30min opens a session (operator's >= convention == session_window)
+    s = sessionize(e, gap_s=30 * 60)
     return (
         s.groupBy("user_id", "session_id")
         .agg(

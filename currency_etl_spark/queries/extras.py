@@ -1801,23 +1801,15 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session. One window shuffle on user_id + one (user, sid) "
         "aggregate reusing the same partitioning, then a scalar collapse "
         "of session-count-sized data. Durations derive from integer "
-        "epoch-微s diffs so both engines compute identical doubles; exact "
+        "epoch-µs diffs so both engines compute identical doubles; exact "
         "percentile() matches quantile_cont bit-for-bit."
     ),
 )
 def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as _W
+    from currency_etl_spark.operators.sessionize import sessionize
 
     e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros("ts")).over(w)
-    is_new = F.when(
-        prev_us.isNull() | (F.unix_micros("ts") - prev_us >= 1800000000), 1
-    ).otherwise(0)
-    s = e.withColumn(
-        "sid",
-        F.sum(is_new).over(w.rowsBetween(_W.unboundedPreceding, 0)).cast("long"),
-    )
+    s = sessionize(e, gap_s=1800, out_col="sid")
     sess = s.groupBy("user_id", "sid").agg(
         F.count(F.lit(1)).alias("n_events"),
         (
