@@ -97,3 +97,44 @@ def test_asof_single_shuffle_plan(spark):
     # one hash exchange on the by key; no join operator at all
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "Join" not in p, p
+
+
+def test_asof_random_large_case_matches_pandas(spark):
+    """One seeded random corpus with deliberate collisions: coarse
+    timestamp quantization forces many same-instant rows on both sides,
+    so tie handling is exercised at volume, not just in the fixture."""
+    import random
+
+    rng = random.Random(42)
+    keys = [f"k{i}" for i in range(8)]
+    left = [
+        (rng.choice(keys), _ts(rng.randrange(0, 240) * 5), i)
+        for i in range(500)
+    ]
+    right = [
+        (rng.choice(keys), _ts(rng.randrange(0, 240) * 5), 10_000 + i, float(i))
+        for i in range(300)
+    ]
+    lf = spark.createDataFrame(left, "key string, ts timestamp, lid long")
+    rf = spark.createDataFrame(right, "key string, ts timestamp, seq long, val double")
+
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            lf, rf, on="ts", by=["key"], value_cols=["val"], seq="seq",
+            direction=direction,
+        )
+        got = {r.lid: r.val_right for r in out.collect()}
+
+        lp = pd.DataFrame(left, columns=["key", "ts", "lid"]).sort_values(["ts", "lid"])
+        rp = pd.DataFrame(right, columns=["key", "ts", "seq", "val"]).sort_values(
+            ["ts", "seq"]
+        )
+        m = pd.merge_asof(
+            lp, rp.rename(columns={"ts": "rts"}),
+            left_on="ts", right_on="rts", by="key", direction=direction,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.val) else float(r.val))
+            for r in m.itertuples()
+        }
+        assert got == want, direction
