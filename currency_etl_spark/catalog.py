@@ -161,9 +161,11 @@ PRIORITY_ORDER = [
     #
     # NO SLOT THIS ROUND (window full; registered late in round 5, locally
     # oracle-verified at sf0.001/sf0.01 + vanilla-session checked): the
-    # governance pair docs_shard_manifest / docs_split_leakage and the
-    # EWMA control chart events_ewma_revenue MUST LEAD the round-6 window
-    # for their first driver rows.
+    # governance pair docs_shard_manifest / docs_split_leakage, the EWMA
+    # control chart events_ewma_revenue, and the third-batch trio
+    # orders_bloom_prefilter / events_quantile_rollup /
+    # docs_bigram_surprisal MUST LEAD the round-6 window for their first
+    # driver rows.
 ]
 
 

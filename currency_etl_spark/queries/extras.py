@@ -2149,3 +2149,180 @@ def events_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ewma", 6).alias("ewma"),
         F.round(F.col("x") / F.lag("ewma").over(lagw), 6).alias("ratio"),
     ).orderBy("day")
+
+
+@register(
+    "orders_bloom_prefilter",
+    oracle="""
+        -- plain join: the bloom prefilter must be semantically invisible
+        SELECT o.o_orderpriority,
+               count(*) AS n_orders,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > 9000
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+    doc=(
+        "Bloom-prefiltered selective-dimension join — the explicit form of "
+        "Spark's runtime row-level filtering: a ~10%-selective customer "
+        "subset (acctbal > 9000) is folded into a kilobyte Bloom bitmap "
+        "(distributed bit_or build, driver collects only the finished "
+        "words), and the orders scan drops non-members with pure codegen "
+        "arithmetic (xxhash64 + getbit on a broadcast array literal) "
+        "BEFORE any exchange. No false negatives, so the result equals "
+        "the plain join the oracle runs — the join removes the bounded "
+        "(~0.24%) false positives. At 100 TB this turns a full fact-table "
+        "shuffle into a ~10% shuffle for a bitmap broadcast; the same "
+        "probe expression pushes into a streaming scan or a MERGE's "
+        "source-side read. operators/bloom.py is the library form."
+    ),
+)
+def orders_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.operators.bloom import prefiltered_join
+
+    orders = table(spark, sf_dir, "orders")
+    dim = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    j = prefiltered_join(orders, dim, "o_custkey", "c_custkey")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+#: Fixed bin width for the mergeable value-histogram rollup (events.value
+#: spans ~[0, 500] in the corpus → ~20 bins).
+HIST_BIN_WIDTH = 25.0
+
+
+@register(
+    "events_quantile_rollup",
+    oracle=f"""
+        -- one-level recompute of the two-level (daily → period) merge:
+        -- equality proves the histogram merge loses/duplicates nothing
+        WITH binned AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) AS d,
+                   CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        merged AS (
+            SELECT event_type, bin, count(*) AS n
+            FROM binned GROUP BY event_type, bin
+        ),
+        totals AS (
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT d) AS n_days
+            FROM binned GROUP BY event_type
+        ),
+        cum AS (
+            SELECT event_type, bin, n,
+                   sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum_n
+            FROM merged
+        ),
+        picked AS (
+            SELECT t.event_type, t.n_events, t.n_days,
+                   min(CASE WHEN c.cum_n >= (50 * t.n_events + 99) // 100
+                            THEN c.bin END) AS p50_bin,
+                   min(CASE WHEN c.cum_n >= (95 * t.n_events + 99) // 100
+                            THEN c.bin END) AS p95_bin
+            FROM totals t JOIN cum c USING (event_type)
+            GROUP BY t.event_type, t.n_events, t.n_days
+        ),
+        exact AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.50) AS e50,
+                   quantile_cont(value, 0.95) AS e95
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT p.event_type,
+               p.n_events,
+               p.n_days,
+               p.p50_bin * {HIST_BIN_WIDTH} AS p50_bin_lo,
+               p.p95_bin * {HIST_BIN_WIDTH} AS p95_bin_lo,
+               round(e.e50, 6) AS exact_p50,
+               round(e.e95, 6) AS exact_p95
+        FROM picked p JOIN exact e USING (event_type)
+        ORDER BY p.event_type
+    """,
+    tags=("aggregate", "approx", "sketch", "timeseries"),
+    doc=(
+        "Mergeable quantile rollup — the fixed-width-histogram twin of "
+        "events_sketch_rollup's HLL story: per-(day, type) bin counts are "
+        "the stored daily summary (a few dozen ints each), and any ad-hoc "
+        "period answers p50/p95 by SUMMING bins — integer-exact, "
+        "commutative, no events rescan. The quantile picks the first bin "
+        "whose cumulative count reaches ceil(q·n) (pure integer "
+        "arithmetic, no float ceil). The oracle recomputes the merge in "
+        "one level and the exact interpolated percentiles from raw "
+        "values: equality proves the two-level merge is lossless and "
+        "anchors the bin-resolution answer against the exact one. At "
+        "100 TB the daily summary table is ~|days|·|types|·|bins| rows — "
+        "the period query never touches the fact table."
+    ),
+)
+def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long").alias("bin"),
+        )
+    )
+    # level 1: the stored daily rollup — one row per (day, type, bin)
+    daily = e.groupBy("d", "event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+    # level 2: ad-hoc period = sum of daily bin counts, no events rescan
+    merged = daily.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
+    totals = daily.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"), F.countDistinct("d").alias("n_days")
+    )
+    cum = merged.withColumn(
+        "cum_n", F.sum("n").over(W.partitionBy("event_type").orderBy("bin"))
+    )
+    j = cum.join(F.broadcast(totals), "event_type")
+    picked = j.groupBy("event_type", "n_events", "n_days").agg(
+        F.min(
+            F.when(F.col("cum_n") >= F.expr("(50 * n_events + 99) div 100"), F.col("bin"))
+        ).alias("p50_bin"),
+        F.min(
+            F.when(F.col("cum_n") >= F.expr("(95 * n_events + 99) div 100"), F.col("bin"))
+        ).alias("p95_bin"),
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.50)").alias("e50"),
+            F.expr("percentile(value, 0.95)").alias("e95"),
+        )
+    )
+    return (
+        picked.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_days",
+            (F.col("p50_bin") * HIST_BIN_WIDTH).alias("p50_bin_lo"),
+            (F.col("p95_bin") * HIST_BIN_WIDTH).alias("p95_bin_lo"),
+            F.round("e50", 6).alias("exact_p50"),
+            F.round("e95", 6).alias("exact_p95"),
+        )
+        .orderBy("event_type")
+    )

@@ -1865,3 +1865,77 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("kind", "split_a", "split_b")
     )
+
+
+@register(
+    "docs_bigram_surprisal",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       list_transform(generate_series(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1]))) AS bigram
+            FROM toks
+            WHERE len(t) >= 2
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM bg),
+        dfreq AS (SELECT bigram, count(*) AS df FROM bg GROUP BY bigram)
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               CAST(count(*) FILTER (WHERE d.df = 1) AS BIGINT) AS novel_cnt,
+               CAST(sum((length(bin(n.n_docs)) - 1) - (length(bin(d.df)) - 1))
+                    AS BIGINT) AS surprisal_sum,
+               round(CAST(sum((length(bin(n.n_docs)) - 1) - (length(bin(d.df)) - 1))
+                          AS DOUBLE) / count(*), 6) AS mean_surprisal
+        FROM bg b JOIN dfreq d USING (bigram) CROSS JOIN n
+        GROUP BY b.doc_id
+        ORDER BY b.doc_id
+    """,
+    tags=("llm", "text", "quality", "ngram"),
+    doc=(
+        "Integer-exact bigram surprisal score — the LM-flavored quality "
+        "signal between docs_vocab_coverage (unigram OOV) and a real "
+        "perplexity filter (CCNet-style): each of a document's DISTINCT "
+        "word bigrams contributes ilog2(N_docs) - ilog2(doc_freq) bits, "
+        "so rare-in-corpus phrasing scores high and boilerplate scores "
+        "low; novel_cnt counts bigrams seen nowhere else. ilog2 is "
+        "length(bin(x)) - 1 — pure integer/string ops, shared exactly by "
+        "both engines, dodging the cross-libm log() ulp lottery that "
+        "makes true log-prob sums hash-fragile. Shape at 100 TB: explode "
+        "distinct (doc, bigram) pairs, one shuffle on bigram for the "
+        "doc-frequency table, one shuffle back on doc_id — the trillion-"
+        "token n-gram-table pattern; the corpus-size scalar rides a "
+        "broadcast 1-row cross join."
+    ),
+)
+def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.sources import spread
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    t = F.col("t")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    pairs = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(F.array_distinct(bigrams)).alias("bigram"))
+    )
+    n = pairs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — exact floor(log2)
+    scored = pairs.join(dfreq, "bigram").crossJoin(F.broadcast(n))
+    surp = ilog2(F.col("n_docs")) - ilog2(F.col("df"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_if(F.col("df") == 1).alias("novel_cnt"),
+            F.sum(surp).alias("surprisal_sum"),
+            F.round(F.sum(surp).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )

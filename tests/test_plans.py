@@ -289,3 +289,40 @@ def test_decontaminate_broadcasts_eval_single_shuffle(spark, sf_dir):
     for cols in exchanges:
         assert not ("doc_id#" in cols and "g#" in cols), cols
     assert "partial_count" in p
+
+
+def test_quantile_rollup_single_events_sized_exchange(spark, sf_dir):
+    from currency_etl_spark.queries.extras import events_quantile_rollup
+
+    p = plan_of(events_quantile_rollup(spark, sf_dir))
+    # the only events-sized exchange is the (d, type, bin) daily summary's
+    # partial aggregation; everything downstream (level-2 merge, cumulative
+    # window, bin pick) runs on summary-sized relations, and the totals /
+    # exact-percentile sides join broadcast
+    assert "partial_count" in p
+    assert "BroadcastHashJoin" in p
+    exchanges = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", p)
+    assert exchanges, p
+    # no exchange may carry the raw value column — binning happens scan-side
+    for cols in exchanges:
+        assert "value#" not in cols, cols
+
+
+def test_bigram_surprisal_two_content_exchanges_pruned_scan(spark, sf_dir):
+    from currency_etl_spark.queries.llm_ops import docs_bigram_surprisal
+
+    p = plan_of(docs_bigram_surprisal(spark, sf_dir))
+    # the full document text never crosses a KEYED exchange: bigram df
+    # shuffles (bigram, partial count), the final aggregate shuffles doc_id
+    # + partials. spread()'s RoundRobin repartition (a local-parallelism
+    # shim, no-op on a well-split cluster scan) is exempt — it's the one
+    # exchange allowed to carry text.
+    keyed = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\nArguments: hashpartitioning",
+        p,
+    )
+    assert keyed, p
+    for cols in keyed:
+        assert "text#" not in cols, cols
+    # the 1-row corpus-size scalar enters broadcast, not via a shuffle join
+    assert "BroadcastNestedLoopJoin" in p

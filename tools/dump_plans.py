@@ -187,6 +187,27 @@ HEADLINERS = {
         "TakeOrderedAndProject — per-partition heaps, never a global "
         "sort."
     ),
+    "orders_bloom_prefilter": (
+        "Bloom-prefiltered join. Check: the getbit/xxhash64 membership "
+        "Filter sits directly on the orders scan branch BELOW the "
+        "BroadcastHashJoin — fact rows drop before any exchange; the "
+        "bitmap is an array literal inside the Filter condition, not a "
+        "join input."
+    ),
+    "events_quantile_rollup": (
+        "Mergeable quantile rollup. Check: the daily summary aggregate "
+        "(d, type, bin) is the only events-sized exchange; the level-2 "
+        "merge, cumulative-count window, and bin pick all run on the "
+        "summary-sized relation; the exact-percentile branch is a "
+        "separate scan feeding a |types|-row join."
+    ),
+    "docs_bigram_surprisal": (
+        "Bigram surprisal. Check: exactly two content exchanges — one "
+        "hashpartitioning on bigram building the doc-frequency table "
+        "(SortMergeJoin back to the pairs), one on doc_id for the final "
+        "aggregate; the corpus-size scalar enters as a "
+        "BroadcastNestedLoopJoin of a 1-row relation."
+    ),
 }
 
 
