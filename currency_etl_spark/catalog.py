@@ -162,10 +162,11 @@ PRIORITY_ORDER = [
     # NO SLOT THIS ROUND (window full; registered late in round 5, locally
     # oracle-verified at sf0.001/sf0.01 + vanilla-session checked): the
     # governance pair docs_shard_manifest / docs_split_leakage, the EWMA
-    # control chart events_ewma_revenue, and the third-batch trio
+    # control chart events_ewma_revenue, the third-batch trio
     # orders_bloom_prefilter / events_quantile_rollup /
-    # docs_bigram_surprisal MUST LEAD the round-6 window for their first
-    # driver rows.
+    # docs_bigram_surprisal, the retrieval pair docs_inverted_index /
+    # docs_index_lookup, and the layout audit events_zorder_audit MUST
+    # LEAD the round-6 window for their first driver rows.
 ]
 
 

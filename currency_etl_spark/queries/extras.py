@@ -2326,3 +2326,195 @@ def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Z-order audit knobs: interleaved bits per dimension, rows per simulated
+#: file, and the number of deterministic value-range splits used for the
+#: distributed global rank.
+ZORDER_BITS = 16
+ZORDER_BUCKET_ROWS = 256
+ZORDER_RANGE_SPLITS = 32
+
+
+def distributed_global_rank(df: DataFrame, key: str, tiebreak: str) -> DataFrame:
+    """Exact global ROW_NUMBER over (key, tiebreak) without a single-task
+    global window: deterministic value-range splits (exact (max-min)/32
+    integer arithmetic — never sampled boundaries, so re-runs and the
+    oracle agree bit-for-bit), a 32-row cumulative offset table, and a
+    parallel per-split local window. Returns df + a ``rank`` column.
+
+    The deterministic twin of repartitionByRange + zipWithIndex: range
+    boundaries derived from data extrema instead of Spark's sampling
+    RangePartitioner (whose boundaries — and therefore any downstream
+    fixed-size bucketing — vary run to run). Split-balance follows the
+    key's value distribution; at 100 TB pick splits from known key width
+    or a stored histogram rather than the raw 32."""
+    from pyspark.sql import Window as W
+
+    d = df.withColumn(
+        "__pid",
+        F.expr(
+            f"({key} - min({key}) OVER ()) div "
+            f"(((max({key}) OVER () - min({key}) OVER ()) div {ZORDER_RANGE_SPLITS}) + 1)"
+        ),
+    )
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offs = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__n").over(W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("__pid", "__off")
+    rank = F.col("__off") + F.row_number().over(
+        W.partitionBy("__pid").orderBy(key, tiebreak)
+    )
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn("rank", rank.cast("long"))
+        .drop("__pid", "__off")
+    )
+
+
+def _morton_sql(u: str, h: str, bits: int = ZORDER_BITS) -> str:
+    """Bit-interleave expression (Morton/Z-value) shared VERBATIM by the
+    Spark builder and the DuckDB oracle — both engines parse the same
+    `>> & <<` integer arithmetic, so parity holds by construction."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({u} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({h} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "events_zorder_audit",
+    oracle=f"""
+        WITH base AS (
+            SELECT event_id, user_id AS u, epoch_us(ts) AS us
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        s AS (SELECT min(us) AS min_us, max(us) AS max_us,
+                     min(u) AS min_u, max(u) AS max_u FROM base),
+        m AS (
+            SELECT event_id, u, us, (us - s.min_us) // 3600000000 AS h
+            FROM base, s
+        ),
+        z AS (SELECT event_id, u, h, us, {_morton_sql('u', 'h')} AS zval FROM m),
+        zr AS (SELECT u, h, (ROW_NUMBER() OVER (ORDER BY zval, event_id) - 1)
+                            // {ZORDER_BUCKET_ROWS} AS bucket FROM z),
+        lr AS (SELECT u, h, (ROW_NUMBER() OVER (ORDER BY us, event_id) - 1)
+                            // {ZORDER_BUCKET_ROWS} AS bucket FROM z),
+        zb AS (SELECT bucket, min(u) AS umin, max(u) AS umax,
+                      min(h) AS hmin, max(h) AS hmax FROM zr GROUP BY bucket),
+        lb AS (SELECT bucket, min(u) AS umin, max(u) AS umax,
+                      min(h) AS hmin, max(h) AS hmax FROM lr GROUP BY bucket),
+        box AS (
+            SELECT s.min_u + ((s.max_u - s.min_u) * 7) // 16 AS u_lo,
+                   s.min_u + ((s.max_u - s.min_u) * 8) // 16 AS u_hi,
+                   (((s.max_us - s.min_us) // 3600000000) * 7) // 16 AS h_lo,
+                   (((s.max_us - s.min_us) // 3600000000) * 8) // 16 AS h_hi
+            FROM s
+        )
+        SELECT 'linear' AS layout, count(*) AS n_buckets,
+               round(CAST(sum(umax - umin) AS DOUBLE) / count(*), 6) AS avg_user_span,
+               round(CAST(sum(hmax - hmin) AS DOUBLE) / count(*), 6) AS avg_hour_span,
+               CAST(count(*) FILTER (WHERE umax >= box.u_lo AND umin <= box.u_hi
+                                       AND hmax >= box.h_lo AND hmin <= box.h_hi)
+                    AS BIGINT) AS buckets_touched
+        FROM lb, box
+        UNION ALL
+        SELECT 'zorder', count(*),
+               round(CAST(sum(umax - umin) AS DOUBLE) / count(*), 6),
+               round(CAST(sum(hmax - hmin) AS DOUBLE) / count(*), 6),
+               CAST(count(*) FILTER (WHERE umax >= box.u_lo AND umin <= box.u_hi
+                                       AND hmax >= box.h_lo AND hmin <= box.h_hi)
+                    AS BIGINT)
+        FROM zb, box
+        ORDER BY layout
+    """,
+    tags=("layout", "zorder", "skipping", "timeseries"),
+    doc=(
+        "Z-order layout audit — quantifies what OPTIMIZE ZORDER BY "
+        "(user_id, hour) buys for data skipping: events are packed into "
+        "fixed-size simulated files under two layouts (arrival/time order "
+        "vs Morton-interleaved (user, hour) order) and each layout "
+        "reports per-file min/max spans of both dimensions plus how many "
+        "files a 2-D box predicate must touch. Z-order trades a slightly "
+        "wider time span per file for a dramatically narrower user span, "
+        "so the 2-D probe touches a fraction of the files — min/max "
+        "file-skipping is exactly what parquet/Delta stats give at "
+        "100 TB. The global file rank is computed WITHOUT a single-task "
+        "global window: deterministic value-range splits (exact "
+        "(max-min)/32 arithmetic, not sampled boundaries) partition the "
+        "sort key, per-split offsets come from a 32-row cumulative "
+        "window, and each split ranks locally in parallel — the "
+        "deterministic twin of repartitionByRange + zipWithIndex, "
+        "oracle-proven equal to the plain global ROW_NUMBER."
+    ),
+)
+def events_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_id", F.col("user_id").alias("u"), F.unix_micros("ts").alias("us"))
+    )
+    s = base.agg(
+        F.min("us").alias("min_us"),
+        F.max("us").alias("max_us"),
+        F.min("u").alias("min_u"),
+        F.max("u").alias("max_u"),
+    )
+    z = (
+        base.crossJoin(F.broadcast(s))
+        .withColumn("h", F.expr("(us - min_us) div 3600000000"))
+        .withColumn("zval", F.expr(_morton_sql("u", "h")))
+    )
+
+    def bucketed(df: DataFrame, key: str) -> DataFrame:
+        return (
+            distributed_global_rank(df, key, "event_id")
+            .withColumn("bucket", F.expr(f"(rank - 1) div {ZORDER_BUCKET_ROWS}"))
+            .groupBy("bucket")
+            .agg(
+                F.min("u").alias("umin"),
+                F.max("u").alias("umax"),
+                F.min("h").alias("hmin"),
+                F.max("h").alias("hmax"),
+            )
+        )
+
+    box = s.select(
+        (F.col("min_u") + F.expr("((max_u - min_u) * 7) div 16")).alias("u_lo"),
+        (F.col("min_u") + F.expr("((max_u - min_u) * 8) div 16")).alias("u_hi"),
+        F.expr("(((max_us - min_us) div 3600000000) * 7) div 16").alias("h_lo"),
+        F.expr("(((max_us - min_us) div 3600000000) * 8) div 16").alias("h_hi"),
+    )
+
+    def metrics(b: DataFrame, layout: str) -> DataFrame:
+        touched = (
+            (F.col("umax") >= F.col("u_lo"))
+            & (F.col("umin") <= F.col("u_hi"))
+            & (F.col("hmax") >= F.col("h_lo"))
+            & (F.col("hmin") <= F.col("h_hi"))
+        )
+        return (
+            b.crossJoin(F.broadcast(box))
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.round(
+                    F.sum(F.col("umax") - F.col("umin")).cast("double") / F.count(F.lit(1)), 6
+                ).alias("avg_user_span"),
+                F.round(
+                    F.sum(F.col("hmax") - F.col("hmin")).cast("double") / F.count(F.lit(1)), 6
+                ).alias("avg_hour_span"),
+                F.count_if(touched).alias("buckets_touched"),
+            )
+            .select(F.lit(layout).alias("layout"), "*")
+        )
+
+    return (
+        metrics(bucketed(z, "us"), "linear")
+        .unionByName(metrics(bucketed(z, "zval"), "zorder"))
+        .orderBy("layout")
+    )

@@ -1939,3 +1939,161 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Posting-list head length for the inverted-index build (first K doc ids
+#: per term, by ascending doc_id). Shared verbatim by the oracle.
+POSTING_HEAD_K = 8
+
+
+@register(
+    "docs_inverted_index",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ),
+        agg AS (
+            SELECT term,
+                   count(*) AS df,
+                   CAST(sum(cnt) AS BIGINT) AS tf,
+                   array_to_string(list_sort(list(doc_id))[1:{POSTING_HEAD_K}], ',')
+                       AS posting_head
+            FROM tf GROUP BY term
+        )
+        SELECT term, df, tf, posting_head
+        FROM agg
+        ORDER BY df DESC, term
+        LIMIT 20
+    """,
+    tags=("llm", "text", "index", "search"),
+    doc=(
+        "Inverted-index build — the retrieval-side artifact of a text "
+        "corpus: per term, document frequency, total term frequency, and "
+        "the head of the doc_id-sorted posting list. The scalable shape: "
+        "one shuffle to (doc, term) term-frequency pairs, one shuffle on "
+        "term where a single window pass computes df + tf AND rank-caps "
+        "the posting rows to K before any list is materialized — no "
+        "collect_list of an unbounded hot-term posting (a stopword's "
+        "posting at 100 TB is billions of ids; the cap keeps the "
+        "aggregation state K-bounded, and a full index write would emit "
+        "the rank-capped pages the same way)."
+    ),
+)
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.sources import spread
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("term")
+    ranked = tf.select(
+        "term",
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("df"),
+        F.sum("cnt").over(w).alias("tf"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+    ).filter(F.col("rn") <= POSTING_HEAD_K)
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.first("tf").alias("tf"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("posting_head"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_index_lookup",
+    oracle="""
+        -- direct-scan evaluation of the conjunctive query the Spark side
+        -- answers THROUGH posting lists: equality proves index-based
+        -- retrieval returns exactly the scan's result set
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ),
+        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        top2 AS (
+            SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rnk
+            FROM dfr QUALIFY rnk <= 2
+        ),
+        hits AS (
+            SELECT tf.doc_id,
+                   max(CASE WHEN t2.rnk = 1 THEN t2.term END) AS term1,
+                   max(CASE WHEN t2.rnk = 2 THEN t2.term END) AS term2,
+                   CAST(max(CASE WHEN t2.rnk = 1 THEN tf.cnt END) AS BIGINT) AS tf1,
+                   CAST(max(CASE WHEN t2.rnk = 2 THEN tf.cnt END) AS BIGINT) AS tf2
+            FROM tf JOIN top2 t2 USING (term)
+            GROUP BY tf.doc_id
+            HAVING count(*) = 2
+        )
+        SELECT doc_id, term1, term2, tf1, tf2, tf1 + tf2 AS score
+        FROM hits
+        ORDER BY doc_id
+    """,
+    tags=("llm", "text", "index", "search"),
+    doc=(
+        "Conjunctive (AND) retrieval through the inverted index: the two "
+        "highest-df terms are the query; their posting lists join on "
+        "doc_id and only documents carrying BOTH survive, scored by "
+        "summed term frequency. The Spark plan is the index route — "
+        "posting rows for the two query terms (broadcast 2-row term "
+        "relation) re-keyed by doc_id, a |postings|-sized intersection "
+        "that never rescans text — and the oracle is the direct corpus "
+        "scan: equality is the retrieval-correctness contract. At 100 TB "
+        "with a stored index the same plan reads two posting ranges "
+        "instead of the corpus."
+    ),
+)
+def docs_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.sources import spread
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # top-k-first: TakeOrderedAndProject over the vocab relation, THEN a
+    # 2-row window for the rank labels — never a global-sort window
+    top2 = (
+        dfr.orderBy(F.desc("df"), "term")
+        .limit(2)
+        .select("term", F.row_number().over(W.orderBy(F.desc("df"), "term")).alias("rnk"))
+    )
+    postings = tf.join(F.broadcast(top2), "term")
+    hits = (
+        postings.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("term"))).alias("term1"),
+            F.max(F.when(F.col("rnk") == 2, F.col("term"))).alias("term2"),
+            F.max(F.when(F.col("rnk") == 1, F.col("cnt"))).alias("tf1"),
+            F.max(F.when(F.col("rnk") == 2, F.col("cnt"))).alias("tf2"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == 2)
+    )
+    return hits.select(
+        "doc_id",
+        "term1",
+        "term2",
+        "tf1",
+        "tf2",
+        (F.col("tf1") + F.col("tf2")).alias("score"),
+    ).orderBy("doc_id")

@@ -179,3 +179,43 @@ def test_bigram_surprisal_python_reference(spark, sf_dir):
         assert row["novel_cnt"] == novel
         assert row["surprisal_sum"] == ssum
         assert math.isclose(row["mean_surprisal"], round(ssum / len(bg), 6), abs_tol=1e-9)
+
+
+def test_distributed_rank_equals_global_window(spark, sf_dir):
+    """The value-range-split rank must equal a plain global ROW_NUMBER —
+    the property that lets the z-order audit (and any fixed-size file
+    packing) avoid a single-task global window."""
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", F.unix_micros("ts").alias("us"))
+    )
+    got = distributed_global_rank(e, "us", "event_id").select("event_id", "rank")
+    want = e.select(
+        "event_id",
+        F.row_number().over(W.orderBy("us", "event_id")).cast("long").alias("rank"),
+    )
+    assert got.join(want, ["event_id", "rank"], "inner").count() == e.count()
+
+
+def test_zorder_narrows_user_span(spark):
+    """At a corpus big enough for multi-user buckets, the Morton layout
+    must narrow per-file user spans vs arrival order — the property the
+    2-D skipping win rests on. (sf0.001's 4 buckets are too few to
+    differentiate layouts, so this test pins sf0.01.)"""
+    import os
+
+    import pytest
+
+    from currency_etl_spark.queries.extras import events_zorder_audit
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.01 corpus not present")
+    m = events_zorder_audit(spark, sf01).toPandas().set_index("layout")
+    assert m.loc["zorder", "avg_user_span"] < m.loc["linear", "avg_user_span"]
+    assert m.loc["zorder", "n_buckets"] == m.loc["linear", "n_buckets"]
