@@ -165,8 +165,9 @@ PRIORITY_ORDER = [
     # control chart events_ewma_revenue, the third-batch trio
     # orders_bloom_prefilter / events_quantile_rollup /
     # docs_bigram_surprisal, the retrieval pair docs_inverted_index /
-    # docs_index_lookup, and the layout audit events_zorder_audit MUST
-    # LEAD the round-6 window for their first driver rows.
+    # docs_index_lookup, the layout audit events_zorder_audit, and the
+    # watermark-policy entry streaming_late_drop MUST LEAD the round-6
+    # window for their first driver rows.
 ]
 
 

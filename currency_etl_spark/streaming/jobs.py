@@ -65,7 +65,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(
-    spark: SparkSession, agg: DataFrame, name: str, mode: str = "complete"
+    spark: SparkSession,
+    agg: DataFrame,
+    name: str,
+    mode: str = "complete",
+    nodata: bool = False,
 ) -> DataFrame:
     """Run a streaming query to completion (Trigger.AvailableNow) into a
     memory sink and return the sink table. `complete` for windowed
@@ -82,11 +86,17 @@ def _run_to_memory(
     mode ignores watermark eviction; append dedup and the inner interval
     join emit on arrival/match, not on watermark). A CONTINUOUS deployment
     of these jobs should leave the default on — there the no-data batch is
-    what flushes final windows during input lulls."""
+    what flushes final windows during input lulls.
+
+    ``nodata=True`` keeps the trailing no-data batch: required by any
+    APPEND-mode windowed aggregation (streaming_late_drop), where the
+    final watermark advance IS what emits the last closed windows."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true" if nodata else "false"
+    )
     try:
         q = (
             agg.writeStream.outputMode(mode)
@@ -566,3 +576,137 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("segment", "event_type", "n_events", "total_value")
         .orderBy("segment", "event_type")
     )
+
+
+#: Watermark delay for the late-data accounting entry (microseconds twin
+#: lives in the oracle as 1800000000).
+LATE_DELAY = "30 minutes"
+
+#: Deterministic late-arrival rule: every 7th event replays late.
+LATE_MOD = 7
+
+
+def _staged_late_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as a 3-file landing sequence for the
+    late-data entry: two on-time files split at the exact epoch midpoint
+    (integer arithmetic, mirrored by the oracle), then the late replay
+    file (event_id % LATE_MOD == 0). File mtimes are pinned so the file
+    stream source's modification-time ordering is deterministic. Built
+    once per sf_dir (a marker records the source path); rebuilt only if
+    the marker mismatches."""
+    import hashlib
+
+    stage = os.path.join(
+        "/tmp", "ces_stream_late", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    marker = os.path.join(stage, "_SOURCE")
+    if os.path.isfile(marker) and open(marker).read() == sf_dir:
+        return stage
+    os.makedirs(stage, exist_ok=True)
+    from currency_etl_spark.sources import table
+
+    pdf = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "event_type")
+        .toPandas()
+    )
+    ts = pdf["ts"]
+    if getattr(ts.dtype, "tz", None) is not None:
+        ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    pdf["ts"] = ts.astype("datetime64[us]")
+    us = pdf["ts"].astype("int64")
+    late = (pdf["event_id"] % LATE_MOD) == 0
+    ontime = pdf[~late]
+    mid = (us[~late].min() + us[~late].max()) // 2
+    files = [
+        ontime[us[~late] <= mid],
+        ontime[us[~late] > mid],
+        pdf[late],
+    ]
+    for i, part in enumerate(files):
+        path = os.path.join(stage, f"{i:02d}.parquet")
+        part.reset_index(drop=True).to_parquet(path)
+        os.utime(path, (1700000000 + i * 100, 1700000000 + i * 100))
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+    return stage
+
+
+@register(
+    "streaming_late_drop",
+    oracle=f"""
+        -- mirrors Spark's two-watermark semantics (empirically decoded,
+        -- see tests/test_streaming_late.py): the late filter in batch N
+        -- uses the watermark REPORTED at batch N-1 (max event time through
+        -- batch N-2 minus delay), eviction uses the current one, and a row
+        -- merges before its window evicts. With the 3-file staging
+        -- [on-time<=mid, on-time>mid, late]:
+        --   * late rows (batch 2) filter against max(file A) - 30min;
+        --   * emitted windows are those closing by max(on-time) - 30min
+        --     (the final no-data batch's eviction watermark).
+        WITH ontime AS (
+            SELECT ts, event_type FROM events
+            WHERE ts IS NOT NULL AND event_id % {LATE_MOD} <> 0
+        ),
+        late AS (
+            SELECT ts, event_type FROM events
+            WHERE ts IS NOT NULL AND event_id % {LATE_MOD} = 0
+        ),
+        bounds AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM ontime),
+        amax AS (
+            SELECT max(epoch_us(ts)) AS m FROM ontime, bounds
+            WHERE epoch_us(ts) <= (lo + hi) // 2
+        ),
+        allmax AS (SELECT max(epoch_us(ts)) AS m FROM ontime),
+        kept AS (
+            SELECT ts, event_type FROM ontime
+            UNION ALL
+            SELECT l.ts, l.event_type FROM late l, amax
+            WHERE epoch_us(date_trunc('hour', l.ts)) + 3600000000 > amax.m - 1800000000
+        )
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events
+        FROM kept, allmax
+        WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= allmax.m - 1800000000
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("streaming", "window", "watermark", "late-data"),
+    doc=(
+        "Late-data accounting — the watermark POLICY itself, graded: an "
+        "append-mode tumbling aggregation over a 3-file replay (on-time "
+        "first half, on-time second half, then a deterministic late "
+        "batch) where some late rows are genuinely DROPPED by the "
+        "watermark and the final windows flush on the trailing no-data "
+        "batch. The oracle reproduces Spark's exact two-watermark "
+        "semantics (late filter lags eviction by one batch; merge "
+        "precedes evict) from the raw table — so the grade pins which "
+        "rows a production pipeline silently loses at a given delay, not "
+        "just the happy path. Complements streaming_hourly (complete "
+        "mode, nothing dropped) and streaming_dedup (append, key "
+        "eviction)."
+    ),
+)
+def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = _staged_late_dir(spark, sf_dir)
+    st = (
+        spark.readStream.schema("event_id bigint, ts timestamp_ntz, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    )
+    agg = (
+        st.withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = _run_to_memory(
+        spark, agg, "streaming_late_drop_out", mode="append", nodata=True
+    )
+    return sink.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    ).orderBy("window_start", "event_type")
