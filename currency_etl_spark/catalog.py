@@ -165,9 +165,10 @@ PRIORITY_ORDER = [
     # control chart events_ewma_revenue, the third-batch trio
     # orders_bloom_prefilter / events_quantile_rollup /
     # docs_bigram_surprisal, the retrieval pair docs_inverted_index /
-    # docs_index_lookup, the layout audit events_zorder_audit, and the
-    # watermark-policy entry streaming_late_drop MUST LEAD the round-6
-    # window for their first driver rows.
+    # docs_index_lookup, the layout audit events_zorder_audit, the
+    # watermark-policy entry streaming_late_drop, and the UDTF skip-gram
+    # extractor docs_skipgram_pairs MUST LEAD the round-6 window for
+    # their first driver rows.
 ]
 
 

@@ -2351,11 +2351,15 @@ def distributed_global_rank(df: DataFrame, key: str, tiebreak: str) -> DataFrame
     or a stored histogram rather than the raw 32."""
     from pyspark.sql import Window as W
 
-    d = df.withColumn(
+    # key extrema via a 1-row aggregate broadcast back — NOT `min(key)
+    # OVER ()`, which is itself a single-partition global window and
+    # would reintroduce the exact bottleneck this helper exists to avoid
+    ext = df.agg(F.min(key).alias("__kmin"), F.max(key).alias("__kmax"))
+    d = df.crossJoin(F.broadcast(ext)).withColumn(
         "__pid",
         F.expr(
-            f"({key} - min({key}) OVER ()) div "
-            f"(((max({key}) OVER () - min({key}) OVER ()) div {ZORDER_RANGE_SPLITS}) + 1)"
+            f"({key} - __kmin) div "
+            f"(((__kmax - __kmin) div {ZORDER_RANGE_SPLITS}) + 1)"
         ),
     )
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
@@ -2372,7 +2376,7 @@ def distributed_global_rank(df: DataFrame, key: str, tiebreak: str) -> DataFrame
     return (
         d.join(F.broadcast(offs), "__pid")
         .withColumn("rank", rank.cast("long"))
-        .drop("__pid", "__off")
+        .drop("__pid", "__off", "__kmin", "__kmax")
     )
 
 

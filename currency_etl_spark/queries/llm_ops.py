@@ -2097,3 +2097,85 @@ def docs_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf2",
         (F.col("tf1") + F.col("tf2")).alias("score"),
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_skipgram_pairs",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+            FROM toks
+        ),
+        pairs AS (
+            SELECT t[i] AS center, t[i + o] AS context
+            FROM pos, (SELECT unnest([-2, -1, 1, 2]) AS o)
+            WHERE i + o >= 1 AND i + o <= len(t)
+        ),
+        counted AS (SELECT center, context, count(*) AS n FROM pairs GROUP BY 1, 2)
+        SELECT center, context, n, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT center, context, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, center, context) AS rnk
+            FROM counted
+        )
+        WHERE rnk <= 20
+        ORDER BY rnk
+    """,
+    tags=("llm", "text", "udtf", "embedding"),
+    doc=(
+        "Skip-gram (center, context) pair extraction — the word2vec/"
+        "embedding training-data prep stage: every token pairs with its "
+        "±2-window neighbors, pairs count corpus-wide, top-20 by "
+        "frequency. Deliberately implemented through a Python UDTF "
+        "(arrow-optimized, lateral-joined) rather than explode+sequence: "
+        "this entry covers the Spark 4 user-defined TABLE function "
+        "surface — the extension point for variable-output-per-row "
+        "logic that can't be a scalar UDF — and the catalog's explode-"
+        "based entries (docs_ngram_counts, docs_chunk_tokens) show the "
+        "builtin route the hot path should prefer. Scale shape is the "
+        "n-gram-table one: the UDTF emits pairs partition-locally, the "
+        "only exchange carries (center, context, partial count), and the "
+        "top-k is a TakeOrderedAndProject."
+    ),
+)
+def docs_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from currency_etl_spark.sources import spread
+
+    # defined inside the entry so cloudpickle ships it by value — worker
+    # processes never re-import this module for the UDTF (the
+    # streaming_scd2 lesson, see verify skill notes)
+    @udtf(returnType="center string, context string", useArrow=True)
+    class SkipGrams:
+        def eval(self, text: str):
+            if text is None:
+                return
+            t = text.split(" ")
+            n = len(t)
+            for i in range(n):
+                for o in (-2, -1, 1, 2):
+                    j = i + o
+                    if 0 <= j < n:
+                        yield t[i], t[j]
+
+    spark.udtf.register("skip_grams", SkipGrams)
+    docs = spread(table(spark, sf_dir, "documents")).select("text")
+    docs.createOrReplaceTempView("___skipgram_docs")
+    pairs = spark.sql(
+        "SELECT sg.center, sg.context "
+        "FROM ___skipgram_docs d, LATERAL skip_grams(d.text) sg"
+    )
+    counted = pairs.groupBy("center", "context").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    top = (
+        counted.orderBy(F.desc("n"), "center", "context")
+        .limit(20)
+        .withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.desc("n"), "center", "context")).cast("long"),
+        )
+    )
+    return top.orderBy("rnk")

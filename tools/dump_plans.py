@@ -208,6 +208,18 @@ HEADLINERS = {
         "aggregate; the corpus-size scalar enters as a "
         "BroadcastNestedLoopJoin of a 1-row relation."
     ),
+    "events_zorder_audit": (
+        "Z-order layout audit. Check: every per-row row_number window is "
+        "partitioned by the __pid range split (parallel local ranks); the "
+        "key extrema and 32-row offset tables enter as broadcasts; no "
+        "unpartitioned window ever sees the fact relation."
+    ),
+    "docs_inverted_index": (
+        "Inverted-index build. Check: one exchange to (doc, term) tf "
+        "pairs, one term-keyed Window computing df + tf AND rank-capping "
+        "posting rows to K before the collect_list aggregate — bounded "
+        "aggregation state however hot the term."
+    ),
 }
 
 
