@@ -166,9 +166,10 @@ PRIORITY_ORDER = [
     # orders_bloom_prefilter / events_quantile_rollup /
     # docs_bigram_surprisal, the retrieval pair docs_inverted_index /
     # docs_index_lookup, the layout audit events_zorder_audit, the
-    # watermark-policy entry streaming_late_drop, and the UDTF skip-gram
-    # extractor docs_skipgram_pairs MUST LEAD the round-6 window for
-    # their first driver rows.
+    # watermark-policy entry streaming_late_drop, the UDTF skip-gram
+    # extractor docs_skipgram_pairs, and the anti-entropy fingerprint
+    # tables_row_checksum MUST LEAD the round-6 window for their first
+    # driver rows.
 ]
 
 

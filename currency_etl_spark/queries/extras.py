@@ -2522,3 +2522,70 @@ def events_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(metrics(bucketed(z, "zval"), "zorder"))
         .orderBy("layout")
     )
+
+
+#: Modulus for the order-invariant row-checksum fold (prime; keeps the
+#: int64 running sum far from overflow under ANSI arithmetic).
+CHECKSUM_MOD = 1_000_000_007
+
+
+@register(
+    "tables_row_checksum",
+    oracle=f"""
+        -- identical md5-projected fold on both engines: concat_ws of
+        -- integer/string key columns formats identically, the first 15
+        -- md5 hex chars parse to the same 60-bit int, and the summed
+        -- residues are order-invariant
+        SELECT 'customer' AS table_name,
+               count(*) AS n_rows,
+               CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+                        c_custkey, c_nationkey, c_mktsegment)), 1, 15)) AS BIGINT)
+                        % {CHECKSUM_MOD}) % {CHECKSUM_MOD} AS BIGINT) AS checksum
+        FROM customer
+        UNION ALL
+        SELECT 'orders',
+               count(*),
+               CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+                        o_orderkey, o_custkey, o_orderstatus)), 1, 15)) AS BIGINT)
+                        % {CHECKSUM_MOD}) % {CHECKSUM_MOD} AS BIGINT)
+        FROM orders
+        ORDER BY table_name
+    """,
+    tags=("quality", "integrity", "checksum"),
+    doc=(
+        "Order-invariant table fingerprint — the anti-entropy primitive "
+        "for replica/migration validation at 100 TB: each row's key "
+        "columns fold to a 60-bit md5 projection, residues SUM modulo a "
+        "prime (commutative, so any partitioning/ordering of the scan "
+        "yields the same checksum), and two sides compare (n_rows, "
+        "checksum) per table instead of shipping data. A narrow map + "
+        "one 1-row aggregate per table — scan-speed verification; at "
+        "scale run it per partition and compare partition manifests to "
+        "localize divergence. Only integer/string columns join the "
+        "digest (float/timestamp formatting is engine-specific — the "
+        "decimal-exact convention elsewhere exists for the same reason)."
+    ),
+)
+def tables_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def folded(df: DataFrame, name: str, cols: list) -> DataFrame:
+        sig = (
+            F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10)
+            .cast("long")
+            % CHECKSUM_MOD
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(sig) % CHECKSUM_MOD).cast("long").alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+
+    cust = folded(
+        table(spark, sf_dir, "customer"),
+        "customer",
+        ["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    orders = folded(
+        table(spark, sf_dir, "orders"),
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus"],
+    )
+    return cust.unionByName(orders).orderBy("table_name")

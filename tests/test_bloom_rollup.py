@@ -219,3 +219,31 @@ def test_zorder_narrows_user_span(spark):
     m = events_zorder_audit(spark, sf01).toPandas().set_index("layout")
     assert m.loc["zorder", "avg_user_span"] < m.loc["linear", "avg_user_span"]
     assert m.loc["zorder", "n_buckets"] == m.loc["linear", "n_buckets"]
+
+
+def test_row_checksum_is_partition_invariant_and_mutation_sensitive(spark, sf_dir):
+    """The fold must be invariant to physical layout (any repartitioning
+    gives the same checksum) and sensitive to a single-row change — the
+    two properties replica validation rests on."""
+    from currency_etl_spark.queries.extras import CHECKSUM_MOD
+
+    def checksum(df, cols):
+        sig = (
+            F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10)
+            .cast("long")
+            % CHECKSUM_MOD
+        )
+        return df.agg((F.sum(sig) % CHECKSUM_MOD).cast("long")).collect()[0][0]
+
+    orders = table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    base = checksum(orders, cols)
+    assert checksum(orders.repartition(17), cols) == base
+    assert checksum(orders.repartition(3, "o_orderstatus"), cols) == base
+    # flip one row's status → different fingerprint
+    mutated = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == orders.agg(F.min("o_orderkey")).collect()[0][0],
+               F.lit("__corrupt__")).otherwise(F.col("o_orderstatus")),
+    )
+    assert checksum(mutated, cols) != base
