@@ -167,9 +167,10 @@ PRIORITY_ORDER = [
     # docs_bigram_surprisal, the retrieval pair docs_inverted_index /
     # docs_index_lookup, the layout audit events_zorder_audit, the
     # watermark-policy entry streaming_late_drop, the UDTF skip-gram
-    # extractor docs_skipgram_pairs, and the anti-entropy fingerprint
-    # tables_row_checksum MUST LEAD the round-6 window for their first
-    # driver rows.
+    # extractor docs_skipgram_pairs, the anti-entropy fingerprint
+    # tables_row_checksum, and the series pair events_hourly_interpolate /
+    # events_type_correlation MUST LEAD the round-6 window for their
+    # first driver rows.
 ]
 
 

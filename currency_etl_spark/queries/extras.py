@@ -2589,3 +2589,212 @@ def tables_row_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "o_custkey", "o_orderstatus"],
     )
     return cust.unionByName(orders).orderBy("table_name")
+
+
+@register(
+    "events_hourly_interpolate",
+    oracle="""
+        WITH totals AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        span AS (SELECT min(h) AS lo, max(h) AS hi FROM totals),
+        grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM totals) t,
+                 (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM span) g
+        ),
+        joined AS (
+            SELECT g.event_type, g.h, tt.v FROM grid g
+            LEFT JOIN totals tt ON g.event_type = tt.event_type AND g.h = tt.h
+        ),
+        ctx AS (
+            SELECT event_type, h, v,
+                   last_value(v IGNORE NULLS) OVER w_prev AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER w_prev AS ph,
+                   first_value(v IGNORE NULLS) OVER w_next AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                       OVER w_next AS nh
+            FROM joined
+            WINDOW
+              w_prev AS (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING),
+              w_next AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type,
+               strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+               round(CASE WHEN v IS NOT NULL THEN v
+                          ELSE pv + (nv - pv)
+                               * (CAST((epoch_us(h) - epoch_us(ph)) // 3600000000 AS DOUBLE)
+                                  / CAST((epoch_us(nh) - epoch_us(ph)) // 3600000000 AS DOUBLE))
+                     END, 6) AS value,
+               (v IS NULL) AS is_interpolated
+        FROM ctx
+        WHERE v IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+        ORDER BY event_type, hour
+    """,
+    tags=("timeseries", "interpolation", "gapfill"),
+    doc=(
+        "Linear gap interpolation — the repair stage events_daily_gapfill "
+        "(zero-fill) deliberately doesn't do: hourly per-type revenue "
+        "series with interior gaps filled by linear interpolation between "
+        "the nearest present hours (leading/trailing gaps stay absent — "
+        "no data invented beyond the series). One shuffle builds the "
+        "hourly rollup; the grid explode and both direction-scans "
+        "(last/first IGNORE NULLS over mirrored frames) share the single "
+        "per-type partition. Interpolation weights are integer hour "
+        "offsets divided in double — identical IEEE ops in both engines. "
+        "At 100 TB the grid is |types|·|hours| (tiny vs the fact table) "
+        "and the window state is one value per direction."
+    ),
+)
+def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    totals = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    )
+    span = totals.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = totals.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+    )
+    joined = grid.join(totals, ["event_type", "h"], "left")
+    w_prev = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.partitionBy("event_type").orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    present_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(present_h, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(present_h, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    frac = (
+        F.expr("(unix_micros(h) - unix_micros(ph)) div 3600000000").cast("double")
+        / F.expr("(unix_micros(nh) - unix_micros(ph)) div 3600000000").cast("double")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return (
+        ctx.filter(
+            F.col("v").isNotNull() | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.round(filled, 6).alias("value"),
+            F.col("v").isNull().alias("is_interpolated"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "events_type_correlation",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   sum(CAST(value AS DECIMAL(18,4))) AS v
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+        grid AS (
+            SELECT t.event_type, g.d,
+                   COALESCE(dd.v, CAST(0 AS DECIMAL(18,4))) AS v
+            FROM (SELECT DISTINCT event_type FROM daily) t
+            CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+                        FROM span) g
+            LEFT JOIN daily dd ON dd.event_type = t.event_type AND dd.d = g.d
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.v AS x, b.v AS y
+            FROM grid a JOIN grid b ON a.d = b.d AND a.event_type < b.event_type
+        ),
+        moments AS (
+            SELECT type_a, type_b,
+                   count(*) AS n_days,
+                   CAST(sum(x) AS DOUBLE) AS sx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(y * y) AS DOUBLE) AS syy
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_days,
+               round((n_days * sxy - sx * sy)
+                     / (sqrt(n_days * sxx - sx * sx) * sqrt(n_days * syy - sy * sy)),
+                     6) AS corr
+        FROM moments
+        ORDER BY type_a, type_b
+    """,
+    tags=("analytics", "statistics", "timeseries"),
+    doc=(
+        "Pairwise Pearson correlation between event types' zero-filled "
+        "daily revenue series — deterministic where a naive corr() is "
+        "not: every moment (Sx, Sy, Sxy, Sxx, Syy) accumulates in exact "
+        "DECIMAL (4-decimal inputs → 8-decimal products, no float "
+        "summation order anywhere), casts to double once, and the closed "
+        "form runs in correctly-rounded IEEE ops (sqrt IS exact-rounded "
+        "per IEEE-754 — unlike log, it's safe cross-engine). The fact "
+        "table aggregates once to |types|·|days| rows; the pair join and "
+        "moment aggregation run on that tiny relation — at 100 TB this "
+        "is the scan plus noise, and the same decimal-moment shape "
+        "yields covariance matrices for feature stores."
+    ),
+)
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
+    )
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    types = daily.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"))
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce(F.col("v"), F.lit(0).cast("decimal(18,4)")).alias("v"),
+        )
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"), F.col("d").alias("d"), F.col("v").alias("x")
+    )
+    b = grid.select(
+        F.col("event_type").alias("type_b"), F.col("d").alias("d2"), F.col("v").alias("y")
+    )
+    pairs = a.join(b, (F.col("d") == F.col("d2")) & (F.col("type_a") < F.col("type_b")))
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("type_a", "type_b", "n_days", F.round(corr, 6).alias("corr")).orderBy(
+        "type_a", "type_b"
+    )

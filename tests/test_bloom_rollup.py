@@ -247,3 +247,77 @@ def test_row_checksum_is_partition_invariant_and_mutation_sensitive(spark, sf_di
                F.lit("__corrupt__")).otherwise(F.col("o_orderstatus")),
     )
     assert checksum(mutated, cols) != base
+
+
+def test_hourly_interpolate_matches_python_reference(spark, sf_dir):
+    """Interior gaps get exact linear interpolation; edges stay absent."""
+    from currency_etl_spark.queries.extras import events_hourly_interpolate
+
+    got = events_hourly_interpolate(spark, sf_dir).toPandas()
+    assert got["is_interpolated"].sum() > 0  # non-vacuous at this SF
+    import pandas as pd
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    ts = ev["ts"]
+    if getattr(ts.dtype, "tz", None) is not None:
+        ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    ev["h"] = ts.astype("datetime64[us]").dt.floor("h")
+    etype = sorted(ev["event_type"].unique())[0]
+    series = (
+        ev[ev["event_type"] == etype]
+        .groupby("h")["value"]
+        .apply(lambda s: float(sum(round(v * 10000) for v in s)) / 10000)
+    )
+    sub = got[got["event_type"] == etype].set_index("hour")
+    lo, hi = series.index.min(), series.index.max()
+    hours = pd.date_range(lo, hi, freq="h")
+    known = sorted(series.index)
+    import bisect
+
+    for h in hours:
+        key = h.strftime("%Y-%m-%d %H:%M:%S")
+        if h in series.index:
+            assert abs(sub.loc[key, "value"] - series[h]) < 1e-6
+            assert not sub.loc[key, "is_interpolated"]
+        else:
+            i = bisect.bisect_left(known, h)
+            if i == 0 or i == len(known):
+                assert key not in sub.index  # edge gaps absent
+                continue
+            ph, nh = known[i - 1], known[i]
+            frac = (h - ph) / (nh - ph)
+            want = series[ph] + (series[nh] - series[ph]) * frac
+            assert abs(sub.loc[key, "value"] - round(want, 6)) < 1e-6, (key, want)
+            assert sub.loc[key, "is_interpolated"]
+
+
+def test_type_correlation_matches_numpy(spark, sf_dir):
+    from currency_etl_spark.queries.extras import events_type_correlation
+
+    import numpy as np
+    import pandas as pd
+
+    got = events_type_correlation(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "ts", "value")
+        .toPandas()
+    )
+    ts = ev["ts"]
+    if getattr(ts.dtype, "tz", None) is not None:
+        ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+    ev["d"] = ts.astype("datetime64[us]").dt.floor("D")
+    daily = ev.groupby(["event_type", "d"])["value"].sum().unstack(fill_value=0.0)
+    days = pd.date_range(daily.columns.min(), daily.columns.max(), freq="D")
+    daily = daily.reindex(columns=days, fill_value=0.0)
+    for row in got.itertuples():
+        r = np.corrcoef(daily.loc[row.type_a], daily.loc[row.type_b])[0, 1]
+        assert abs(row.corr - r) < 1e-4, (row.type_a, row.type_b, row.corr, r)
+        assert row.n_days == len(days)
