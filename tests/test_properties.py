@@ -209,3 +209,47 @@ def test_snapshot_diff_counts_reconcile(spark, sf_dir):
     n_new = o.filter(F.col("k") % 17 != 0).count()
     assert n_new == rows.get("added", 0) + rows.get("changed", 0) + rows.get("unchanged", 0)
     assert n_old == rows.get("removed", 0) + rows.get("changed", 0) + rows.get("unchanged", 0)
+
+
+@given(
+    keys=st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=40, unique=True),
+    probes=st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=40),
+)
+@_PROP_SETTINGS
+def test_bloom_never_false_negative_property(spark, keys, probes):
+    """For ANY key set (including negatives and extremes) every inserted key
+    tests positive — the transparency contract of the join prefilter."""
+    from currency_etl_spark.operators.bloom import bloom_might_contain, build_bloom_bitmap
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bitmap = build_bloom_bitmap(df, "k", num_bits=512)
+    assert df.filter(~bloom_might_contain(bitmap, F.col("k"))).count() == 0
+    # and probing arbitrary values never errors / returns NULL
+    pr = spark.createDataFrame([(p,) for p in probes], "k long")
+    flags = [r[0] for r in pr.select(bloom_might_contain(bitmap, F.col("k"))).collect()]
+    assert all(f in (True, False) for f in flags)
+
+
+@given(
+    vals=st.lists(
+        st.integers(-(2**40), 2**40), min_size=2, max_size=60
+    )
+)
+@_PROP_SETTINGS
+def test_distributed_rank_property(spark, vals):
+    """distributed_global_rank == sorted-position rank for any value list
+    (duplicates allowed; tiebreak by id)."""
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, k long")
+    got = {
+        r["event_id"]: r["rank"]
+        for r in distributed_global_rank(df, "k", "event_id").collect()
+    }
+    want = {
+        eid: i + 1
+        for i, (eid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
