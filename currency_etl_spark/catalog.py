@@ -168,9 +168,10 @@ PRIORITY_ORDER = [
     # docs_index_lookup, the layout audit events_zorder_audit, the
     # watermark-policy entry streaming_late_drop, the UDTF skip-gram
     # extractor docs_skipgram_pairs, the anti-entropy fingerprint
-    # tables_row_checksum, and the series pair events_hourly_interpolate /
-    # events_type_correlation MUST LEAD the round-6 window for their
-    # first driver rows.
+    # tables_row_checksum, the series pair events_hourly_interpolate /
+    # events_type_correlation, and the customer-analytics pair
+    # customers_rfm_segments / parts_revenue_pareto MUST LEAD the
+    # round-6 window for their first driver rows.
 ]
 
 

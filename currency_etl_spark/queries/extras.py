@@ -2798,3 +2798,181 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("type_a", "type_b", "n_days", F.round(corr, 6).alias("corr")).orderBy(
         "type_a", "type_b"
     )
+
+
+@register(
+    "customers_rfm_segments",
+    oracle="""
+        WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+        base AS (
+            SELECT o.o_custkey AS c_custkey,
+                   date_diff('day', max(o.o_orderdate), a.mx) AS recency_days,
+                   count(*) AS frequency,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+            FROM orders o, anchor a
+            GROUP BY o.o_custkey, a.mx
+        ),
+        scored AS (
+            SELECT c_custkey, recency_days, frequency, monetary,
+                   CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) AS BIGINT) AS r_score,
+                   CAST(ntile(5) OVER (ORDER BY frequency ASC, c_custkey) AS BIGINT) AS f_score,
+                   CAST(ntile(5) OVER (ORDER BY monetary ASC, c_custkey) AS BIGINT) AS m_score
+            FROM base
+        )
+        SELECT CASE
+                 WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                 WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                 WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                 WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                 ELSE 'regular'
+               END AS segment,
+               count(*) AS n_customers,
+               CAST(sum(frequency) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(round(monetary * 10000) AS BIGINT)) AS DOUBLE)
+                     / 10000, 4) AS total_monetary
+        FROM scored
+        GROUP BY 1
+        ORDER BY segment
+    """,
+    tags=("analytics", "segmentation", "window"),
+    doc=(
+        "RFM customer segmentation — recency/frequency/monetary quintile "
+        "scores (ntile(5), ties broken by custkey so both engines cut "
+        "identically) folded into named segments. One orders aggregate "
+        "per customer, three window passes over the customers-sized "
+        "relation, a narrow CASE — the standard CRM/growth cut. Monetary "
+        "sums fold decimal-exact (int64-quantized before the cross-"
+        "customer re-sum — the float-sum determinism rule). At 100 TB "
+        "the windows run on |customers|, never |orders|; the scores are "
+        "the broadcast-able dimension a campaign join consumes."
+    ),
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.max("mx"), F.max("o_orderdate")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("monetary"),
+        )
+    )
+    scored = base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(W.orderBy(F.desc("recency_days"), "c_custkey")).cast("long").alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.asc("frequency"), "c_custkey")).cast("long").alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.asc("monetary"), "c_custkey")).cast("long").alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.groupBy(segment.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("frequency").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("monetary") * 10000).cast("long")).cast("double") / 10000, 4
+            ).alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "parts_revenue_pareto",
+    oracle="""
+        WITH rev AS (
+            SELECT l_partkey AS p_partkey,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS revenue
+            FROM lineitem GROUP BY l_partkey
+        ),
+        ranked AS (
+            SELECT p_partkey, revenue,
+                   ROW_NUMBER() OVER (ORDER BY revenue DESC, p_partkey) AS rnk,
+                   count(*) OVER () AS n_parts,
+                   sum(revenue) OVER () AS total
+            FROM rev
+        ),
+        bucketed AS (
+            SELECT ((rnk - 1) * 10) // n_parts AS decile,
+                   revenue, total, n_parts
+            FROM ranked
+        ),
+        curve AS (
+            SELECT decile,
+                   count(*) AS n_parts_in_decile,
+                   sum(revenue) AS decile_revenue,
+                   max(total) AS total,
+                   max(n_parts) AS n_parts
+            FROM bucketed GROUP BY decile
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(n_parts_in_decile AS BIGINT) AS n_parts_in_decile,
+               CAST(decile_revenue AS DOUBLE) AS decile_revenue,
+               round(CAST(sum(decile_revenue) OVER (ORDER BY decile) AS DOUBLE)
+                     / CAST(max(total) OVER () AS DOUBLE), 6) AS cum_share
+        FROM curve
+        ORDER BY decile
+    """,
+    tags=("analytics", "pareto", "window"),
+    doc=(
+        "Revenue-concentration (Pareto) curve: parts ranked by lineitem "
+        "revenue, packed into rank deciles, each reporting its exact "
+        "decimal revenue and the cumulative share — the 80/20 diagnostic "
+        "behind assortment and capacity planning. The rank runs on the "
+        "parts-sized AGGREGATE (|parts| rows, not |lineitem|); the "
+        "cumulative window then touches only the 10-row curve. The same "
+        "rank at billions of parts swaps in distributed_global_rank "
+        "(events_zorder_audit) — value-range splits + parallel local "
+        "windows — without changing the output."
+    ),
+)
+def parts_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    rev = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("revenue"))
+    )
+    w_all = W.partitionBy()
+    ranked = rev.select(
+        "p_partkey",
+        "revenue",
+        F.row_number().over(W.orderBy(F.desc("revenue"), "p_partkey")).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("n_parts"),
+        F.sum("revenue").over(w_all).alias("total"),
+    )
+    curve = (
+        ranked.withColumn("decile", F.expr("((rnk - 1) * 10) div n_parts"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_in_decile"),
+            F.sum("revenue").alias("decile_revenue"),
+            F.max("total").alias("total"),
+        )
+    )
+    cum = F.sum("decile_revenue").over(W.orderBy("decile"))
+    return (
+        curve.select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_parts_in_decile",
+            F.col("decile_revenue").cast("double").alias("decile_revenue"),
+            F.round(cum.cast("double") / F.max("total").over(w_all).cast("double"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("decile")
+    )

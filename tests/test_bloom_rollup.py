@@ -321,3 +321,30 @@ def test_type_correlation_matches_numpy(spark, sf_dir):
         r = np.corrcoef(daily.loc[row.type_a], daily.loc[row.type_b])[0, 1]
         assert abs(row.corr - r) < 1e-4, (row.type_a, row.type_b, row.corr, r)
         assert row.n_days == len(days)
+
+
+def test_rfm_segments_partition_all_customers(spark, sf_dir):
+    from currency_etl_spark.queries.extras import customers_rfm_segments
+
+    got = customers_rfm_segments(spark, sf_dir).toPandas()
+    orders = table(spark, sf_dir, "orders")
+    assert got["n_customers"].sum() == orders.select("o_custkey").distinct().count()
+    assert got["n_orders"].sum() == orders.count()
+    assert set(got["segment"]).issubset(
+        {"champion", "loyal", "at_risk", "hibernating", "regular"}
+    )
+
+
+def test_pareto_curve_monotone_and_complete(spark, sf_dir):
+    from currency_etl_spark.queries.extras import parts_revenue_pareto
+
+    got = parts_revenue_pareto(spark, sf_dir).toPandas().sort_values("decile")
+    li = table(spark, sf_dir, "lineitem")
+    assert got["n_parts_in_decile"].sum() == li.select("l_partkey").distinct().count()
+    shares = list(got["cum_share"])
+    assert all(a <= b for a, b in zip(shares, shares[1:]))  # monotone
+    assert abs(shares[-1] - 1.0) < 1e-9  # the full curve covers all revenue
+    # concentration: the top decile out-earns the bottom decile
+    top = got[got["decile"] == 0]["decile_revenue"].iloc[0]
+    bot = got[got["decile"] == got["decile"].max()]["decile_revenue"].iloc[0]
+    assert top > bot
