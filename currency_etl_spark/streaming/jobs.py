@@ -592,15 +592,21 @@ def _staged_late_dir(spark: SparkSession, sf_dir: str) -> str:
     (integer arithmetic, mirrored by the oracle), then the late replay
     file (event_id % LATE_MOD == 0). File mtimes are pinned so the file
     stream source's modification-time ordering is deterministic. Built
-    once per sf_dir (a marker records the source path); rebuilt only if
-    the marker mismatches."""
+    once per corpus VERSION: the marker records the source path plus the
+    events file's (mtime_ns, size) fingerprint, so a driver-side corpus
+    regeneration under the same path (the round-4 failure class — /tmp
+    outlives /root/testdata) forces a rebuild instead of silently
+    streaming last round's data."""
     import hashlib
 
+    src = os.path.join(sf_dir, "events.parquet")
+    st_src = os.stat(src)
+    fingerprint = f"{sf_dir}|{st_src.st_mtime_ns}|{st_src.st_size}"
     stage = os.path.join(
         "/tmp", "ces_stream_late", hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     )
     marker = os.path.join(stage, "_SOURCE")
-    if os.path.isfile(marker) and open(marker).read() == sf_dir:
+    if os.path.isfile(marker) and open(marker).read() == fingerprint:
         return stage
     os.makedirs(stage, exist_ok=True)
     from currency_etl_spark.sources import table
@@ -629,7 +635,7 @@ def _staged_late_dir(spark: SparkSession, sf_dir: str) -> str:
         part.reset_index(drop=True).to_parquet(path)
         os.utime(path, (1700000000 + i * 100, 1700000000 + i * 100))
     with open(marker, "w") as fh:
-        fh.write(sf_dir)
+        fh.write(fingerprint)
     return stage
 
 

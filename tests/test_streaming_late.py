@@ -61,3 +61,38 @@ def test_late_drop_unclosed_tail_absent(spark, sf_dir):
     assert ((starts + 3_600_000_000) <= wm_final).all()
     # and at least one window exists right at the closing edge
     assert len(out) > 0
+
+
+def test_staged_dir_rebuilds_on_corpus_regeneration(spark, sf_dir, tmp_path):
+    """A corpus regeneration under the SAME path must invalidate the staged
+    landing dir (the round-4 failure class: /tmp outlives /root/testdata)."""
+    import os
+    import shutil
+
+    from currency_etl_spark.streaming.jobs import _staged_late_dir
+
+    # copy the corpus so we can regenerate it
+    my_sf = tmp_path / "sfX"
+    my_sf.mkdir()
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), my_sf / "events.parquet")
+    stage1 = _staged_late_dir(spark, str(my_sf))
+    files1 = {f: os.stat(os.path.join(stage1, f)).st_mtime_ns
+              for f in os.listdir(stage1) if f.endswith(".parquet")}
+    # same content → cache hit (marker fingerprint matches)
+    assert _staged_late_dir(spark, str(my_sf)) == stage1
+    files1b = {f: os.stat(os.path.join(stage1, f)).st_mtime_ns
+               for f in os.listdir(stage1) if f.endswith(".parquet")}
+    # (pinned utimes make equality meaningful: rebuild would reset them)
+    assert files1b == files1
+    # "regenerate" the corpus: rewrite the file with a different mtime
+    src = my_sf / "events.parquet"
+    os.utime(src, (1800000000, 1800000000))
+    # cached table plans pin the old file listing — a regenerated corpus
+    # is a new application in the driver's world; clear the local cache
+    from currency_etl_spark import sources
+
+    sources._TABLE_CACHE.clear()
+    stage2 = _staged_late_dir(spark, str(my_sf))
+    assert stage2 == stage1  # same location...
+    marker = open(os.path.join(stage2, "_SOURCE")).read()
+    assert "1800000000" in marker  # ...but rebuilt against the new version
