@@ -169,9 +169,11 @@ PRIORITY_ORDER = [
     # watermark-policy entry streaming_late_drop, the UDTF skip-gram
     # extractor docs_skipgram_pairs, the anti-entropy fingerprint
     # tables_row_checksum, the series pair events_hourly_interpolate /
-    # events_type_correlation, and the customer-analytics pair
-    # customers_rfm_segments / parts_revenue_pareto MUST LEAD the
-    # round-6 window for their first driver rows.
+    # events_type_correlation, the customer-analytics pair
+    # customers_rfm_segments / parts_revenue_pareto, the affinity pair
+    # orders_market_basket / customers_interorder_gap, and the profile
+    # pair embeddings_dim_stats / docs_source_token_divergence MUST LEAD
+    # the round-6 window for their first driver rows.
 ]
 
 

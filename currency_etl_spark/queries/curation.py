@@ -357,3 +357,114 @@ _CATALOG["docs_curation_pipeline"].oracle = f"""
     FROM agg
     ORDER BY lang
 """
+
+
+@register(
+    "docs_source_token_divergence",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        csw AS (
+            SELECT source, w, count(*) AS c_sw FROM toks
+            WHERE w <> '' GROUP BY source, w
+        ),
+        ns AS (SELECT source, sum(c_sw) AS n_s FROM csw GROUP BY source),
+        cw AS (SELECT w, sum(c_sw) AS c_w FROM csw GROUP BY w),
+        tot AS (SELECT sum(c_w) AS n_total FROM cw),
+        grid AS (
+            SELECT ns.source, ns.n_s, cw.w, cw.c_w, tot.n_total,
+                   coalesce(csw.c_sw, 0) AS c_sw
+            FROM ns CROSS JOIN cw CROSS JOIN tot
+            LEFT JOIN csw ON csw.source = ns.source AND csw.w = cw.w
+        ),
+        scored AS (
+            SELECT source, w, n_s,
+                   CAST(round((CAST(c_sw AS DOUBLE) / n_s
+                               - CAST(c_w AS DOUBLE) / n_total)
+                              * 1000000000000) AS BIGINT) AS diff_q
+            FROM grid
+        ),
+        agg AS (
+            SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+                   sum(abs(diff_q)) AS sabs
+            FROM scored GROUP BY source
+        ),
+        topw AS (
+            SELECT source, w, diff_q,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY diff_q DESC, w) AS rn
+            FROM scored
+        )
+        SELECT a.source AS source, a.n_tokens,
+               round(CAST(a.sabs AS DOUBLE) / 2 / 1000000000000, 6) AS tv_dist,
+               t.w AS top_word,
+               round(CAST(t.diff_q AS DOUBLE) / 1000000000000, 6) AS top_excess
+        FROM agg a JOIN topw t ON a.source = t.source AND t.rn = 1
+        ORDER BY a.source
+    """,
+    tags=("curation", "mixture", "divergence"),
+    doc=(
+        "Corpus-mixture drift diagnostic: per-source total-variation "
+        "distance between the source's token distribution and the "
+        "corpus-wide distribution, plus each source's most over-"
+        "represented token. This is the monitoring primitive behind "
+        "mixture rebalancing — a source whose TV distance jumps between "
+        "snapshots changed its content mix. The plan aggregates the "
+        "corpus down to the (source × vocab) frequency GRID first — at "
+        "100 TB the token stream collapses via map-side partial "
+        "aggregation into |sources|·|vocab| rows, and the vocab "
+        "frequency table broadcasts. Per-word probability deltas are "
+        "1e12-quantized to int64 before the cross-word fold, so the TV "
+        "sum is exact and partition-order-independent in both engines."
+    ),
+)
+def docs_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    csw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    ns = csw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    tot = cw.agg(F.sum("c_w").alias("n_total"))
+    grid = (
+        ns.crossJoin(F.broadcast(cw))
+        .crossJoin(F.broadcast(tot))
+        .join(csw, ["source", "w"], "left")
+        .withColumn("c_sw", F.coalesce(F.col("c_sw"), F.lit(0)))
+    )
+    diff_q = F.round(
+        (
+            F.col("c_sw").cast("double") / F.col("n_s")
+            - F.col("c_w").cast("double") / F.col("n_total")
+        )
+        * 1000000000000
+    ).cast("long")
+    scored = grid.select("source", "w", "n_s", diff_q.alias("diff_q"))
+    agg = scored.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.sum(F.abs(F.col("diff_q"))).alias("sabs"),
+    )
+    topw = scored.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("source").orderBy(F.desc("diff_q"), "w")),
+    ).where(F.col("rn") == 1)
+    return (
+        agg.join(topw, "source")
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("sabs").cast("double") / 2 / 1000000000000, 6).alias(
+                "tv_dist"
+            ),
+            F.col("w").alias("top_word"),
+            F.round(F.col("diff_q").cast("double") / 1000000000000, 6).alias(
+                "top_excess"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2976,3 +2976,166 @@ def parts_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+#: Market-basket frequent-part prefilter: pairs are only generated among the
+#: BASKET_TOP_PARTS most order-frequent parts (ties broken by partkey, so
+#: the cut is identical in both engines). This is the standard frequent-
+#: itemset pruning (Apriori's first pass): at 100 TB the candidate-pair
+#: space is |top|², never |parts|², and the top table broadcasts.
+BASKET_TOP_PARTS = 200
+BASKET_MIN_PAIR = 2
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        freq AS (SELECT l_partkey, count(*) AS cnt FROM li GROUP BY l_partkey),
+        top AS (
+            SELECT l_partkey, cnt FROM freq
+            ORDER BY cnt DESC, l_partkey LIMIT {BASKET_TOP_PARTS}
+        ),
+        fli AS (
+            SELECT li.l_orderkey, li.l_partkey, t.cnt
+            FROM li JOIN top t USING (l_partkey)
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   max(a.cnt) AS cnt_a, max(b.cnt) AS cnt_b,
+                   count(*) AS pair_count
+            FROM fli a JOIN fli b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        ),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+        SELECT part_a, part_b, CAST(pair_count AS BIGINT) AS pair_count,
+               round(CAST(pair_count * n_orders AS DOUBLE)
+                     / (cnt_a * cnt_b), 6) AS lift
+        FROM pairs, n
+        WHERE pair_count >= {BASKET_MIN_PAIR}
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT 25
+    """,
+    tags=("analytics", "join", "topk", "basket"),
+    doc=(
+        "Market-basket affinity: lift of part pairs co-purchased in the "
+        "same order, restricted to the top-200 most frequent parts "
+        "(Apriori-style candidate pruning). The plan is the scalable "
+        "shape: a distinct (orderkey, partkey) projection, a broadcast "
+        "semi-reduction against the frequent-part table, ONE shuffle on "
+        "orderkey for the self-join (pairs materialize per order, never "
+        "globally), and a TakeOrderedAndProject on rounded lift. "
+        "lift = P(a,b)/(P(a)P(b)) from integer counts — both engines "
+        "compute the identical double. At 100 TB the frequent-part pass "
+        "is a partial-agg count, the pair space is capped at top², and "
+        "the order-local pair fanout is bounded by basket size."
+    ),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    top = freq.orderBy(F.desc("cnt"), "l_partkey").limit(BASKET_TOP_PARTS)
+    fli = li.join(F.broadcast(top), "l_partkey")
+    a = fli.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = fli.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.max("cnt_a").alias("cnt_a"),
+            F.max("cnt_b").alias("cnt_b"),
+            F.count(F.lit(1)).alias("pair_count"),
+        )
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    lift = F.round(
+        (F.col("pair_count") * F.col("n_orders")).cast("double")
+        / (F.col("cnt_a") * F.col("cnt_b")),
+        6,
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .where(F.col("pair_count") >= BASKET_MIN_PAIR)
+        .select("part_a", "part_b", "pair_count", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@register(
+    "customers_interorder_gap",
+    oracle="""
+        WITH g AS (
+            SELECT o_custkey,
+                   date_diff('day',
+                             lag(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey),
+                             o_orderdate) AS gap
+            FROM orders
+        ),
+        per_cust AS (
+            SELECT o_custkey, count(*) AS n_gaps,
+                   sum(gap) AS sum_gap, max(gap) AS max_gap
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY o_custkey
+        )
+        SELECT c.c_mktsegment AS mktsegment,
+               count(*) AS n_repeat_customers,
+               CAST(sum(p.n_gaps) AS BIGINT) AS n_gaps,
+               round(CAST(sum(p.sum_gap) AS DOUBLE) / sum(p.n_gaps), 4)
+                   AS avg_gap_days,
+               CAST(max(p.max_gap) AS BIGINT) AS max_gap_days
+        FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY mktsegment
+    """,
+    tags=("analytics", "window", "join"),
+    doc=(
+        "Inter-order gap (repurchase cadence) per market segment: per-"
+        "customer lag() over order date (ties broken by orderkey so both "
+        "engines see the same predecessor), day gaps folded to exact "
+        "integer sums per customer, then one segment-level aggregate "
+        "after a customer-dimension join. The window partitions by "
+        "custkey — millions of small independent partitions, no global "
+        "sort — and the join runs on the per-customer AGGREGATE "
+        "(|customers| rows, not |orders|). avg is exact-int sum / count "
+        "in double, identical across engines."
+    ),
+)
+def customers_interorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).cast("long")
+    per_cust = (
+        orders.select("o_custkey", gap.alias("gap"))
+        .where(F.col("gap").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("sum_gap"),
+            F.max("gap").alias("max_gap"),
+        )
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_repeat_customers"),
+            F.sum("n_gaps").alias("n_gaps"),
+            F.round(F.sum("sum_gap").cast("double") / F.sum("n_gaps"), 4).alias(
+                "avg_gap_days"
+            ),
+            F.max("max_gap").alias("max_gap_days"),
+        )
+        .orderBy("mktsegment")
+    )

@@ -776,3 +776,75 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", F.transform(codes, lambda c: c.cast("string"))).alias("pq_codes"),
         F.round(mse, 6).alias("recon_mse"),
     )
+
+
+@register(
+    "embeddings_dim_stats",
+    oracle="""
+        WITH x AS (
+            SELECT unnest(embedding) AS val,
+                   unnest(range(len(embedding))) AS dim
+            FROM embeddings
+        ),
+        q AS (
+            SELECT dim,
+                   CAST(round(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS q,
+                   CAST(val AS DOUBLE) AS v
+            FROM x
+        ),
+        s AS (
+            SELECT dim, count(*) AS n, sum(q) AS sq,
+                   sum(CAST(q AS DECIMAL(38,0)) * q) AS sqq,
+                   min(v) AS mn, max(v) AS mx
+            FROM q GROUP BY dim
+        )
+        SELECT CAST(dim AS BIGINT) AS dim, n,
+               round(CAST(sq AS DOUBLE) / 1000000 / n, 6) AS mean_val,
+               round(sqrt(greatest(
+                   CAST(sqq AS DOUBLE) / 1000000000000 / n
+                   - (CAST(sq AS DOUBLE) / 1000000 / n)
+                     * (CAST(sq AS DOUBLE) / 1000000 / n), 0.0)), 6) AS std_val,
+               round(mn, 6) AS min_val, round(mx, 6) AS max_val
+        FROM s
+        ORDER BY dim
+    """,
+    tags=("embeddings", "profile", "aggregate"),
+    doc=(
+        "Per-dimension moment profile of the embedding column — the "
+        "normalization/whitening stats pass (mean, std, min, max per "
+        "coordinate) every vector pipeline runs before indexing or "
+        "PCA. posexplode fans (vec, dim, val) out; the aggregate keys on "
+        "dim (64 keys), so map-side partial aggregation collapses the "
+        "exploded stream to |dims| rows per task before the one tiny "
+        "shuffle. Float sums are order-nondeterministic, so both engines "
+        "fold 1e6-quantized int64 values (and exact DECIMAL squares) and "
+        "convert to double once at the end — bit-identical under any "
+        "partitioning, and the same trick scales to 100 TB where a "
+        "billion-vector sum in double would drift per run."
+    ),
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "val"))
+    q = F.round(F.col("val").cast("double") * 1000000).cast("long")
+    s = (
+        x.select("dim", q.alias("q"), F.col("val").cast("double").alias("v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sq"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("sqq"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+    mean = F.col("sq").cast("double") / 1000000 / F.col("n")
+    var = F.col("sqq").cast("double") / 1000000000000 / F.col("n") - mean * mean
+    return s.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.round(mean, 6).alias("mean_val"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_val"),
+        F.round("mn", 6).alias("min_val"),
+        F.round("mx", 6).alias("max_val"),
+    ).orderBy("dim")
