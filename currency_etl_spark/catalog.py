@@ -171,9 +171,11 @@ PRIORITY_ORDER = [
     # tables_row_checksum, the series pair events_hourly_interpolate /
     # events_type_correlation, the customer-analytics pair
     # customers_rfm_segments / parts_revenue_pareto, the affinity pair
-    # orders_market_basket / customers_interorder_gap, and the profile
-    # pair embeddings_dim_stats / docs_source_token_divergence MUST LEAD
-    # the round-6 window for their first driver rows.
+    # orders_market_basket / customers_interorder_gap, the profile
+    # pair embeddings_dim_stats / docs_source_token_divergence, and the
+    # attribution/migration/novelty trio events_click_attribution /
+    # customers_segment_migration / docs_shingle_novelty MUST LEAD the
+    # round-6 window for their first driver rows.
 ]
 
 

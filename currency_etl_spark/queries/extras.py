@@ -3139,3 +3139,178 @@ def customers_interorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mktsegment")
     )
+
+
+#: Linear multi-touch attribution window: a purchase credits every click
+#: by the same user in the preceding ATTRIB_HOURS hours, equally.
+ATTRIB_HOURS = 24
+
+
+@register(
+    "events_click_attribution",
+    oracle=f"""
+        WITH purchases AS (
+            SELECT event_id AS p_id, user_id, ts AS p_ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+        ),
+        j AS (
+            SELECT p.p_id, p.value, c.c_ts,
+                   count(*) OVER (PARTITION BY p.p_id) AS n_touch
+            FROM purchases p JOIN clicks c
+              ON p.user_id = c.user_id
+             AND c.c_ts < p.p_ts
+             AND c.c_ts >= p.p_ts - INTERVAL {ATTRIB_HOURS} HOUR
+        )
+        SELECT strftime(c_ts, '%Y-%m-%d') AS click_day,
+               count(*) AS n_credited_clicks,
+               count(DISTINCT p_id) AS n_purchases_touched,
+               round(CAST(sum(CAST(round(value / n_touch * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000, 4) AS attributed_rev
+        FROM j
+        GROUP BY strftime(c_ts, '%Y-%m-%d')
+        ORDER BY click_day
+    """,
+    tags=("events", "attribution", "range-join", "window"),
+    doc=(
+        "Linear multi-touch attribution: each purchase's value is split "
+        "equally across the same user's clicks in the preceding 24 h, and "
+        "credit rolls up by click day — the marketing question 'which "
+        "day's engagement drove revenue'. The range join keys on user_id "
+        "(one shuffle; per-user event lists are small, so the bounded "
+        "time predicate is a cheap intra-partition filter — the binned "
+        "form in events_range_join_binned is the slot-in if a power user "
+        "skews a key). Per-click credit value/n is 1e6-quantized before "
+        "the cross-partition day sum, so totals are exact and partition-"
+        "order-independent in both engines."
+    ),
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    j = (
+        purchases.join(clicks, "user_id")
+        .where(
+            (F.col("c_ts") < F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_HOURS} HOURS"))
+        )
+        .withColumn("n_touch", F.count(F.lit(1)).over(W.partitionBy("p_id")))
+    )
+    credit_q = F.round(F.col("value") / F.col("n_touch") * 1000000).cast("long")
+    return (
+        j.groupBy(F.date_format("c_ts", "yyyy-MM-dd").alias("click_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credited_clicks"),
+            F.count_distinct("p_id").alias("n_purchases_touched"),
+            F.round(F.sum(credit_q).cast("double") / 1000000, 4).alias(
+                "attributed_rev"
+            ),
+        )
+        .orderBy("click_day")
+    )
+
+
+@register(
+    "customers_segment_migration",
+    oracle="""
+        WITH bounds AS (
+            SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM orders
+        ),
+        mid AS (
+            SELECT mn + (CAST(date_diff('day', mn, mx) AS INTEGER) // 2)
+                        * INTERVAL 1 DAY AS m
+            FROM bounds
+        ),
+        h1 AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+            FROM orders, mid WHERE o_orderdate < m GROUP BY o_custkey
+        ),
+        h2 AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+            FROM orders, mid WHERE o_orderdate >= m GROUP BY o_custkey
+        ),
+        q1 AS (
+            SELECT o_custkey,
+                   ntile(4) OVER (ORDER BY spend, o_custkey) AS q
+            FROM h1
+        ),
+        q2 AS (
+            SELECT o_custkey,
+                   ntile(4) OVER (ORDER BY spend, o_custkey) AS q
+            FROM h2
+        ),
+        m AS (
+            SELECT coalesce(q1.q, 0) AS from_q, coalesce(q2.q, 0) AS to_q
+            FROM q1 FULL JOIN q2 ON q1.o_custkey = q2.o_custkey
+        )
+        SELECT CAST(from_q AS BIGINT) AS from_q, CAST(to_q AS BIGINT) AS to_q,
+               count(*) AS n_customers
+        FROM m GROUP BY from_q, to_q
+        ORDER BY from_q, to_q
+    """,
+    tags=("analytics", "window", "outer-join", "migration"),
+    doc=(
+        "Customer segment-migration matrix: spend quartile in the first "
+        "half of the order history vs the second half (halves split at "
+        "the data-derived midpoint date; quartile 0 = absent from that "
+        "half), counted per (from, to) cell — the upgrade/churn movement "
+        "table behind lifecycle marketing. Each half is one partial-agg "
+        "pass over orders; the ntile runs on the customers-sized "
+        "aggregate with custkey tie-breaks so both engines cut "
+        "identically (distributed_global_rank is the billion-customer "
+        "slot-in, as in customers_rfm_segments); the FULL OUTER join "
+        "aligns the halves on custkey. Spend folds decimal-exact."
+    ),
+)
+def customers_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
+    )
+    mid = bounds.select(
+        F.to_timestamp(
+            F.date_add(
+                F.to_date("mn"),
+                (F.datediff(F.to_date("mx"), F.to_date("mn")) / 2).cast("int"),
+            )
+        ).alias("m")
+    )
+    o = orders.crossJoin(F.broadcast(mid))
+    spend = lambda cond: (
+        o.where(cond)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"))
+        .select(
+            "o_custkey",
+            F.ntile(4).over(W.orderBy("spend", "o_custkey")).alias("q"),
+        )
+    )
+    q1 = spend(F.col("o_orderdate") < F.col("m")).withColumnsRenamed(
+        {"o_custkey": "ck1", "q": "from_q"}
+    )
+    q2 = spend(F.col("o_orderdate") >= F.col("m")).withColumnsRenamed(
+        {"o_custkey": "ck2", "q": "to_q"}
+    )
+    m = q1.join(q2, q1.ck1 == q2.ck2, "full").select(
+        F.coalesce("from_q", F.lit(0)).cast("long").alias("from_q"),
+        F.coalesce("to_q", F.lit(0)).cast("long").alias("to_q"),
+    )
+    return (
+        m.groupBy("from_q", "to_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("from_q", "to_q")
+    )

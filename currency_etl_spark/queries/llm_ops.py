@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from currency_etl_spark.catalog import CATALOG, register
-from currency_etl_spark.sources import table
+from currency_etl_spark.sources import spread, table
 
 # ---------------------------------------------------------------------------
 # Shared tokenize / shingle builders (Spark + DuckDB forms of the same logic)
@@ -2179,3 +2179,71 @@ def docs_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.orderBy("rnk")
+
+
+@register(
+    "docs_shingle_novelty",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct({_SQL_SHINGLES.format(t='t')})) AS s
+            FROM toks
+        ),
+        first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+        per AS (
+            SELECT sh.doc_id, count(*) AS n_shingles,
+                   sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                       AS n_novel
+            FROM sh JOIN first f USING (s)
+            GROUP BY sh.doc_id
+        )
+        SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+        FROM per
+        ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "novelty"),
+    doc=(
+        "Per-document shingle novelty: the share of a document's distinct "
+        "word 3-grams whose FIRST occurrence (by doc_id order) is that "
+        "document — the marginal-contribution curve of a growing corpus. "
+        "Novelty ~0 marks documents whose content already exists "
+        "upstream (the soft-dedup complement to dedup_exact: duplicates "
+        "score 0 without any pair generation), and the corpus-level "
+        "novelty trend is the 'is new data still new' dashboard. One "
+        "shingle explode, one min-agg keyed on shingle (map-side partial "
+        "min), one join back on shingle — never doc×doc. At 100 TB the "
+        "shingle dictionary is the big relation; it hash-partitions on "
+        "the shingle and the min-doc fold is mergeable across batches. "
+        "Documents under 3 tokens have no shingles and no row."
+    ),
+)
+def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    tok = _with_tokens(docs)
+    sh = tok.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s")
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias(
+            "novelty"
+        ),
+    ).orderBy("doc_id")
