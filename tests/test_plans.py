@@ -341,3 +341,49 @@ def test_zorder_rank_windows_are_partitioned(spark, sf_dir):
     assert rn_windows, p
     for spec in rn_windows:
         assert "__pid" in spec.split(",")[0], spec
+
+
+def test_market_basket_topk_and_broadcast_prefilter(spark, sf_dir):
+    from currency_etl_spark.queries.extras import orders_market_basket
+
+    p = plan_of(orders_market_basket(spark, sf_dir))
+    # rounded-lift top-25 never global-sorts, and the frequent-part
+    # prefilter joins as a broadcast (never a shuffled dim)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    # the only single-partition stage is the 1-row n_orders scalar
+    assert p.count("SinglePartition") <= 1
+
+
+def test_interorder_gap_and_attribution_windows_are_keyed(spark, sf_dir):
+    from currency_etl_spark.queries.extras import (
+        customers_interorder_gap,
+        events_click_attribution,
+    )
+
+    for fn in (customers_interorder_gap, events_click_attribution):
+        p = plan_of(fn(spark, sf_dir))
+        # lag()/count() windows partition on custkey / purchase id —
+        # no global single-partition window anywhere in the plan
+        assert "SinglePartition" not in p
+
+
+def test_dim_stats_join_free_partial_agg(spark, sf_dir):
+    from currency_etl_spark.queries.vectors import embeddings_dim_stats
+
+    p = plan_of(embeddings_dim_stats(spark, sf_dir))
+    # moment profile is explode → partial agg → one dim-keyed exchange:
+    # no join and no single-partition stage at any point
+    assert "Join" not in p
+    assert "SinglePartition" not in p
+    assert "HashAggregate" in p
+
+
+def test_shingle_novelty_never_pairs_docs(spark, sf_dir):
+    from currency_etl_spark.queries.llm_ops import docs_shingle_novelty
+
+    p = plan_of(docs_shingle_novelty(spark, sf_dir))
+    # the join keys on the shingle (dictionary relation), never doc×doc:
+    # no nested-loop join over documents
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p
