@@ -174,8 +174,10 @@ PRIORITY_ORDER = [
     # orders_market_basket / customers_interorder_gap, the profile
     # pair embeddings_dim_stats / docs_source_token_divergence, and the
     # attribution/migration/novelty trio events_click_attribution /
-    # customers_segment_migration / docs_shingle_novelty MUST LEAD the
-    # round-6 window for their first driver rows.
+    # customers_segment_migration / docs_shingle_novelty, and the
+    # sequence/hygiene trio events_transition_dwell /
+    # events_state_machine_audit / embedding_label_outliers MUST LEAD
+    # the round-6 window for their first driver rows.
 ]
 
 

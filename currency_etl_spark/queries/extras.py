@@ -3314,3 +3314,167 @@ def customers_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("from_q", "to_q")
     )
+
+
+@register(
+    "events_transition_dwell",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER w AS prev_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dwell_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT prev_type, event_type,
+               count(*) AS n_transitions,
+               round(CAST(sum(dwell_us) AS DOUBLE) / 1000000 / count(*), 4)
+                   AS avg_dwell_s,
+               round(CAST(max(dwell_us) AS DOUBLE) / 1000000, 4) AS max_dwell_s
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, event_type
+    """,
+    tags=("events", "window", "sequence"),
+    doc=(
+        "Transition dwell times: how long users sit between consecutive "
+        "event types (the timing complement of events_type_transitions' "
+        "counts) — the input to session-timeout tuning and funnel-"
+        "latency SLOs. lag() runs inside per-user partitions (millions "
+        "of small independent windows, no global sort); dwell is an "
+        "exact integer microsecond difference (unix_micros/epoch_us), "
+        "so the per-transition sums are partition-order-exact in int64 "
+        "and both engines emit the identical double at the end. At "
+        "100 TB the int64 microsecond sum caps at ~292k user-years per "
+        "transition cell — switch the fold to DECIMAL(38,0) past that."
+    ),
+)
+def events_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        "event_type",
+        (us - F.lag(us).over(w)).alias("dwell_us"),
+    ).where(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.round(
+                F.sum("dwell_us").cast("double") / 1000000 / F.count(F.lit(1)), 4
+            ).alias("avg_dwell_s"),
+            F.round(F.max("dwell_us").cast("double") / 1000000, 4).alias(
+                "max_dwell_s"
+            ),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+@register(
+    "events_state_machine_audit",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(ts) AS first_ts,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+                   min(CASE WHEN event_type IN ('click','view') THEN ts END)
+                       AS first_engage,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS first_purchase
+            FROM events GROUP BY user_id
+        ),
+        flags AS (
+            SELECT user_id,
+                   (first_signup IS NOT NULL) AS signup_applies,
+                   (first_signup IS NOT NULL AND first_signup > first_ts)
+                       AS signup_not_first,
+                   (first_purchase IS NOT NULL) AS purchase_applies,
+                   (first_purchase IS NOT NULL AND
+                    (first_engage IS NULL OR first_purchase < first_engage))
+                       AS purchase_before_engagement
+            FROM per_user
+        )
+        SELECT rule, n_applicable, n_violations,
+               round(CAST(n_violations AS DOUBLE) / n_applicable, 6)
+                   AS violation_rate
+        FROM (
+            SELECT 'purchase_before_engagement' AS rule,
+                   count(*) FILTER (purchase_applies) AS n_applicable,
+                   count(*) FILTER (purchase_before_engagement) AS n_violations
+            FROM flags
+            UNION ALL
+            SELECT 'signup_not_first',
+                   count(*) FILTER (signup_applies),
+                   count(*) FILTER (signup_not_first)
+            FROM flags
+        )
+        ORDER BY rule
+    """,
+    tags=("events", "quality", "sequence"),
+    doc=(
+        "Event-protocol audit: per-user sequence rules checked from "
+        "conditional-min timestamps — 'signup must be the user's first "
+        "event' and 'a purchase requires a prior click/view'. The whole "
+        "state machine collapses into ONE partial-aggregatable pass "
+        "(min per type per user), so at 100 TB it is a single shuffle "
+        "on user_id followed by a 2-row rule rollup — no ordering, no "
+        "window, no self-join. The pattern extends to any precedence "
+        "rule expressible over per-type extrema; order-sensitive rules "
+        "beyond precedence go to the sessionize/SCD2 operators."
+    ),
+)
+def events_state_machine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(
+            F.when(F.col("event_type").isin("click", "view"), F.col("ts"))
+        ).alias("first_engage"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    flags = per_user.select(
+        F.col("first_signup").isNotNull().alias("signup_applies"),
+        (
+            F.col("first_signup").isNotNull()
+            & (F.col("first_signup") > F.col("first_ts"))
+        ).alias("signup_not_first"),
+        F.col("first_purchase").isNotNull().alias("purchase_applies"),
+        (
+            F.col("first_purchase").isNotNull()
+            & (
+                F.col("first_engage").isNull()
+                | (F.col("first_purchase") < F.col("first_engage"))
+            )
+        ).alias("purchase_before_engagement"),
+    )
+    rules = flags.agg(
+        F.sum(F.col("purchase_applies").cast("long")).alias("pa"),
+        F.sum(F.col("purchase_before_engagement").cast("long")).alias("pv"),
+        F.sum(F.col("signup_applies").cast("long")).alias("sa"),
+        F.sum(F.col("signup_not_first").cast("long")).alias("sv"),
+    )
+    out = rules.select(
+        F.expr(
+            "stack(2, "
+            "'purchase_before_engagement', pa, pv, "
+            "'signup_not_first', sa, sv) AS (rule, n_applicable, n_violations)"
+        )
+    )
+    return out.select(
+        "rule",
+        "n_applicable",
+        "n_violations",
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_applicable"), 6
+        ).alias("violation_rate"),
+    ).orderBy("rule")

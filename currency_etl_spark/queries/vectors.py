@@ -848,3 +848,107 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mn", 6).alias("min_val"),
         F.round("mx", 6).alias("max_val"),
     ).orderBy("dim")
+
+
+@register(
+    "embedding_label_outliers",
+    oracle="""
+        WITH x AS (
+            SELECT vec_id, label, unnest(embedding) AS val,
+                   unnest(range(len(embedding))) AS dim
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, label, dim, CAST(val AS DOUBLE) AS v FROM x
+        ),
+        cent AS (
+            SELECT label, dim,
+                   sum(CAST(round(v * 1000000) AS BIGINT)) AS sq,
+                   count(*) AS n
+            FROM q GROUP BY label, dim
+        ),
+        c AS (
+            SELECT label, dim, CAST(sq AS DOUBLE) / 1000000 / n AS cval
+            FROM cent
+        ),
+        d AS (
+            SELECT q.vec_id, q.label,
+                   sum(CAST(round((q.v - c.cval) * (q.v - c.cval)
+                                  * 1000000000000) AS BIGINT)) AS d2q
+            FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+            GROUP BY q.vec_id, q.label
+        ),
+        dist AS (
+            SELECT vec_id, label,
+                   sqrt(CAST(d2q AS DOUBLE) / 1000000000000) AS dist
+            FROM d
+        ),
+        p AS (
+            SELECT label, quantile_cont(dist, 0.95) AS p95
+            FROM dist GROUP BY label
+        )
+        SELECT CAST(dist.label AS BIGINT) AS label,
+               count(*) AS n_vecs,
+               round(max(p.p95), 6) AS p95_dist,
+               count(*) FILTER (dist.dist > p.p95) AS n_outliers,
+               round(CAST(sum(CAST(round(dist.dist * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000 / count(*), 6) AS mean_dist
+        FROM dist JOIN p ON dist.label = p.label
+        GROUP BY dist.label
+        ORDER BY label
+    """,
+    tags=("embeddings", "quality", "outliers"),
+    doc=(
+        "Embedding-cluster hygiene: distance of every vector to its own "
+        "label centroid, the per-label p95 distance, and the count of "
+        "vectors beyond it — the mislabeled/contaminated-embedding "
+        "detector run before training a classifier head or pruning an "
+        "index. Centroids fold 1e6-quantized int64 sums per (label, "
+        "dim) — partial-agg friendly, exact under any partitioning — "
+        "and broadcast back onto the exploded vectors; per-vector "
+        "squared distances fold 1e12-quantized so the dim sum is exact "
+        "too. The only data-sized shuffles key on (label, dim) and "
+        "vec_id. Exact quantile_cont/percentile is the sf-scale "
+        "correctness baseline; at 100 TB the p95 swaps to "
+        "approx_percentile with this entry as its oracle."
+    ),
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    x = e.select("vec_id", "label", F.posexplode("embedding").alias("dim", "val"))
+    q = x.select("vec_id", "label", "dim", F.col("val").cast("double").alias("v"))
+    cent = q.groupBy("label", "dim").agg(
+        F.sum(F.round(F.col("v") * 1000000).cast("long")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = cent.select(
+        "label", "dim", (F.col("sq").cast("double") / 1000000 / F.col("n")).alias("cval")
+    )
+    diff = F.col("v") - F.col("cval")
+    d = (
+        q.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(diff * diff * 1000000000000).cast("long")).alias("d2q")
+        )
+    )
+    dist = d.select(
+        "vec_id", "label", F.sqrt(F.col("d2q").cast("double") / 1000000000000).alias("dist")
+    )
+    p = dist.groupBy("label").agg(F.percentile("dist", 0.95).alias("p95"))
+    return (
+        dist.join(F.broadcast(p), "label")
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.max("p95"), 6).alias("p95_dist"),
+            F.sum((F.col("dist") > F.col("p95")).cast("long")).alias("n_outliers"),
+            F.round(
+                F.sum(F.round(F.col("dist") * 1000000).cast("long")).cast("double")
+                / 1000000
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_dist"),
+        )
+        .orderBy("label")
+    )
