@@ -220,6 +220,69 @@ HEADLINERS = {
         "posting rows to K before the collect_list aggregate — bounded "
         "aggregation state however hot the term."
     ),
+    "orders_market_basket": (
+        "Market-basket lift. Check: the frequent-part top-200 enters the "
+        "(orderkey, partkey) relation as a BroadcastHashJoin (Apriori "
+        "prefilter BEFORE the pair self-join); pairs materialize per "
+        "order behind the orderkey join, never globally; the 1-row "
+        "n_orders scalar is the only SinglePartition stage; the rounded-"
+        "lift top-25 is TakeOrderedAndProject."
+    ),
+    "customers_interorder_gap": (
+        "Repurchase cadence. Check: the lag() Window partitions on "
+        "o_custkey (millions of small windows, no global sort); the "
+        "customer join consumes the per-customer AGGREGATE — join input "
+        "is |customers|, not |orders|."
+    ),
+    "embeddings_dim_stats": (
+        "Per-dimension moments. Check: zero joins anywhere; posexplode "
+        "feeds partial_sum/partial_count HashAggregates (map-side "
+        "combine collapses the exploded stream to |dims| rows per task) "
+        "before the single dim-keyed exchange; sums fold 1e6-quantized "
+        "int64 + DECIMAL squares, never raw doubles."
+    ),
+    "docs_source_token_divergence": (
+        "Mixture drift. Check: token stream collapses to the (source, "
+        "word) frequency grid via partial aggregation before any join; "
+        "the vocab table and corpus total enter as broadcasts; the TV "
+        "fold sums 1e12-quantized int64 deltas."
+    ),
+    "events_click_attribution": (
+        "Multi-touch attribution. Check: purchases⋈clicks is ONE "
+        "user_id-keyed join (the 24 h bound is an intra-partition "
+        "filter); the touch-count Window partitions on the purchase id; "
+        "credits are 1e6-quantized before the day rollup."
+    ),
+    "customers_segment_migration": (
+        "Segment migration matrix. Check: each half is one partial-agg "
+        "pass over orders; the data-derived midpoint enters as a 1-row "
+        "broadcast; ntile runs on the customers-sized aggregate; the "
+        "halves align via FULL OUTER SortMergeJoin on custkey (correctly "
+        "NOT broadcastable)."
+    ),
+    "docs_shingle_novelty": (
+        "Shingle novelty. Check: the only joins key on the shingle "
+        "(dictionary relation) — no doc×doc pairing, no "
+        "CartesianProduct; min(doc_id) folds map-side; per-doc counts "
+        "re-aggregate on doc_id."
+    ),
+    "events_transition_dwell": (
+        "Transition dwell. Check: the lag() Window partitions on "
+        "user_id; dwell is an exact unix_micros int64 difference — the "
+        "(prev, type) rollup sums integers, no float fold."
+    ),
+    "events_state_machine_audit": (
+        "Protocol audit. Check: the whole state machine is ONE "
+        "conditional-min aggregate pass on user_id (partial_min per "
+        "type) — no window, no ordering, no self-join; the rule rollup "
+        "is a 1-row stack()."
+    ),
+    "embedding_label_outliers": (
+        "Embedding hygiene. Check: centroids fold quantized int64 per "
+        "(label, dim) and broadcast back onto the exploded vectors; "
+        "squared distances fold 1e12-quantized on vec_id; the p95 table "
+        "is a broadcast join of |labels| rows."
+    ),
 }
 
 
