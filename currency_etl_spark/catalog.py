@@ -176,8 +176,10 @@ PRIORITY_ORDER = [
     # attribution/migration/novelty trio events_click_attribution /
     # customers_segment_migration / docs_shingle_novelty, and the
     # sequence/hygiene trio events_transition_dwell /
-    # events_state_machine_audit / embedding_label_outliers MUST LEAD
-    # the round-6 window for their first driver rows.
+    # events_state_machine_audit / embedding_label_outliers, and the
+    # series/governance pair events_autocorrelation /
+    # customers_pseudonymize_audit MUST LEAD the round-6 window for
+    # their first driver rows.
 ]
 
 

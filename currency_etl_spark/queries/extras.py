@@ -3478,3 +3478,190 @@ def events_state_machine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_violations").cast("double") / F.col("n_applicable"), 6
         ).alias("violation_rate"),
     ).orderBy("rule")
+
+
+#: ACF lags reported by events_autocorrelation.
+ACF_MAX_LAG = 7
+
+
+@register(
+    "events_autocorrelation",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+            FROM events
+        ),
+        days AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS q
+            FROM events GROUP BY 1
+        ),
+        series AS (
+            SELECT d.day, CAST(coalesce(daily.q, 0) AS DOUBLE) / 10000 AS x
+            FROM days d LEFT JOIN daily USING (day)
+        ),
+        mu AS (
+            SELECT CAST(sum(CAST(round(x * 10000) AS BIGINT)) AS DOUBLE)
+                   / 10000 / count(*) AS m,
+                   count(*) AS n_days
+            FROM series
+        ),
+        den AS (
+            SELECT sum(CAST(round((x - m) * (x - m) * 100) AS BIGINT)) AS dq
+            FROM series, mu
+        ),
+        lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+        pairs AS (
+            SELECT l.lag,
+                   CAST(round((a.x - mu.m) * (b.x - mu.m) * 100) AS BIGINT) AS pq
+            FROM lags l
+            JOIN series a ON true
+            JOIN series b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+            CROSS JOIN mu
+        )
+        SELECT CAST(p.lag AS BIGINT) AS lag,
+               count(*) AS n_pairs,
+               round(CAST(sum(p.pq) AS DOUBLE) / max(d.dq), 6) AS acf
+        FROM pairs p CROSS JOIN den d
+        GROUP BY p.lag
+        ORDER BY lag
+    """,
+    tags=("time", "series", "statistics"),
+    doc=(
+        "Autocorrelation function of daily event revenue at lags 1..7 — "
+        "the seasonality detector (a weekly cycle shows as an acf spike "
+        "at lag 7) that decides resampling and forecasting windows. The "
+        "raw stream collapses to the zero-filled day series first (one "
+        "partial-agg pass; |days| rows no matter the corpus size), so "
+        "every join and window here runs on the day-sized aggregate. "
+        "Centered products are 1e2-quantized to int64 before the cross-"
+        "day sums — deterministic under any partitioning, and the same "
+        "fold DuckDB runs. The lag join is an equi-join on (day + lag), "
+        "not a window, so it parallelizes across lags."
+    ),
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("q")
+    )
+    series = days.join(daily, "day", "left").select(
+        "day", (F.coalesce(F.col("q"), F.lit(0)).cast("double") / 10000).alias("x")
+    )
+    mu = series.agg(
+        (
+            F.sum(F.round(F.col("x") * 10000).cast("long")).cast("double")
+            / 10000
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    sm = series.crossJoin(F.broadcast(mu))
+    den = sm.agg(
+        F.sum(
+            F.round((F.col("x") - F.col("m")) * (F.col("x") - F.col("m")) * 100).cast(
+                "long"
+            )
+        ).alias("dq")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = sm.select("day", "x", "m")
+    b = series.select(F.col("day").alias("bday"), F.col("x").alias("bx"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("bday") == F.expr("date_add(day, CAST(lag AS INT))"),
+        )
+        .select(
+            "lag",
+            F.round((F.col("x") - F.col("m")) * (F.col("bx") - F.col("m")) * 100)
+            .cast("long")
+            .alias("pq"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("pq").cast("double") / F.max("dq"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+#: Deterministic pseudonymization pepper. A real deployment injects this
+#: from a secret store and rotates it; the fixed literal keeps the entry
+#: self-contained and oracle-checkable.
+PSEUDO_PEPPER = "pepper-2026"
+
+
+@register(
+    "customers_pseudonymize_audit",
+    oracle=f"""
+        WITH p AS (
+            SELECT sha256('{PSEUDO_PEPPER}:' || CAST(c_custkey AS VARCHAR))
+                       AS pseudo_key,
+                   c_custkey
+            FROM customer
+        ),
+        agg AS (
+            SELECT p.pseudo_key,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_spend
+            FROM p JOIN orders o ON p.c_custkey = o.o_custkey
+            GROUP BY p.pseudo_key
+        )
+        SELECT pseudo_key, n_orders, total_spend
+        FROM agg
+        ORDER BY n_orders DESC, pseudo_key
+        LIMIT 20
+    """,
+    tags=("governance", "privacy", "hash"),
+    doc=(
+        "Keyed pseudonymization with referential integrity: customer "
+        "keys are replaced by sha256(pepper || key) BEFORE analytics "
+        "leave the trust boundary, and the per-pseudonym order rollup "
+        "proves joins still work on the pseudonymized dimension — the "
+        "privacy pattern for sharing behavioral aggregates without raw "
+        "IDs (re-identification requires the pepper). The hash is a "
+        "narrow JVM-side projection on the dimension (never the fact); "
+        "the join and rollup are unchanged from the cleartext plan, so "
+        "the 100 TB cost is identical to top_customers. A test pins "
+        "that pseudonymization is collision-free on the corpus."
+    ),
+)
+def customers_pseudonymize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.sha2(
+            F.concat(F.lit(PSEUDO_PEPPER + ":"), F.col("c_custkey").cast("string")),
+            256,
+        ).alias("pseudo_key"),
+        "c_custkey",
+    )
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("pseudo_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .orderBy(F.desc("n_orders"), "pseudo_key")
+        .limit(20)
+    )
