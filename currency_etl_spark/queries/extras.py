@@ -3665,3 +3665,105 @@ def customers_pseudonymize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "pseudo_key")
         .limit(20)
     )
+
+
+@register(
+    "events_ab_experiment",
+    oracle="""
+        WITH assign AS (
+            SELECT user_id,
+                   CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 7))
+                        AS BIGINT) % 2 AS variant
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        per_user AS (
+            SELECT e.user_id,
+                   max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted,
+                   sum(CASE WHEN e.event_type = 'purchase'
+                            THEN CAST(round(e.value * 10000) AS BIGINT)
+                            ELSE 0 END) AS rev_q
+            FROM events e GROUP BY e.user_id
+        ),
+        v AS (
+            SELECT a.variant,
+                   count(*) AS n_users,
+                   CAST(sum(p.converted) AS BIGINT) AS n_converted,
+                   sum(p.rev_q) AS rev_q
+            FROM assign a JOIN per_user p ON a.user_id = p.user_id
+            GROUP BY a.variant
+        ),
+        ctl AS (
+            SELECT CAST(n_converted AS DOUBLE) / n_users AS p0 FROM v
+            WHERE variant = 0
+        )
+        SELECT v.variant, v.n_users, v.n_converted,
+               round(CAST(v.n_converted AS DOUBLE) / v.n_users, 6) AS conv_rate,
+               round(CAST(v.rev_q AS DOUBLE) / 10000 / v.n_users, 4)
+                   AS rev_per_user,
+               round(CAST(v.n_converted AS DOUBLE) / v.n_users - ctl.p0, 6)
+                   AS lift_vs_control
+        FROM v, ctl
+        ORDER BY v.variant
+    """,
+    tags=("events", "experiment", "analytics"),
+    doc=(
+        "A/B experiment readout: users deterministically bucketed into "
+        "two variants by md5(user_id) (the same stable-hash assignment a "
+        "real experimentation system ships — no RNG, re-runs agree), "
+        "then per-variant exposure, conversion, revenue-per-user from "
+        "1e4-quantized sums, and absolute lift vs the control variant. "
+        "One partial-agg pass per user collapses the event stream; the "
+        "variant rollup and the 1-row control stats are broadcast-"
+        "sized. At 100 TB the only data-sized shuffle keys on user_id "
+        "— variance/z-scoring downstream consumes exactly these exact "
+        "integer counts."
+    ),
+)
+def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 10000).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("rev_q"),
+    )
+    v = (
+        per_user.select(variant.alias("variant"), "converted", "rev_q")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.sum("rev_q").alias("rev_q"),
+        )
+    )
+    ctl = v.where(F.col("variant") == 0).select(
+        (F.col("n_converted").cast("double") / F.col("n_users")).alias("p0")
+    )
+    return (
+        v.crossJoin(F.broadcast(ctl))
+        .select(
+            "variant",
+            "n_users",
+            "n_converted",
+            F.round(F.col("n_converted").cast("double") / F.col("n_users"), 6).alias(
+                "conv_rate"
+            ),
+            F.round(
+                F.col("rev_q").cast("double") / 10000 / F.col("n_users"), 4
+            ).alias("rev_per_user"),
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_users") - F.col("p0"),
+                6,
+            ).alias("lift_vs_control"),
+        )
+        .orderBy("variant")
+    )

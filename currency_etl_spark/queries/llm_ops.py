@@ -2247,3 +2247,82 @@ def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "docs_importance_weights",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tw AS (
+            SELECT w, count(*) AS t_w FROM toks WHERE lang <> 'en' GROUP BY w
+        ),
+        cw AS (SELECT w, count(*) AS c_w FROM toks GROUP BY w),
+        sw AS (
+            SELECT cw.w,
+                   (length(bin(coalesce(tw.t_w, 0) + 1)) - 1)
+                   - (length(bin(cw.c_w + 1)) - 1) AS s_w
+            FROM cw LEFT JOIN tw ON cw.w = tw.w
+        ),
+        per AS (
+            SELECT t.doc_id, max(t.lang) AS lang,
+                   count(*) AS n_tokens,
+                   CAST(sum(sw.s_w) AS BIGINT) AS imp_sum
+            FROM toks t JOIN sw ON t.w = sw.w
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, lang, n_tokens, imp_sum,
+               round(CAST(imp_sum AS DOUBLE) / n_tokens, 6) AS mean_importance
+        FROM per
+        ORDER BY round(CAST(imp_sum AS DOUBLE) / n_tokens, 6) DESC, doc_id
+        LIMIT 25
+    """,
+    tags=("llm", "curation", "selection"),
+    doc=(
+        "DSIR-flavored importance weighting for data selection: each "
+        "token contributes ilog2(target_count+1) - ilog2(corpus_count+1) "
+        "bits (target = the non-English slice standing in for a quality "
+        "domain), and documents ranked by mean token importance are the "
+        "ones importance resampling would favor — the hashed-n-gram "
+        "log-ratio scheme of Xie et al. 2023 reduced to the module's "
+        "integer-exact ilog2 (length(bin(x))-1, shared verbatim by both "
+        "engines — no cross-libm log() drift). Shape at 100 TB: two "
+        "partial-agg count passes collapse the token stream to the "
+        "vocab-sized weight table, which BROADCASTS back onto the "
+        "exploded tokens; per-doc sums are exact int64; top-25 is a "
+        "TakeOrderedAndProject. The target slice needs no second scan — "
+        "it is a conditional count inside the same pass."
+    ),
+)
+def docs_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    counts = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("t_w"),
+    )
+    ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — exact floor(log2)
+    sw = counts.select(
+        "w", (ilog2(F.col("t_w") + 1) - ilog2(F.col("c_w") + 1)).alias("s_w")
+    )
+    per = (
+        toks.join(F.broadcast(sw), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s_w").cast("long").alias("imp_sum"),
+        )
+    )
+    mean_imp = F.round(F.col("imp_sum").cast("double") / F.col("n_tokens"), 6)
+    return (
+        per.select(
+            "doc_id", "lang", "n_tokens", "imp_sum", mean_imp.alias("mean_importance")
+        )
+        .orderBy(F.desc("mean_importance"), "doc_id")
+        .limit(25)
+    )
