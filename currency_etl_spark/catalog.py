@@ -178,9 +178,10 @@ PRIORITY_ORDER = [
     # sequence/hygiene trio events_transition_dwell /
     # events_state_machine_audit / embedding_label_outliers, and the
     # series/governance pair events_autocorrelation /
-    # customers_pseudonymize_audit, and the selection/experiment pair
-    # docs_importance_weights / events_ab_experiment MUST LEAD the
-    # round-6 window for their first driver rows.
+    # customers_pseudonymize_audit, the selection/experiment pair
+    # docs_importance_weights / events_ab_experiment, and the kNN-graph
+    # builder knn_graph_bucketed MUST LEAD the round-6 window for their
+    # first driver rows.
 ]
 
 

@@ -952,3 +952,80 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: Neighbors per point in the bucketed kNN graph.
+KNN_GRAPH_K = 3
+
+
+@register(
+    "knn_graph_bucketed",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {_sql_sign_bucket('embedding')} AS bucket
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id, n.vec_id AS neighbor_id,
+                   {_sql_cosine('a.embedding', 'n.embedding')} AS sim
+            FROM b a JOIN b n
+              ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, neighbor_id, sim,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, neighbor_id) AS rank
+            FROM pairs
+        )
+        SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+               round(sim, 6) AS cos_sim
+        FROM ranked WHERE rank <= {KNN_GRAPH_K}
+        ORDER BY vec_id, rank
+    """,
+    tags=("llm", "vector", "ann", "graph"),
+    doc=(
+        "kNN-graph construction: EVERY vector's top-3 cosine neighbors "
+        "within its sign-LSH bucket — the all-points neighbor graph "
+        "that feeds graph clustering, UMAP-style layouts, and "
+        "label-propagation over embeddings (the per-point twin of the "
+        "query-set entries knn_lsh/knn_recall_report). The bucket "
+        "equi-join keys the shuffle on the LSH bucket, so candidate "
+        "pairs are O(Σ bucket²), never all-pairs; per-point ranking is "
+        "a WindowGroupLimit inside bucket-local partitions. At 100 TB "
+        "you raise LSH_BITS so buckets stay bounded, add Hamming-1 "
+        "probes for recall (the knn_lsh_multiprobe pattern), and the "
+        "graph materializes straight to a bucketed table for the "
+        "downstream iterative consumer. Sequential-fold cosine keeps "
+        "both engines bit-identical before the final rounding."
+    ),
+)
+def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", "embedding", _sign_bucket().alias("bucket"))
+    a = b.select("bucket", "vec_id", "embedding")
+    n = b.select(
+        "bucket",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+    )
+    pairs = (
+        a.join(n, "bucket")
+        .where(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            _cosine(F.col("embedding"), F.col("ne")).alias("sim"),
+        )
+    )
+    ranked = pairs.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.desc("sim"), "neighbor_id")
+        ),
+    ).where(F.col("rank") <= KNN_GRAPH_K)
+    return ranked.select(
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        F.round("sim", 6).alias("cos_sim"),
+    ).orderBy("vec_id", "rank")

@@ -1,0 +1,53 @@
+"""Invariant tests for the bucketed kNN graph: rank shape, bucket
+containment, and a numpy re-derivation of each point's in-bucket top-1."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from currency_etl_spark.catalog import load_catalog
+from currency_etl_spark.queries.vectors import KNN_GRAPH_K, LSH_BITS
+from currency_etl_spark.sources import table
+
+CATALOG = load_catalog()
+
+
+def _bucket(vec: np.ndarray) -> int:
+    return sum(1 << i for i in range(LSH_BITS) if vec[i] > 0)
+
+
+def test_knn_graph_shape_and_bucket_containment(spark, sf_dir):
+    got = CATALOG["knn_graph_bucketed"].spark_fn(spark, sf_dir).toPandas()
+    emb = table(spark, sf_dir, "embeddings").toPandas()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    per = got.groupby("vec_id")
+    assert (per.size() <= KNN_GRAPH_K).all()
+    for vid, grp in per:
+        assert list(grp.sort_values("rank")["rank"]) == list(range(1, len(grp) + 1))
+    # every edge stays inside the source's LSH bucket, no self-edges
+    assert (got.vec_id != got.neighbor_id).all()
+    for row in got.itertuples():
+        assert _bucket(vecs[row.vec_id]) == _bucket(vecs[row.neighbor_id])
+
+
+def test_knn_graph_top1_matches_numpy(spark, sf_dir):
+    got = CATALOG["knn_graph_bucketed"].spark_fn(spark, sf_dir).toPandas()
+    emb = table(spark, sf_dir, "embeddings").toPandas()
+    ids = emb.vec_id.to_numpy()
+    mat = np.array(emb.embedding.tolist(), dtype=np.float64)
+    buckets = np.array([_bucket(v) for v in mat])
+    norms = np.linalg.norm(mat, axis=1)
+    top1 = got[got["rank"] == 1].set_index("vec_id")
+    for i, vid in enumerate(ids):
+        mask = (buckets == buckets[i]) & (ids != vid)
+        if not mask.any():
+            assert vid not in top1.index
+            continue
+        sims = mat[mask] @ mat[i] / (norms[mask] * norms[i])
+        cand_ids = ids[mask]
+        # replicate (sim DESC, neighbor_id ASC) tie-breaking
+        order = np.lexsort((cand_ids, -sims))
+        best = cand_ids[order[0]]
+        assert top1.loc[vid].neighbor_id == best
+        assert top1.loc[vid].cos_sim == pytest.approx(sims[order[0]], abs=1e-5)
