@@ -1,0 +1,58 @@
+"""Cross-entry consistency: independent catalog entries that measure the
+same underlying quantity must agree exactly. These checks catch a
+semantics drift in ONE entry that its own oracle (sharing the drifted
+formulation) would not."""
+
+from __future__ import annotations
+
+import pytest
+
+from currency_etl_spark.catalog import load_catalog
+from currency_etl_spark.sources import table
+
+CATALOG = load_catalog()
+
+
+def test_dwell_and_transition_counts_agree(spark, sf_dir):
+    dwell = (
+        CATALOG["events_transition_dwell"].spark_fn(spark, sf_dir).toPandas()
+        .set_index(["prev_type", "event_type"])
+    )
+    trans = (
+        CATALOG["events_type_transitions"].spark_fn(spark, sf_dir).toPandas()
+        .set_index(["prev_type", "next_type"])
+    )
+    assert set(dwell.index) == set(trans.index)
+    for key in dwell.index:
+        assert dwell.loc[key].n_transitions == trans.loc[key].n_transitions
+
+
+def test_hourly_rollup_accounts_every_event(spark, sf_dir):
+    hourly = CATALOG["events_hourly"].spark_fn(spark, sf_dir).toPandas()
+    assert hourly.n_events.sum() == table(spark, sf_dir, "events").count()
+
+
+def test_rfm_and_migration_account_same_customers(spark, sf_dir):
+    rfm = CATALOG["customers_rfm_segments"].spark_fn(spark, sf_dir).toPandas()
+    mig = CATALOG["customers_segment_migration"].spark_fn(spark, sf_dir).toPandas()
+    assert rfm.n_customers.sum() == mig.n_customers.sum()
+    orders = table(spark, sf_dir, "orders")
+    assert rfm.n_customers.sum() == orders.select("o_custkey").distinct().count()
+    assert rfm.n_orders.sum() == orders.count()
+
+
+def test_funnel_and_protocol_audit_agree_on_signups(spark, sf_dir):
+    # both entries independently count 'users with >= 1 signup event'
+    funnel = CATALOG["events_funnel"].spark_fn(spark, sf_dir).toPandas()
+    audit = (
+        CATALOG["events_state_machine_audit"].spark_fn(spark, sf_dir).toPandas()
+        .set_index("rule")
+    )
+    assert int(funnel.stage_signup.iloc[0]) == int(
+        audit.loc["signup_not_first"].n_applicable
+    )
+    ev = table(spark, sf_dir, "events")
+    n_purchasers = (
+        ev.where("event_type = 'purchase'").select("user_id").distinct().count()
+    )
+    assert int(audit.loc["purchase_before_engagement"].n_applicable) == n_purchasers
