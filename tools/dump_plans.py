@@ -277,6 +277,13 @@ HEADLINERS = {
         "type) — no window, no ordering, no self-join; the rule rollup "
         "is a 1-row stack()."
     ),
+    "knn_graph_bucketed": (
+        "kNN-graph build. Check: the self-join keys on the 6-bit LSH "
+        "bucket (candidates O(Σ bucket²), never all-pairs); per-vector "
+        "norms are computed in the bucketed projection, NOT per pair "
+        "(one fold per pair); per-point top-3 is WindowGroupLimit on "
+        "vec_id partitions."
+    ),
     "embedding_label_outliers": (
         "Embedding hygiene. Check: centroids fold quantized int64 per "
         "(label, dim) and broadcast back onto the exploded vectors; "
