@@ -179,9 +179,11 @@ PRIORITY_ORDER = [
     # events_state_machine_audit / embedding_label_outliers, and the
     # series/governance pair events_autocorrelation /
     # customers_pseudonymize_audit, the selection/experiment pair
-    # docs_importance_weights / events_ab_experiment, and the kNN-graph
-    # builder knn_graph_bucketed MUST LEAD the round-6 window for their
-    # first driver rows.
+    # docs_importance_weights / events_ab_experiment, the kNN-graph
+    # builder knn_graph_bucketed, and the statistics trio
+    # part_brand_price_elasticity / docs_lang_source_chi2 /
+    # nation_supplier_hhi MUST LEAD the round-6 window for their first
+    # driver rows.
 ]
 
 

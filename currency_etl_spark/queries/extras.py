@@ -3767,3 +3767,238 @@ def events_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@register(
+    "part_brand_price_elasticity",
+    oracle="""
+        WITH q AS (
+            SELECT p.p_brand,
+                   CAST(round(l.l_quantity * 100) AS BIGINT) AS xq,
+                   CAST(round(l.l_extendedprice * 10000) AS BIGINT) AS yq
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        m AS (
+            SELECT p_brand, count(*) AS n,
+                   sum(xq) AS sx, sum(yq) AS sy,
+                   sum(CAST(xq AS DECIMAL(38,0)) * yq) AS sxy,
+                   sum(CAST(xq AS DECIMAL(38,0)) * xq) AS sxx,
+                   sum(CAST(yq AS DECIMAL(38,0)) * yq) AS syy
+            FROM q GROUP BY p_brand
+        )
+        SELECT p_brand, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100, 6)
+                   AS slope,
+               round(CAST(sy AS DOUBLE) / 10000 / n
+                     - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100
+                       * (CAST(sx AS DOUBLE) / 100 / n), 4) AS intercept,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   AS r2
+        FROM m
+        ORDER BY p_brand
+    """,
+    tags=("statistics", "regression", "join"),
+    doc=(
+        "Grouped least-squares: per-brand OLS of extended price on "
+        "quantity (slope, intercept, r²) — the per-segment elasticity "
+        "fit behind pricing analytics, and the grouped twin of "
+        "events_trend's single-series regression. Inputs quantize to "
+        "int64 (quantity 1e2, price 1e4) and the cross-moments fold in "
+        "exact DECIMAL(38,0) — at sf0.1 Σxy already brushes int64's "
+        "ceiling, so the decimal fold is correctness, not pedantry. "
+        "One partial-agg pass over the fact table after a broadcast "
+        "dimension join; five moments per brand; the closed-form "
+        "arithmetic runs on the |brands|-row aggregate in identical "
+        "IEEE order in both engines."
+    ),
+)
+def part_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xq"),
+        F.round(F.col("l_extendedprice") * 10000).cast("long").alias("yq"),
+    )
+    m = q.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx / 100
+    return m.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(sy / 10000 / n - slope * (sx / 100 / n), 4).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    ).orderBy("p_brand")
+
+
+@register(
+    "docs_lang_source_chi2",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+        ),
+        rows_ AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY lang),
+        cols_ AS (SELECT source, sum(o) AS ct FROM cells GROUP BY source),
+        tot AS (SELECT sum(o) AS n FROM cells),
+        grid AS (
+            SELECT r.lang, c.source, r.rt, c.ct, t.n,
+                   coalesce(cells.o, 0) AS o
+            FROM rows_ r CROSS JOIN cols_ c CROSS JOIN tot t
+            LEFT JOIN cells ON cells.lang = r.lang AND cells.source = c.source
+        ),
+        contrib AS (
+            SELECT lang, rt,
+                   CAST(round(
+                       (o - CAST(rt AS DOUBLE) * ct / n)
+                       * (o - CAST(rt AS DOUBLE) * ct / n)
+                       / (CAST(rt AS DOUBLE) * ct / n) * 1000000
+                   ) AS BIGINT) AS cq
+            FROM grid
+        )
+        SELECT lang, CAST(max(rt) AS BIGINT) AS n_docs,
+               round(CAST(sum(cq) AS DOUBLE) / 1000000, 6) AS chi2_contrib
+        FROM contrib
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("statistics", "quality", "contingency"),
+    doc=(
+        "Chi-square independence audit of the (lang × source) "
+        "contingency table, reported as per-language contributions — "
+        "the drift detector for 'did a source change its language "
+        "mix'. The corpus collapses to the |langs|×|sources| cell "
+        "counts in one partial-agg pass; the dense grid (zero cells "
+        "included — absence is evidence) is built from broadcast "
+        "marginals; per-cell (o−e)²/e terms are 1e6-quantized before "
+        "the cross-source fold so the statistic is exact under any "
+        "partitioning. Total χ² = sum of the contribution column; "
+        "dof = (|langs|−1)(|sources|−1) is data-derivable."
+    ),
+)
+def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    cq = F.round((F.col("o") - e) * (F.col("o") - e) / e * 1000000).cast("long")
+    return (
+        grid.select("lang", "rt", cq.alias("cq"))
+        .groupBy("lang")
+        .agg(
+            F.max("rt").cast("long").alias("n_docs"),
+            F.round(F.sum("cq").cast("double") / 1000000, 6).alias("chi2_contrib"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "nation_supplier_hhi",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey, s.s_suppkey,
+                   sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS r
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey, s.s_suppkey
+        ),
+        tot AS (
+            SELECT s_nationkey, sum(r) AS rt, count(*) AS n_suppliers
+            FROM rev GROUP BY s_nationkey
+        ),
+        shares AS (
+            SELECT rev.s_nationkey,
+                   CAST(round(
+                       (CAST(rev.r AS DOUBLE) / CAST(tot.rt AS DOUBLE))
+                       * (CAST(rev.r AS DOUBLE) / CAST(tot.rt AS DOUBLE))
+                       * 1000000000000) AS BIGINT) AS sq
+            FROM rev JOIN tot USING (s_nationkey)
+        )
+        SELECT n.n_name AS nation,
+               CAST(max(t.n_suppliers) AS BIGINT) AS n_suppliers,
+               CAST(max(t.rt) AS DOUBLE) AS total_rev,
+               round(CAST(sum(s.sq) AS DOUBLE) / 1000000000000, 6) AS hhi
+        FROM shares s
+        JOIN tot t USING (s_nationkey)
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+    """,
+    tags=("statistics", "concentration", "join"),
+    doc=(
+        "Herfindahl–Hirschman concentration index of supplier revenue "
+        "per nation — the market-concentration diagnostic (HHI → 1 "
+        "means one supplier owns the nation's volume; → 1/n means "
+        "even split) used for risk and antitrust-style exposure "
+        "screens. Revenue folds decimal-exact per (nation, supplier); "
+        "squared shares are 1e12-quantized before the per-nation sum. "
+        "The fact table is touched once; every later relation is "
+        "supplier- or nation-sized, and the nation name joins as a "
+        "broadcast."
+    ),
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("rt"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("r").cast("double") / F.col("rt").cast("double")
+    shares = rev.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey",
+        F.round(share * share * 1000000000000).cast("long").alias("sq"),
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        shares.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.max("rt").cast("double").alias("total_rev"),
+            F.round(F.sum("sq").cast("double") / 1000000000000, 6).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
