@@ -387,3 +387,19 @@ def test_shingle_novelty_never_pairs_docs(spark, sf_dir):
     # no nested-loop join over documents
     assert "CartesianProduct" not in p
     assert "SinglePartition" not in p
+
+
+def test_stats_trio_broadcast_only_no_fact_reshuffle(spark, sf_dir):
+    from currency_etl_spark.queries.extras import (
+        docs_lang_source_chi2,
+        nation_supplier_hhi,
+        part_brand_price_elasticity,
+    )
+
+    for fn in (part_brand_price_elasticity, nation_supplier_hhi, docs_lang_source_chi2):
+        p = plan_of(fn(spark, sf_dir))
+        # dimension/marginal tables always broadcast; the fact table is
+        # never on the build side of a shuffled join
+        assert "BroadcastHashJoin" in p
+        assert not re.findall(r"SortMergeJoin|ShuffledHashJoin", p)
+        assert "CartesianProduct" not in p
