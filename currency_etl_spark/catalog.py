@@ -180,9 +180,10 @@ PRIORITY_ORDER = [
     # series/governance pair events_autocorrelation /
     # customers_pseudonymize_audit, the selection/experiment pair
     # docs_importance_weights / events_ab_experiment, the kNN-graph
-    # builder knn_graph_bucketed, and the statistics trio
+    # builder knn_graph_bucketed, the statistics trio
     # part_brand_price_elasticity / docs_lang_source_chi2 /
-    # nation_supplier_hhi MUST LEAD the round-6 window for their first
+    # nation_supplier_hhi, and the ops pair orders_sample_estimate /
+    # events_skew_report MUST LEAD the round-6 window for their first
     # driver rows.
 ]
 

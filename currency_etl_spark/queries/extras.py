@@ -4002,3 +4002,118 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+#: AQP sample modulus: keep orders whose md5(orderkey) lands in 1/SAMPLE_MOD
+#: of hash space — a deterministic 10% sample both engines reproduce.
+SAMPLE_MOD = 10
+
+
+@register(
+    "orders_sample_estimate",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+                   CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 7))
+                        AS BIGINT) % {SAMPLE_MOD} AS slot
+            FROM orders
+        )
+        SELECT count(*) FILTER (slot = 0) AS n_sample,
+               count(*) AS n_total,
+               CAST(sum(p) FILTER (slot = 0) * {SAMPLE_MOD} AS DOUBLE)
+                   AS est_revenue,
+               CAST(sum(p) AS DOUBLE) AS exact_revenue,
+               round(abs(CAST(sum(p) FILTER (slot = 0) * {SAMPLE_MOD} AS DOUBLE)
+                         - CAST(sum(p) AS DOUBLE))
+                     / CAST(sum(p) AS DOUBLE), 6) AS rel_error
+        FROM base
+    """,
+    tags=("aqp", "sampling", "aggregate"),
+    doc=(
+        "Approximate query processing: revenue estimated from a "
+        "deterministic 10% hash sample (md5 slot — the same rows in "
+        "every engine and every run, unlike TABLESAMPLE's RNG), scaled "
+        "by the inverse sampling rate and reported NEXT TO the exact "
+        "answer with its realized relative error. This is the "
+        "dashboard-latency pattern at 100 TB: the sample predicate "
+        "evaluates at the scan (a 10x cheaper pass; with the slot "
+        "persisted as a partition column it prunes to 1/10 of files), "
+        "and the error column is the calibration a production AQP "
+        "rollout monitors before trusting estimates. Both sums fold "
+        "decimal-exact; one aggregate pass computes sample and exact "
+        "sides together via conditional aggregation."
+    ),
+)
+def orders_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    slot = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 7), 16, 10)
+        .cast("long")
+        % SAMPLE_MOD
+    )
+    base = orders.select(
+        slot.alias("slot"), F.col("o_totalprice").cast("decimal(18,4)").alias("p")
+    )
+    in_sample = F.col("slot") == 0
+    est = (F.sum(F.when(in_sample, F.col("p"))) * SAMPLE_MOD).cast("double")
+    exact = F.sum("p").cast("double")
+    return base.agg(
+        F.sum(in_sample.cast("long")).alias("n_sample"),
+        F.count(F.lit(1)).alias("n_total"),
+        est.alias("est_revenue"),
+        exact.alias("exact_revenue"),
+        F.round(F.abs(est - exact) / exact, 6).alias("rel_error"),
+    )
+
+
+@register(
+    "events_skew_report",
+    oracle="""
+        WITH per_key AS (
+            SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+        ),
+        stats AS (
+            SELECT count(*) AS n_keys, sum(n_rows) AS n_total FROM per_key
+        )
+        SELECT p.user_id, CAST(p.n_rows AS BIGINT) AS n_rows,
+               round(CAST(p.n_rows AS DOUBLE) / s.n_total, 6) AS share,
+               round(CAST(p.n_rows AS DOUBLE) * s.n_keys / s.n_total, 6)
+                   AS skew_factor
+        FROM per_key p CROSS JOIN stats s
+        ORDER BY p.n_rows DESC, p.user_id
+        LIMIT 5
+    """,
+    tags=("diagnostics", "skew", "topk"),
+    doc=(
+        "Shuffle-key skew diagnostic: the heaviest user_id keys with "
+        "their share of the table and skew factor (rows vs a perfectly "
+        "even spread) — the measurement that decides WHEN the salted "
+        "two-phase aggregate (events_user_totals_salted / "
+        "operators/skew.py) or AQE skew-join handling is worth its "
+        "cost. One partial-agg pass to key counts, a broadcast 1-row "
+        "stats scalar, TakeOrderedAndProject for the top-5 — the "
+        "report itself never pays the skew it measures."
+    ),
+)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n_rows").alias("n_total")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n_rows").cast("double") * F.col("n_keys") / F.col("n_total"),
+                6,
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(5)
+    )
