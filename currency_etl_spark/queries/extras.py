@@ -1,6 +1,11 @@
 """Breadth operators beyond the core corpus set: exact percentiles, JSON
 scalar extraction, outer-join coverage, argmin subqueries, regex/string
-functions, and CUBE grouping sets.
+functions, CUBE grouping sets — plus the behavioral-analytics family
+(market basket, inter-order gaps, segment migration, click attribution,
+transition dwell, protocol audit, A/B readout, autocorrelation), the
+statistics family (grouped OLS, chi-square, HHI), governance
+(pseudonymization), and ops diagnostics (AQP sample estimation, skew
+reporting).
 
 Parity notes:
   * exact `percentile` (Spark) and `quantile_cont` (DuckDB) use the same
