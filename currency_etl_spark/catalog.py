@@ -182,8 +182,9 @@ PRIORITY_ORDER = [
     # docs_importance_weights / events_ab_experiment, the kNN-graph
     # builder knn_graph_bucketed, the statistics trio
     # part_brand_price_elasticity / docs_lang_source_chi2 /
-    # nation_supplier_hhi, and the ops pair orders_sample_estimate /
-    # events_skew_report MUST LEAD the round-6 window for their first
+    # nation_supplier_hhi, the ops pair orders_sample_estimate /
+    # events_skew_report, and the Spark-4 VARIANT twin
+    # events_props_variant MUST LEAD the round-6 window for their first
     # driver rows.
 ]
 

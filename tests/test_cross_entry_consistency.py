@@ -56,3 +56,28 @@ def test_funnel_and_protocol_audit_agree_on_signups(spark, sf_dir):
         ev.where("event_type = 'purchase'").select("user_id").distinct().count()
     )
     assert int(audit.loc["purchase_before_engagement"].n_applicable) == n_purchasers
+
+
+def test_variant_and_json_string_paths_agree(spark, sf_dir):
+    # the VARIANT extraction must reproduce the get_json_object twin's
+    # numbers exactly (same rows, same k values, different decode path)
+    variant = (
+        CATALOG["events_props_variant"].spark_fn(spark, sf_dir).toPandas()
+        .set_index("event_type")
+    )
+    import pyspark.sql.functions as F
+
+    ev = table(spark, sf_dir, "events")
+    legacy = (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("event_type")
+    )
+    for et in variant.index:
+        assert variant.loc[et].sum_k == legacy.loc[et].sum_k
+        assert variant.loc[et].n_events == legacy.loc[et].n
