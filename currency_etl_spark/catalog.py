@@ -183,8 +183,9 @@ PRIORITY_ORDER = [
     # builder knn_graph_bucketed, the statistics trio
     # part_brand_price_elasticity / docs_lang_source_chi2 /
     # nation_supplier_hhi, the ops pair orders_sample_estimate /
-    # events_skew_report, and the Spark-4 VARIANT twin
-    # events_props_variant MUST LEAD the round-6 window for their first
+    # events_skew_report, the Spark-4 VARIANT twin
+    # events_props_variant, and the recursive-CTE BFS
+    # supplier_reach_bfs MUST LEAD the round-6 window for their first
     # driver rows.
 ]
 

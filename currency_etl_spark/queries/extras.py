@@ -4171,3 +4171,114 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: BFS seed + depth + per-supplier part cap for supplier_reach_bfs.
+BFS_SEED = 1
+BFS_MAX_HOPS = 3
+#: Each supplier contributes its top-K revenue parts to the affinity
+#: graph. The raw shared-part graph on this corpus is near-complete
+#: (every part has 11-52 suppliers — hop 1 reaches everyone), so the
+#: graph is SPARSIFIED to primary-part edges: the same hub-capping move
+#: as the dedup family's DF_CAP, and the difference between a BFS that
+#: measures structure and one that measures density.
+BFS_TOP_PARTS = 40
+
+_BFS_SQL = """
+    WITH RECURSIVE reach(suppkey, hop) AS (
+        SELECT CAST({seed} AS BIGINT) AS suppkey, 0 AS hop
+        UNION ALL
+        SELECT e.b AS suppkey, r.hop + 1 AS hop
+        FROM reach r JOIN {edges} e ON e.a = r.suppkey
+        WHERE r.hop < {max_hops}
+    ),
+    first_seen AS (
+        SELECT suppkey, min(hop) AS hop FROM reach GROUP BY suppkey
+    )
+    SELECT hop, count(*) AS n_suppliers
+    FROM first_seen
+    GROUP BY hop
+    ORDER BY hop
+"""
+
+
+@register(
+    "supplier_reach_bfs",
+    oracle=f"""
+        WITH RECURSIVE rev AS (
+            SELECT l_suppkey AS s, l_partkey AS p,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS r
+            FROM lineitem GROUP BY l_suppkey, l_partkey
+        ),
+        sp AS (
+            SELECT s, p FROM (
+                SELECT s, p,
+                       row_number() OVER (PARTITION BY s ORDER BY r DESC, p) AS rn
+                FROM rev
+            ) WHERE rn <= {BFS_TOP_PARTS}
+        ),
+        edges AS (
+            SELECT DISTINCT a.s AS a, b.s AS b
+            FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+        ),
+        reach(suppkey, hop) AS (
+            SELECT CAST({BFS_SEED} AS BIGINT) AS suppkey, 0 AS hop
+            UNION ALL
+            SELECT e.b AS suppkey, r.hop + 1 AS hop
+            FROM reach r JOIN edges e ON e.a = r.suppkey
+            WHERE r.hop < {BFS_MAX_HOPS}
+        ),
+        first_seen AS (
+            SELECT suppkey, min(hop) AS hop FROM reach GROUP BY suppkey
+        )
+        SELECT hop, count(*) AS n_suppliers
+        FROM first_seen
+        GROUP BY hop
+        ORDER BY hop
+    """,
+    tags=("graph", "recursive-cte", "bfs"),
+    doc=(
+        "Breadth-first reachability over the primary-part supplier "
+        "affinity graph via WITH RECURSIVE — Spark 4's recursive-CTE "
+        "surface, graded against DuckDB's recursion: suppliers grouped "
+        "by minimum hop distance from a seed. Two scale decisions: the "
+        "graph keeps only each supplier's top-40 revenue parts (the "
+        "dedup family's hub-capping move — the raw shared-part graph "
+        "here is near-complete and one hop reaches everyone), and the "
+        "edge list materializes ONCE from a part-keyed self-join of "
+        "the capped relation, so the recursion joins frontier×edges "
+        "per round. UNION ALL recursion re-expands visited nodes "
+        "(paths, not nodes), fine at 3 hops on a sparsified graph; "
+        "deep or dense traversals belong to the frontier-deduping "
+        "iterative operator (dedup_clusters' min-label loop)."
+    ),
+)
+def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("r"))
+    sp = (
+        rev.withColumn(
+            "rn", F.row_number().over(W.partitionBy("s").orderBy(F.desc("r"), "p"))
+        )
+        .where(F.col("rn") <= BFS_TOP_PARTS)
+        .select("s", "p")
+    )
+    a = sp.select(F.col("p"), F.col("s").alias("a"))
+    b = sp.select(F.col("p"), F.col("s").alias("b"))
+    edges = (
+        a.join(b, "p").where(F.col("a") != F.col("b")).select("a", "b").distinct()
+    )
+    # Materialize the graph before recursing: a temp view is a LOGICAL
+    # plan, so without this every recursion round would re-run the
+    # aggregate + window + self-join that build the edge list (measured
+    # 6.3 s -> ~1 s at sf0.1). Same checkpoint-the-graph move as
+    # dedup_clusters and graph_pagerank_bipartite.
+    edges = edges.localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("ces_bfs_edges")
+    return spark.sql(
+        _BFS_SQL.format(seed=BFS_SEED, edges="ces_bfs_edges", max_hops=BFS_MAX_HOPS)
+    )

@@ -1,0 +1,57 @@
+"""Invariant tests for the recursive-CTE BFS: a plain-Python BFS over the
+same sparsified graph must produce identical hop counts, and the hop
+histogram must satisfy BFS structure (hop 0 is the seed alone, counts
+partition the reachable set)."""
+
+from __future__ import annotations
+
+from collections import deque
+
+from currency_etl_spark.catalog import load_catalog
+from currency_etl_spark.queries.extras import BFS_MAX_HOPS, BFS_SEED, BFS_TOP_PARTS
+from currency_etl_spark.sources import table
+
+CATALOG = load_catalog()
+
+
+def _python_bfs(edges: dict[int, set[int]], seed: int, max_hops: int) -> dict[int, int]:
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in edges.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_matches_python_reference(spark, sf_dir):
+    got = CATALOG["supplier_reach_bfs"].spark_fn(spark, sf_dir).toPandas()
+    li = table(spark, sf_dir, "lineitem").toPandas()
+    rev = (
+        li.groupby(["l_suppkey", "l_partkey"]).l_extendedprice.sum().reset_index()
+    )
+    rev = rev.sort_values(
+        ["l_suppkey", "l_extendedprice", "l_partkey"],
+        ascending=[True, False, True],
+    )
+    sp = rev.groupby("l_suppkey").head(BFS_TOP_PARTS)
+    edges: dict[int, set[int]] = {}
+    for _, grp in sp.groupby("l_partkey"):
+        ss = grp.l_suppkey.tolist()
+        for u in ss:
+            for v in ss:
+                if u != v:
+                    edges.setdefault(u, set()).add(v)
+    dist = _python_bfs(edges, BFS_SEED, BFS_MAX_HOPS)
+    want: dict[int, int] = {}
+    for h in dist.values():
+        want[h] = want.get(h, 0) + 1
+    got_map = dict(zip(got.hop, got.n_suppliers))
+    assert got_map == want
+    # structure: the seed is alone at hop 0; hops are contiguous from 0
+    assert got_map[0] == 1
+    assert sorted(got_map) == list(range(len(got_map)))
