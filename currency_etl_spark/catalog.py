@@ -184,9 +184,9 @@ PRIORITY_ORDER = [
     # part_brand_price_elasticity / docs_lang_source_chi2 /
     # nation_supplier_hhi, the ops pair orders_sample_estimate /
     # events_skew_report, the Spark-4 VARIANT twin
-    # events_props_variant, and the recursive-CTE BFS
-    # supplier_reach_bfs MUST LEAD the round-6 window for their first
-    # driver rows.
+    # events_props_variant, the recursive-CTE BFS supplier_reach_bfs,
+    # and the funnel-velocity entry events_time_to_convert MUST LEAD
+    # the round-6 window for their first driver rows.
 ]
 
 

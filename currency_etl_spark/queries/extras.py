@@ -4282,3 +4282,100 @@ def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _BFS_SQL.format(seed=BFS_SEED, edges="ces_bfs_edges", max_hops=BFS_MAX_HOPS)
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+            FROM events GROUP BY user_id
+        ),
+        conv AS (
+            SELECT p.user_id, p.s_ts,
+                   min(e.ts) AS p_ts
+            FROM per_user p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type = 'purchase'
+             AND e.ts > p.s_ts
+            WHERE p.s_ts IS NOT NULL
+            GROUP BY p.user_id, p.s_ts
+        ),
+        cohorts AS (
+            SELECT strftime(s_ts, '%Y-%m') AS cohort,
+                   CAST(epoch_us(p_ts) - epoch_us(s_ts) AS DOUBLE)
+                       / 3600000000 AS tt_hours
+            FROM conv
+        ),
+        signups AS (
+            SELECT strftime(s_ts, '%Y-%m') AS cohort, count(*) AS n_signups
+            FROM per_user WHERE s_ts IS NOT NULL GROUP BY 1
+        )
+        SELECT s.cohort,
+               s.n_signups,
+               count(c.tt_hours) AS n_converted,
+               round(CAST(count(c.tt_hours) AS DOUBLE) / s.n_signups, 6)
+                   AS conv_rate,
+               round(quantile_cont(c.tt_hours, 0.5), 4) AS median_hours,
+               round(quantile_cont(c.tt_hours, 0.9), 4) AS p90_hours
+        FROM signups s LEFT JOIN cohorts c ON s.cohort = c.cohort
+        GROUP BY s.cohort, s.n_signups
+        ORDER BY s.cohort
+    """,
+    tags=("events", "funnel", "percentile", "cohort"),
+    doc=(
+        "Time-to-convert distribution per signup cohort: each user's "
+        "first signup, their first purchase strictly AFTER it, and the "
+        "cohort-level conversion rate with exact median/p90 latency "
+        "hours — the funnel-velocity readout (events_funnel counts "
+        "stages; this measures how long the funnel takes). Conversion "
+        "resolves with per-user conditional-min aggregates — one "
+        "user_id-keyed join of the signups relation back to the "
+        "purchase slice, no window, no ordering. Latency converts from "
+        "exact integer microseconds; quantiles are exact quantile_cont/ "
+        "percentile (both engines interpolate identically) — at 100 TB "
+        "the cohort percentile swaps to approx_percentile with this "
+        "entry as its calibration oracle."
+    ),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    ).where(F.col("s_ts").isNotNull())
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("e_ts")
+    )
+    conv = (
+        per_user.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id")) & (F.col("e_ts") > F.col("s_ts")),
+        )
+        .groupBy("user_id", "s_ts")
+        .agg(F.min("e_ts").alias("p_ts"))
+    )
+    tt = (
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("s_ts"))).cast("double")
+        / 3600000000
+    )
+    cohorts = conv.select(
+        F.date_format("s_ts", "yyyy-MM").alias("cohort"), tt.alias("tt_hours")
+    )
+    signups = per_user.groupBy(
+        F.date_format("s_ts", "yyyy-MM").alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("n_signups"))
+    return (
+        signups.join(cohorts, "cohort", "left")
+        .groupBy("cohort", "n_signups")
+        .agg(
+            F.count("tt_hours").alias("n_converted"),
+            F.round(
+                F.count("tt_hours").cast("double") / F.col("n_signups"), 6
+            ).alias("conv_rate"),
+            F.round(F.percentile("tt_hours", 0.5), 4).alias("median_hours"),
+            F.round(F.percentile("tt_hours", 0.9), 4).alias("p90_hours"),
+        )
+        .orderBy("cohort")
+    )

@@ -81,3 +81,39 @@ def test_variant_and_json_string_paths_agree(spark, sf_dir):
     for et in variant.index:
         assert variant.loc[et].sum_k == legacy.loc[et].sum_k
         assert variant.loc[et].n_events == legacy.loc[et].n
+
+
+def test_time_to_convert_consistent_with_protocol_audit(spark, sf_dir):
+    # signup-cohort totals must equal the audit's signup-applicable count,
+    # and conversion latency stats come from a pandas re-derivation
+    import pandas as pd
+    import pytest as _pt
+
+    ttc = CATALOG["events_time_to_convert"].spark_fn(spark, sf_dir).toPandas()
+    audit = (
+        CATALOG["events_state_machine_audit"].spark_fn(spark, sf_dir).toPandas()
+        .set_index("rule")
+    )
+    assert ttc.n_signups.sum() == audit.loc["signup_not_first"].n_applicable
+    ev = table(spark, sf_dir, "events").toPandas()
+    s = ev[ev.event_type == "signup"].groupby("user_id").ts.min()
+    p = ev[ev.event_type == "purchase"]
+    rows = []
+    for uid, s_ts in s.items():
+        after = p[(p.user_id == uid) & (p.ts > s_ts)]
+        if len(after):
+            rows.append(
+                {
+                    "cohort": s_ts.strftime("%Y-%m"),
+                    "tt": (after.ts.min() - s_ts).total_seconds() / 3600,
+                }
+            )
+    ref = pd.DataFrame(rows)
+    for row in ttc.itertuples():
+        grp = ref[ref.cohort == row.cohort].tt if len(ref) else pd.Series(dtype=float)
+        assert row.n_converted == len(grp)
+        if len(grp):
+            assert row.median_hours == _pt.approx(grp.quantile(0.5), abs=1e-3)
+            assert row.p90_hours == _pt.approx(
+                grp.quantile(0.9, interpolation="linear"), abs=1e-3
+            )
