@@ -198,3 +198,96 @@ def multimodal_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checksum")
     )
+
+
+#: Per-language storage budget for the quota audit, as a rational share
+#: (4/10 = keep the largest assets until 40% of the language's bytes).
+#: Integer cross-multiplication keeps the cut exact in both engines.
+QUOTA_NUM, QUOTA_DEN = 4, 10
+
+
+@register(
+    "multimodal_storage_quota",
+    oracle=f"""
+        WITH assets AS (
+            SELECT doc_id, lang,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, lang, n_bytes,
+                   sum(n_bytes) OVER (PARTITION BY lang
+                                      ORDER BY n_bytes DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum_bytes,
+                   sum(n_bytes) OVER (PARTITION BY lang) AS total_bytes
+            FROM assets
+        )
+        SELECT lang,
+               count(*) AS n_assets,
+               CAST(max(total_bytes) AS BIGINT) AS total_bytes,
+               count(*) FILTER (cum_bytes * {QUOTA_DEN}
+                                <= total_bytes * {QUOTA_NUM}) AS n_kept,
+               CAST(coalesce(sum(n_bytes) FILTER (cum_bytes * {QUOTA_DEN}
+                                <= total_bytes * {QUOTA_NUM}), 0) AS BIGINT)
+                   AS kept_bytes,
+               round(CAST(coalesce(sum(n_bytes) FILTER (cum_bytes * {QUOTA_DEN}
+                                <= total_bytes * {QUOTA_NUM}), 0) AS DOUBLE)
+                     / max(total_bytes), 6) AS kept_share
+        FROM ranked
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("llm", "multimodal", "quota", "window"),
+    doc=(
+        "Storage-quota curation audit: per language, greedily keep the "
+        "LARGEST assets while the running total stays within 40% of the "
+        "language's bytes — the tiering/retention dry-run a multimodal "
+        "lake runs before demoting blobs to cold storage (largest-first "
+        "keeps the fewest, most valuable decode targets hot; the "
+        "byte-budget twin of docs_domain_cap's doc-count quota). The "
+        "blob column never loads — only metadata byte counts flow; the "
+        "cumulative window partitions per language; the budget cut is "
+        "integer cross-multiplication (cum*10 <= total*4), never a "
+        "float threshold, so both engines cut identically. At 100 TB "
+        "this runs on the asset-catalog table, not the blobs."
+    ),
+)
+def multimodal_storage_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id", "lang", F.octet_length("text").cast("long").alias("n_bytes")
+    )
+    w_order = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("n_bytes"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = assets.select(
+        "lang",
+        "n_bytes",
+        F.sum("n_bytes").over(w_order).alias("cum_bytes"),
+        F.sum("n_bytes").over(W.partitionBy("lang")).alias("total_bytes"),
+    )
+    kept = F.col("cum_bytes") * QUOTA_DEN <= F.col("total_bytes") * QUOTA_NUM
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.max("total_bytes").alias("total_bytes"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_bytes"))), F.lit(0)).alias(
+                "kept_bytes"
+            ),
+            F.round(
+                F.coalesce(F.sum(F.when(kept, F.col("n_bytes"))), F.lit(0)).cast(
+                    "double"
+                )
+                / F.max("total_bytes"),
+                6,
+            ).alias("kept_share"),
+        )
+        .orderBy("lang")
+    )

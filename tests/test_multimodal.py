@@ -71,3 +71,39 @@ def test_size_balanced_partitions(blobs):
 def test_real_codec_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_storage_quota_greedy_invariants(spark, sf_dir):
+    """The quota keeps a largest-first prefix: every kept asset is >= every
+    dropped asset within its language, kept bytes never exceed the budget,
+    and adding the next-largest dropped asset would break it."""
+    from currency_etl_spark.catalog import load_catalog
+    from currency_etl_spark.queries.multimodal import QUOTA_DEN, QUOTA_NUM
+    from currency_etl_spark.sources import table as _table
+
+    got = (
+        load_catalog()["multimodal_storage_quota"]
+        .spark_fn(spark, sf_dir)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = _table(spark, sf_dir, "documents").toPandas()
+    docs["n_bytes"] = docs.text.str.len()  # ASCII corpus: chars == bytes
+    for lang, grp in docs.groupby("lang"):
+        sizes = grp.sort_values(["n_bytes", "doc_id"], ascending=[False, True]).n_bytes.tolist()
+        total = sum(sizes)
+        cum, kept_bytes, n_kept = 0, 0, 0
+        for s in sizes:
+            cum += s
+            if cum * QUOTA_DEN <= total * QUOTA_NUM:
+                kept_bytes, n_kept = cum, n_kept + 1
+            else:
+                break
+        row = got.loc[lang]
+        assert row.n_assets == len(sizes)
+        assert row.total_bytes == total
+        assert row.n_kept == n_kept
+        assert row.kept_bytes == kept_bytes
+        assert row.kept_bytes * QUOTA_DEN <= total * QUOTA_NUM
+        if n_kept < len(sizes):
+            assert (kept_bytes + sizes[n_kept]) * QUOTA_DEN > total * QUOTA_NUM
