@@ -185,9 +185,10 @@ PRIORITY_ORDER = [
     # nation_supplier_hhi, the ops pair orders_sample_estimate /
     # events_skew_report, the Spark-4 VARIANT twin
     # events_props_variant, the recursive-CTE BFS supplier_reach_bfs,
-    # the funnel-velocity entry events_time_to_convert, and the
-    # byte-budget curation audit multimodal_storage_quota MUST LEAD
-    # the round-6 window for their first driver rows.
+    # the funnel-velocity entry events_time_to_convert, the
+    # byte-budget curation audit multimodal_storage_quota, and the
+    # Matryoshka audit knn_truncation_recall MUST LEAD the round-6
+    # window for their first driver rows.
 ]
 
 

@@ -1048,3 +1048,97 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         F.round("sim", 6).alias("cos_sim"),
     ).orderBy("vec_id", "rank")
+
+
+#: Matryoshka-style truncation audit: prefix length of the cheap index.
+TRUNC_DIMS = 16
+
+
+@register(
+    "knn_truncation_recall",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding, embedding[1:{TRUNC_DIMS}] AS emb_t
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qe, emb_t AS qt
+              FROM e WHERE vec_id < {RECALL_NQ}),
+        full_sims AS (
+            SELECT q.qid, e.vec_id, {_sql_cosine('e.embedding', 'q.qe')} AS sim
+            FROM e, q WHERE e.vec_id <> q.qid
+        ),
+        trunc_sims AS (
+            SELECT q.qid, e.vec_id, {_sql_cosine('e.emb_t', 'q.qt')} AS sim
+            FROM e, q WHERE e.vec_id <> q.qid
+        ),
+        full_k AS ({_sql_topk('full_sims')}),
+        trunc_k AS ({_sql_topk('trunc_sims')}),
+        ov AS (
+            SELECT f.qid, count(*) AS n_overlap
+            FROM full_k f JOIN trunc_k t ON f.qid = t.qid AND f.vec_id = t.vec_id
+            GROUP BY f.qid
+        )
+        SELECT q.qid AS query_id,
+               coalesce(ov.n_overlap, 0) AS n_overlap,
+               round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / {RECALL_K}, 6)
+                   AS recall_at_k
+        FROM q LEFT JOIN ov ON q.qid = ov.qid
+        ORDER BY query_id
+    """,
+    tags=("llm", "vector", "ann", "eval", "matryoshka"),
+    doc=(
+        "Dimension-truncation recall audit (the Matryoshka decision): "
+        "recall@5 of exact search over the FIRST-16-DIM prefix against "
+        "exact search over all 64 dims, per sampled query — the "
+        "measurement that decides whether a 4x-cheaper truncated index "
+        "(4x less memory, 4x fewer multiply-adds per candidate) keeps "
+        "enough retrieval quality. Both candidate sets reuse the "
+        "broadcast-query top-k machinery of knn_recall_report (salted "
+        "two-phase per-query rank); the truncated column is a zero-"
+        "copy array slice at the scan. At 100 TB this is the cheap "
+        "offline eval run BEFORE re-indexing a trillion vectors; "
+        "recall here is genuinely lossy (prefix dims carry no special "
+        "variance in this corpus), which is exactly what the audit "
+        "exists to expose."
+    ),
+)
+def knn_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, TRUNC_DIMS).alias("emb_t"),
+    )
+    q = e.filter(F.col("vec_id") < RECALL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("emb_t").alias("qt"),
+    )
+    full_sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cosine(F.col("embedding"), F.col("qe")).alias("sim"))
+    )
+    trunc_sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", _cosine(F.col("emb_t"), F.col("qt")).alias("sim"))
+    )
+    ov = (
+        _topk_per_query(full_sims)
+        .join(_topk_per_query(trunc_sims), ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        q.select("qid")
+        .join(ov, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / RECALL_K, 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

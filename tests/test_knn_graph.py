@@ -51,3 +51,30 @@ def test_knn_graph_top1_matches_numpy(spark, sf_dir):
         best = cand_ids[order[0]]
         assert top1.loc[vid].neighbor_id == best
         assert top1.loc[vid].cos_sim == pytest.approx(sims[order[0]], abs=1e-5)
+
+
+def test_truncation_recall_matches_numpy(spark, sf_dir):
+    """Re-derive both top-5 sets with numpy and confirm the overlap counts;
+    also sanity-check the audit is non-vacuous (recall < 1 somewhere)."""
+    from currency_etl_spark.queries.vectors import RECALL_K, RECALL_NQ, TRUNC_DIMS
+
+    got = (
+        CATALOG["knn_truncation_recall"].spark_fn(spark, sf_dir).toPandas()
+        .set_index("query_id")
+    )
+    emb = table(spark, sf_dir, "embeddings").toPandas()
+    ids = emb.vec_id.to_numpy()
+    mat = np.array(emb.embedding.tolist(), dtype=np.float64)
+
+    def topk(m, qi):
+        sims = m @ m[qi] / (np.linalg.norm(m, axis=1) * np.linalg.norm(m[qi]))
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -sims[mask]))
+        return set(ids[mask][order[:RECALL_K]])
+
+    tm = mat[:, :TRUNC_DIMS]
+    for qi in range(min(RECALL_NQ, len(ids))):
+        full = topk(mat, qi)
+        trunc = topk(tm, qi)
+        assert got.loc[ids[qi]].n_overlap == len(full & trunc)
+    assert (got.recall_at_k < 1.0).any()  # truncation genuinely loses recall
