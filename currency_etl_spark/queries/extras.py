@@ -4379,3 +4379,164 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+#: Churn labeling horizon: a customer with no order in the last
+#: CHURN_DAYS of history (anchored to max order date) is labeled churned.
+CHURN_DAYS = 365
+
+
+@register(
+    "customers_churn_labels",
+    oracle=f"""
+        WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+        cutoff AS (SELECT mx - INTERVAL {CHURN_DAYS} DAY AS c, mx FROM anchor),
+        prior AS (
+            SELECT o.o_custkey,
+                   count(*) AS n_orders_prior,
+                   sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS spend_prior
+            FROM orders o, cutoff
+            WHERE o.o_orderdate <= cutoff.c
+            GROUP BY o.o_custkey
+        ),
+        recent AS (
+            SELECT DISTINCT o.o_custkey
+            FROM orders o, cutoff
+            WHERE o.o_orderdate > cutoff.c
+        ),
+        labeled AS (
+            SELECT p.o_custkey, p.n_orders_prior, p.spend_prior,
+                   (r.o_custkey IS NULL) AS churned
+            FROM prior p LEFT JOIN recent r ON p.o_custkey = r.o_custkey
+        )
+        SELECT c.c_mktsegment AS mktsegment,
+               count(*) AS n_customers,
+               count(*) FILTER (churned) AS n_churned,
+               round(CAST(count(*) FILTER (churned) AS DOUBLE) / count(*), 6)
+                   AS churn_rate,
+               round(CAST(sum(n_orders_prior) AS DOUBLE) / count(*), 4)
+                   AS avg_prior_orders,
+               round(CAST(sum(spend_prior) AS DOUBLE) / count(*), 4)
+                   AS avg_prior_spend
+        FROM labeled l JOIN customer c ON l.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY mktsegment
+    """,
+    tags=("training", "labels", "churn"),
+    doc=(
+        "Supervised-dataset assembly: churn labels built point-in-time "
+        "correctly — features aggregate STRICTLY BEFORE the data-"
+        "anchored cutoff (last 365 days of history), the label is "
+        "absence of any order after it, and customers who only appear "
+        "after the cutoff are excluded (no feature window → no row; "
+        "the leakage mistakes this construction prevents are the #1 "
+        "churn-model bug). Reported as per-segment label/feature "
+        "distributions — the class-balance check before training. One "
+        "pass builds features (partial agg), one distinct builds the "
+        "label set, one LEFT join labels; everything after runs on "
+        "customer-sized relations. Spend folds decimal-exact."
+    ),
+)
+def customers_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    cutoff = anchor.select(
+        (F.col("mx") - F.expr(f"INTERVAL {CHURN_DAYS} DAYS")).alias("c")
+    )
+    o = orders.crossJoin(F.broadcast(cutoff))
+    prior = (
+        o.where(F.col("o_orderdate") <= F.col("c"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_prior"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend_prior"),
+        )
+    )
+    recent = (
+        o.where(F.col("o_orderdate") > F.col("c"))
+        .select(F.col("o_custkey").alias("r_custkey"))
+        .distinct()
+    )
+    labeled = prior.join(
+        recent, prior.o_custkey == recent.r_custkey, "left"
+    ).select(
+        "o_custkey",
+        "n_orders_prior",
+        "spend_prior",
+        F.col("r_custkey").isNull().alias("churned"),
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        labeled.join(cust, labeled.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("churned").cast("long")).alias("n_churned"),
+            F.round(
+                F.sum(F.col("churned").cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("churn_rate"),
+            F.round(
+                F.sum("n_orders_prior").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_prior_orders"),
+            F.round(
+                F.sum("spend_prior").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_prior_spend"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+@register(
+    "events_journey_trigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type, 1) OVER w AS p1,
+                   lag(event_type, 2) OVER w AS p2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT p2 || '>' || p1 || '>' || event_type AS journey,
+               count(*) AS n_occurrences,
+               count(DISTINCT user_id) AS n_users
+        FROM seq WHERE p2 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n_occurrences DESC, journey
+        LIMIT 10
+    """,
+    tags=("events", "sequence", "journey", "topk"),
+    doc=(
+        "Behavioral journey mining: the most common 3-step event-type "
+        "paths across users (with how many distinct users walk each) — "
+        "the UX/funnel-design view one step richer than "
+        "events_type_transitions' bigrams and events_transition_dwell's "
+        "timings. Two lag() taps inside the SAME per-user window "
+        "partition (one shuffle, reused by both offsets), a trigram-"
+        "keyed count with map-side partials, TakeOrderedAndProject for "
+        "the top-10. At 100 TB journey keys are low-cardinality "
+        "(|types|³ bounded) so the final aggregate is trivially small."
+    ),
+)
+def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    journey = F.concat_ws(">", F.col("p2"), F.col("p1"), F.col("event_type"))
+    return (
+        seq.groupBy(journey.alias("journey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "journey")
+        .limit(10)
+    )
