@@ -187,9 +187,10 @@ PRIORITY_ORDER = [
     # events_props_variant, the recursive-CTE BFS supplier_reach_bfs,
     # the funnel-velocity entry events_time_to_convert, the
     # byte-budget curation audit multimodal_storage_quota, the
-    # Matryoshka audit knn_truncation_recall, and the label/journey
-    # pair customers_churn_labels / events_journey_trigrams MUST LEAD
-    # the round-6 window for their first driver rows.
+    # Matryoshka audit knn_truncation_recall, the label/journey
+    # pair customers_churn_labels / events_journey_trigrams, and the
+    # PCA step embedding_power_iteration MUST LEAD the round-6 window
+    # for their first driver rows.
 ]
 
 

@@ -1142,3 +1142,89 @@ def knn_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "embedding_power_iteration",
+    oracle="""
+        WITH d AS (
+            SELECT vec_id, embedding,
+                   list_reduce(list_transform(embedding,
+                                              v -> CAST(v AS DOUBLE)),
+                               (a, b) -> a + b) * 0.125 AS dot
+            FROM embeddings
+        ),
+        c AS (
+            SELECT unnest(embedding) AS val,
+                   unnest(range(len(embedding))) AS dim,
+                   dot
+            FROM d
+        ),
+        u AS (
+            SELECT dim,
+                   sum(CAST(round(CAST(val AS DOUBLE) * dot * 1000000)
+                            AS BIGINT)) AS uq
+            FROM c GROUP BY dim
+        ),
+        nrm AS (
+            SELECT sum(CAST(round((CAST(uq AS DOUBLE) / 1000000)
+                                  * (CAST(uq AS DOUBLE) / 1000000)
+                                  * 1000000) AS BIGINT)) AS nq
+            FROM u
+        )
+        SELECT CAST(u.dim AS BIGINT) AS dim,
+               round(CAST(u.uq AS DOUBLE) / 1000000
+                     / sqrt(CAST(nrm.nq AS DOUBLE) / 1000000), 6) AS loading
+        FROM u CROSS JOIN nrm
+        ORDER BY dim
+    """,
+    tags=("embeddings", "pca", "iterative"),
+    doc=(
+        "One distributed power-iteration step toward the top principal "
+        "direction: u = Σᵢ xᵢ (xᵢ·v₀) with the deterministic uniform "
+        "seed v₀ = 1/√d, returned as the normalized per-dimension "
+        "loading — the building block of distributed PCA/SVD (repeat + "
+        "re-normalize to converge; one step is the graded, exactly-"
+        "checkable unit, like kmeans_assign_step for Lloyd's). The "
+        "per-vector projection is a sequential double fold (both "
+        "engines fold in the same order); per-dimension contributions "
+        "are 1e6-quantized int64 BEFORE the cross-vector sum, and the "
+        "normalizer re-quantizes the 64 squared components — so the "
+        "whole step is bit-identical under any partitioning. Plan: one "
+        "narrow projection, one posexplode, one 64-key partial-agg "
+        "shuffle, a 1-row broadcast normalizer."
+    ),
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dot = (
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda v: v.cast("double")),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        * 0.125
+    )
+    d = emb.select("embedding", dot.alias("dot"))
+    c = d.select(F.posexplode("embedding").alias("dim", "val"), "dot")
+    u = c.groupBy("dim").agg(
+        F.sum(
+            F.round(F.col("val").cast("double") * F.col("dot") * 1000000).cast(
+                "long"
+            )
+        ).alias("uq")
+    )
+    uq_d = F.col("uq").cast("double") / 1000000
+    nrm = u.agg(
+        F.sum(F.round(uq_d * uq_d * 1000000).cast("long")).alias("nq")
+    )
+    return (
+        u.crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round(
+                uq_d / F.sqrt(F.col("nq").cast("double") / 1000000), 6
+            ).alias("loading"),
+        )
+        .orderBy("dim")
+    )

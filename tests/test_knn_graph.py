@@ -78,3 +78,18 @@ def test_truncation_recall_matches_numpy(spark, sf_dir):
         trunc = topk(tm, qi)
         assert got.loc[ids[qi]].n_overlap == len(full & trunc)
     assert (got.recall_at_k < 1.0).any()  # truncation genuinely loses recall
+
+
+def test_power_iteration_matches_numpy(spark, sf_dir):
+    """u = X^T (X v0) with v0 uniform must match numpy up to quantization;
+    the loading vector is unit-norm."""
+    got = CATALOG["embedding_power_iteration"].spark_fn(spark, sf_dir).toPandas()
+    emb = table(spark, sf_dir, "embeddings").toPandas()
+    mat = np.array(emb.embedding.tolist(), dtype=np.float64)
+    d = mat.shape[1]
+    v0 = np.full(d, 1 / np.sqrt(d))
+    u = mat.T @ (mat @ v0)
+    want = u / np.linalg.norm(u)
+    assert len(got) == d
+    assert np.allclose(got.loading, want, atol=1e-4)
+    assert np.linalg.norm(got.loading) == pytest.approx(1.0, abs=1e-4)
