@@ -284,6 +284,38 @@ HEADLINERS = {
         "(one fold per pair); per-point top-3 is WindowGroupLimit on "
         "vec_id partitions."
     ),
+    "supplier_reach_bfs": (
+        "Recursive-CTE BFS. Check: the edge list is a localCheckpointed "
+        "scan (UnionLoopRef / checkpoint RDD scan), NOT the agg+window+"
+        "join pipeline replayed per recursion round; the recursion "
+        "operator (UnionLoop) sits above frontier×edges joins only."
+    ),
+    "knn_truncation_recall": (
+        "Truncation-recall audit. Check: the truncated column is a "
+        "slice() projection on the same scan (no second embeddings "
+        "read per branch beyond plan reuse); both candidate branches "
+        "broadcast the 8-row query set; per-query top-k goes through "
+        "the salted two-phase window, no single-partition rank."
+    ),
+    "embedding_power_iteration": (
+        "Distributed PCA step. Check: one narrow projection computes "
+        "the fold-based dot; posexplode feeds a 64-key partial-agg "
+        "HashAggregate (map-side combine collapses per task); the "
+        "normalizer is a 1-row broadcast — no join touches the "
+        "vector-sized relation twice."
+    ),
+    "customers_churn_labels": (
+        "Point-in-time label build. Check: the cutoff enters as a "
+        "1-row broadcast; features and labels are separate partial-agg "
+        "passes over orders; the label LEFT join and the segment join "
+        "run on customer-sized aggregates."
+    ),
+    "multimodal_storage_quota": (
+        "Byte-budget quota. Check: ReadSchema carries only doc_id/lang/"
+        "text metadata (no blob materialization beyond byte length); "
+        "the cumulative window partitions per language; the budget cut "
+        "is an integer predicate, no float threshold."
+    ),
     "embedding_label_outliers": (
         "Embedding hygiene. Check: centroids fold quantized int64 per "
         "(label, dim) and broadcast back onto the exploded vectors; "
