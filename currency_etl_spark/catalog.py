@@ -188,9 +188,10 @@ PRIORITY_ORDER = [
     # the funnel-velocity entry events_time_to_convert, the
     # byte-budget curation audit multimodal_storage_quota, the
     # Matryoshka audit knn_truncation_recall, the label/journey
-    # pair customers_churn_labels / events_journey_trigrams, and the
-    # PCA step embedding_power_iteration MUST LEAD the round-6 window
-    # for their first driver rows.
+    # pair customers_churn_labels / events_journey_trigrams, the
+    # PCA step embedding_power_iteration, and the curve pair
+    # events_dn_retention / lineitem_equidepth_histogram MUST LEAD
+    # the round-6 window for their first driver rows.
 ]
 
 

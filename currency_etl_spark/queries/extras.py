@@ -4540,3 +4540,168 @@ def events_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "journey")
         .limit(10)
     )
+
+
+#: Dn retention checkpoints (days after first purchase).
+RETENTION_DAYS = [1, 7, 14, 21, 28]
+
+
+@register(
+    "events_dn_retention",
+    oracle=f"""
+        WITH p AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+            FROM events WHERE event_type = 'purchase'
+        ),
+        first AS (SELECT user_id, min(d) AS f FROM p GROUP BY user_id),
+        mx AS (SELECT max(CAST(ts AS DATE)) AS m FROM events),
+        grid AS (
+            SELECT first.user_id, first.f, lags.n,
+                   first.f + lags.n * INTERVAL 1 DAY AS target, mx.m
+            FROM first CROSS JOIN
+                 (SELECT unnest([{", ".join(map(str, RETENTION_DAYS))}]) AS n)
+                 AS lags
+            CROSS JOIN mx
+        )
+        SELECT CAST(g.n AS BIGINT) AS n,
+               count(*) FILTER (g.target <= g.m) AS n_eligible,
+               count(*) FILTER (g.target <= g.m AND p.user_id IS NOT NULL)
+                   AS n_retained,
+               round(CAST(count(*) FILTER (g.target <= g.m
+                                           AND p.user_id IS NOT NULL) AS DOUBLE)
+                     / count(*) FILTER (g.target <= g.m), 6) AS retention
+        FROM grid g
+        LEFT JOIN p ON p.user_id = g.user_id AND p.d = g.target
+        GROUP BY g.n
+        ORDER BY n
+    """,
+    tags=("events", "retention", "cohort"),
+    doc=(
+        "Day-N retention curve on purchases: the share of buyers who "
+        "purchase again exactly N days after their FIRST purchase, for "
+        "N in (1, 7, 14, 21, 28) — the product-analytics curve behind "
+        "growth accounting (the checkpoint twin of "
+        "events_cohort_retention's month grid). Right-censoring is "
+        "handled explicitly: a user only enters N's denominator when "
+        "first+N fits inside the observed history (without this, late "
+        "checkpoints read as phantom churn — the classic retention-"
+        "curve bug). The activity set dedups to (user, day) pairs "
+        "first; the checkpoint grid is users × 5 lags; the hit test is "
+        "one user+day equi-join. Everything after the dedup runs on "
+        "user-sized relations."
+    ),
+)
+def events_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    first = p.groupBy("user_id").agg(F.min("d").alias("f"))
+    mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
+    lags = spark.createDataFrame([(n,) for n in RETENTION_DAYS], "n int")
+    grid = (
+        first.crossJoin(F.broadcast(lags))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "n",
+            F.expr("date_add(f, n)").alias("target"),
+            "m",
+        )
+    )
+    hit = p.select(F.col("user_id").alias("h_user"), F.col("d").alias("h_d"))
+    j = grid.join(
+        hit,
+        (F.col("user_id") == F.col("h_user")) & (F.col("target") == F.col("h_d")),
+        "left",
+    )
+    eligible = F.col("target") <= F.col("m")
+    retained = eligible & F.col("h_user").isNotNull()
+    return (
+        j.groupBy(F.col("n").cast("long").alias("n"))
+        .agg(
+            F.sum(eligible.cast("long")).alias("n_eligible"),
+            F.sum(retained.cast("long")).alias("n_retained"),
+            F.round(
+                F.sum(retained.cast("long")).cast("double")
+                / F.sum(eligible.cast("long")),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("n")
+    )
+
+
+#: Equi-depth histogram bucket count (decile statistics).
+EQUIDEPTH_BUCKETS = 10
+
+
+@register(
+    "lineitem_equidepth_histogram",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT quantile_cont(l_extendedprice,
+                                 [{", ".join(str(i / EQUIDEPTH_BUCKETS) for i in range(1, EQUIDEPTH_BUCKETS))}])
+                       AS bs
+            FROM lineitem
+        ),
+        bucketed AS (
+            SELECT l.l_extendedprice AS price,
+                   1 + list_sum(list_transform(b.bs,
+                       x -> CASE WHEN l.l_extendedprice > x
+                                 THEN 1 ELSE 0 END)) AS bucket
+            FROM lineitem l CROSS JOIN bounds b
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               count(*) AS n_rows,
+               round(min(price), 4) AS lo,
+               round(max(price), 4) AS hi
+        FROM bucketed
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    tags=("statistics", "histogram", "percentile"),
+    doc=(
+        "Equi-depth (equi-height) histogram of extended price: decile "
+        "boundaries from exact interpolated percentiles, then one "
+        "scan assigning each row its bucket by counting boundaries it "
+        "exceeds — the histogram form query optimizers keep (equal "
+        "row mass per bucket resists skew that defeats "
+        "lineitem_price_histogram's equi-WIDTH bins). Two passes: a "
+        "1-row exact-percentile aggregate that BROADCASTS, then a "
+        "narrow bucketing projection with map-side partial counts — "
+        "the fact table never shuffles by value. At 100 TB the first "
+        "pass swaps to approx_percentile (t-digest) and this exact "
+        "form is its calibration oracle; both engines interpolate "
+        "percentiles identically so the boundary doubles match bit-"
+        "for-bit."
+    ),
+)
+def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qs = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias("bs")
+    )
+    bucket = 1 + F.aggregate(
+        F.transform(
+            F.col("bs"),
+            lambda x: F.when(F.col("l_extendedprice") > x, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(F.col("l_extendedprice").alias("price"), bucket.alias("bucket"))
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("price"), 4).alias("lo"),
+            F.round(F.max("price"), 4).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
