@@ -189,9 +189,10 @@ PRIORITY_ORDER = [
     # byte-budget curation audit multimodal_storage_quota, the
     # Matryoshka audit knn_truncation_recall, the label/journey
     # pair customers_churn_labels / events_journey_trigrams, the
-    # PCA step embedding_power_iteration, and the curve pair
-    # events_dn_retention / lineitem_equidepth_histogram MUST LEAD
-    # the round-6 window for their first driver rows.
+    # PCA step embedding_power_iteration, the curve pair
+    # events_dn_retention / lineitem_equidepth_histogram, and the
+    # growth pair customers_spend_gini / events_growth_accounting
+    # MUST LEAD the round-6 window for their first driver rows.
 ]
 
 

@@ -4705,3 +4705,186 @@ def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "customers_spend_gini",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT s,
+                   row_number() OVER (ORDER BY s, o_custkey) AS i
+            FROM spend
+        ),
+        agg AS (
+            SELECT count(*) AS n,
+                   sum(s) AS total,
+                   sum(CAST(i AS DECIMAL(28,0)) * s) AS weighted
+            FROM ranked
+        )
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               CAST(total AS DOUBLE) AS total_spend,
+               round(2 * CAST(weighted AS DOUBLE)
+                     / (n * CAST(total AS DOUBLE))
+                     - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+        FROM agg
+    """,
+    tags=("statistics", "inequality", "window"),
+    doc=(
+        "Gini coefficient of customer spend — the inequality summary "
+        "completing the concentration family (nation_supplier_hhi's "
+        "squared shares, parts_revenue_pareto's cumulative curve): "
+        "G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend ranked ascending "
+        "with custkey tie-breaks. The rank runs on the customers-sized "
+        "AGGREGATE (never |orders|; distributed_global_rank is the "
+        "billion-customer slot-in), and the rank-weighted sum folds in "
+        "exact DECIMAL so the one-row result is bit-identical in both "
+        "engines."
+    ),
+)
+def customers_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"))
+    )
+    ranked = spend.select(
+        "s", F.row_number().over(W.orderBy("s", "o_custkey")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("total"),
+        F.sum(F.col("i").cast("decimal(28,0)") * F.col("s")).alias("weighted"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.cast("long").alias("n_customers"),
+        F.col("total").cast("double").alias("total_spend"),
+        F.round(
+            2 * F.col("weighted").cast("double") / (n * F.col("total").cast("double"))
+            - (n.cast("double") + 1) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "events_growth_accounting",
+    oracle="""
+        WITH a AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        ),
+        first AS (SELECT user_id, min(wk) AS f FROM a GROUP BY user_id),
+        states AS (
+            SELECT a.user_id, a.wk,
+                   (a.wk = f.f) AS is_new,
+                   (p.user_id IS NOT NULL) AS was_prev
+            FROM a
+            JOIN first f ON a.user_id = f.user_id
+            LEFT JOIN a p ON p.user_id = a.user_id
+                         AND p.wk = a.wk - INTERVAL 7 DAY
+        ),
+        weekly AS (
+            SELECT strftime(wk, '%Y-%m-%d') AS week,
+                   count(*) FILTER (is_new) AS n_new,
+                   count(*) FILTER (NOT is_new AND was_prev) AS n_retained,
+                   count(*) FILTER (NOT is_new AND NOT was_prev)
+                       AS n_resurrected,
+                   count(*) AS n_active
+            FROM states GROUP BY wk
+        ),
+        churn AS (
+            SELECT strftime(c.wk + INTERVAL 7 DAY, '%Y-%m-%d') AS week,
+                   count(*) AS n_churned
+            FROM a c
+            LEFT JOIN a nxt ON nxt.user_id = c.user_id
+                           AND nxt.wk = c.wk + INTERVAL 7 DAY
+            WHERE nxt.user_id IS NULL
+            GROUP BY c.wk
+        )
+        SELECT w.week, w.n_active, w.n_new, w.n_retained, w.n_resurrected,
+               coalesce(c.n_churned, 0) AS n_churned_in
+        FROM weekly w LEFT JOIN churn c ON w.week = c.week
+        ORDER BY w.week
+    """,
+    tags=("events", "growth-accounting", "retention"),
+    doc=(
+        "Growth accounting: every active (user, week) classified as "
+        "new / retained / resurrected, plus the count churning INTO "
+        "each week (active the prior week, absent this one) — the "
+        "startup-metrics decomposition where net growth = new + "
+        "resurrected − churned. All four states resolve with equi-"
+        "joins on (user, week±7d) against the deduped activity set — "
+        "no window, no user×week grid (the grid blows up at 100 TB; "
+        "the self-join stays |active-pairs|-sized). The last observed "
+        "week's outgoing churn is intentionally unreported (right-"
+        "censored, like events_dn_retention)."
+    ),
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    a = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    first = a.groupBy("user_id").agg(F.min("wk").alias("f"))
+    prev = a.select(
+        F.col("user_id").alias("p_user"),
+        (F.col("wk") + F.expr("INTERVAL 7 DAYS")).alias("p_next"),
+    )
+    states = (
+        a.join(first, "user_id")
+        .join(
+            prev,
+            (F.col("user_id") == F.col("p_user")) & (F.col("wk") == F.col("p_next")),
+            "left",
+        )
+        .select(
+            "wk",
+            (F.col("wk") == F.col("f")).alias("is_new"),
+            F.col("p_user").isNotNull().alias("was_prev"),
+        )
+    )
+    weekly = states.groupBy(
+        F.date_format("wk", "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.sum((~F.col("is_new") & F.col("was_prev")).cast("long")).alias("n_retained"),
+        F.sum(F.col("is_new").cast("long")).alias("n_new"),
+        F.sum((~F.col("is_new") & ~F.col("was_prev")).cast("long")).alias(
+            "n_resurrected"
+        ),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    nxt = a.select(
+        F.col("user_id").alias("n_user"), F.col("wk").alias("n_wk")
+    )
+    churn = (
+        a.join(
+            nxt,
+            (F.col("user_id") == F.col("n_user"))
+            & (F.col("n_wk") == F.col("wk") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .where(F.col("n_user").isNull())
+        .groupBy(
+            F.date_format(
+                F.col("wk") + F.expr("INTERVAL 7 DAYS"), "yyyy-MM-dd"
+            ).alias("week")
+        )
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        weekly.join(churn, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned_in"),
+        )
+        .orderBy("week")
+    )
