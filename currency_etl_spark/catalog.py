@@ -191,8 +191,9 @@ PRIORITY_ORDER = [
     # pair customers_churn_labels / events_journey_trigrams, the
     # PCA step embedding_power_iteration, the curve pair
     # events_dn_retention / lineitem_equidepth_histogram, and the
-    # growth pair customers_spend_gini / events_growth_accounting
-    # MUST LEAD the round-6 window for their first driver rows.
+    # growth pair customers_spend_gini / events_growth_accounting,
+    # and the reliability entry events_slo_burn MUST LEAD the round-6
+    # window for their first driver rows.
 ]
 
 

@@ -4888,3 +4888,73 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+#: SLO: tolerated error share of all events (1%).
+SLO_ERROR_BUDGET = 0.01
+
+
+@register(
+    "events_slo_burn",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   count(*) AS n_events,
+                   count(*) FILTER (event_type = 'error') AS n_errors
+            FROM events GROUP BY 1
+        ),
+        cum AS (
+            SELECT day, n_events, n_errors,
+                   sum(n_errors) OVER w AS ce,
+                   sum(n_events) OVER w AS cn
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_errors AS BIGINT) AS n_errors,
+               round(CAST(ce AS DOUBLE) / ({SLO_ERROR_BUDGET} * cn), 4)
+                   AS burn_ratio,
+               (CAST(ce AS DOUBLE) / ({SLO_ERROR_BUDGET} * cn) > 1.0)
+                   AS over_budget
+        FROM cum
+        ORDER BY day
+    """,
+    tags=("events", "slo", "reliability", "window"),
+    doc=(
+        "SLO error-budget burn: daily error counts against a 1% budget, "
+        "with the cumulative burn ratio (errors consumed / budget "
+        "earned, both anchored to the window start) and the over-budget "
+        "flag — the SRE reliability readout that decides freeze-vs-ship. "
+        "The event stream collapses to day-level integer counts in one "
+        "partial-agg pass; the prefix-sum window runs on the DAY-sized "
+        "relation (at 100 TB still |days| rows — the window never sees "
+        "the fact table), and the ratio is one double division from "
+        "exact integers, identical in both engines."
+    ),
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.sum("n_errors").over(w).alias("ce"),
+        F.sum("n_events").over(w).alias("cn"),
+    )
+    burn = F.col("ce").cast("double") / (SLO_ERROR_BUDGET * F.col("cn"))
+    return cum.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_errors",
+        F.round(burn, 4).alias("burn_ratio"),
+        (burn > 1.0).alias("over_budget"),
+    ).orderBy("day")

@@ -117,3 +117,19 @@ def test_time_to_convert_consistent_with_protocol_audit(spark, sf_dir):
             assert row.p90_hours == _pt.approx(
                 grp.quantile(0.9, interpolation="linear"), abs=1e-3
             )
+
+
+def test_slo_burn_reconciles_with_raw_counts(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    got = CATALOG["events_slo_burn"].spark_fn(spark, sf_dir).toPandas()
+    ev = table(spark, sf_dir, "events")
+    assert got.n_events.sum() == ev.count()
+    assert got.n_errors.sum() == ev.where("event_type = 'error'").count()
+    # cumulative burn recomputes from the daily columns
+    ce, cn = 0, 0
+    for row in got.itertuples():
+        ce += row.n_errors
+        cn += row.n_events
+        assert row.burn_ratio == round(ce / (0.01 * cn), 4)
+        assert row.over_budget == (ce / (0.01 * cn) > 1.0)
