@@ -192,7 +192,8 @@ PRIORITY_ORDER = [
     # PCA step embedding_power_iteration, the curve pair
     # events_dn_retention / lineitem_equidepth_histogram, and the
     # growth pair customers_spend_gini / events_growth_accounting,
-    # and the reliability entry events_slo_burn MUST LEAD the round-6
+    # the reliability entry events_slo_burn, and the forecast
+    # evaluation orders_forecast_backtest MUST LEAD the round-6
     # window for their first driver rows.
 ]
 

@@ -4958,3 +4958,74 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(burn, 4).alias("burn_ratio"),
         (burn > 1.0).alias("over_budget"),
     ).orderBy("day")
+
+
+@register(
+    "orders_forecast_backtest",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+            FROM orders GROUP BY 1
+        ),
+        paired AS (
+            SELECT a.m, a.rev AS actual, b.rev AS forecast
+            FROM monthly a JOIN monthly b ON b.m = a.m - INTERVAL 12 MONTH
+        ),
+        scored AS (
+            SELECT strftime(m, '%Y') AS year,
+                   CAST(round(abs(CAST(actual AS DOUBLE)
+                                  - CAST(forecast AS DOUBLE))
+                              / CAST(actual AS DOUBLE) * 1000000)
+                        AS BIGINT) AS ape_q
+            FROM paired
+        )
+        SELECT year, count(*) AS n_months,
+               round(CAST(sum(ape_q) AS DOUBLE) / 1000000 / count(*), 6)
+                   AS mape
+        FROM scored
+        GROUP BY year
+        ORDER BY year
+    """,
+    tags=("forecast", "backtest", "evaluation"),
+    doc=(
+        "Walk-forward forecast backtest: the seasonal-naive predictor "
+        "(same month last year) evaluated against realized monthly "
+        "revenue as per-year MAPE — the evaluation loop the forecast "
+        "family (ref_forecast5, q6_forecast_revenue) needs before "
+        "anyone trusts a forecast; seasonal-naive is THE baseline any "
+        "model must beat. The corpus collapses to the month-sized "
+        "relation first (partial-agg decimal sums), the train/test "
+        "pairing is a self-join on month−12 over ~80 rows, and the "
+        "per-month absolute percentage errors are 1e6-quantized before "
+        "the year fold — exact under any partitioning. At 100 TB "
+        "everything after the first aggregate is driver-trivial."
+    ),
+)
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    prev = monthly.select(
+        F.add_months(F.col("m"), 12).alias("p_m"), F.col("rev").alias("forecast")
+    )
+    paired = monthly.join(prev, monthly.m == prev.p_m).select(
+        "m", F.col("rev").alias("actual"), "forecast"
+    )
+    ape_q = F.round(
+        F.abs(F.col("actual").cast("double") - F.col("forecast").cast("double"))
+        / F.col("actual").cast("double")
+        * 1000000
+    ).cast("long")
+    return (
+        paired.select(F.date_format("m", "yyyy").alias("year"), ape_q.alias("ape_q"))
+        .groupBy("year")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(F.sum("ape_q").cast("double") / 1000000 / F.count(F.lit(1)), 6).alias(
+                "mape"
+            ),
+        )
+        .orderBy("year")
+    )

@@ -53,3 +53,30 @@ def test_growth_accounting_states_partition_actives(spark, sf_dir):
                 w - pd.Timedelta(days=7) == weeks[i - 1]
             ) else set()
             assert row.n_churned_in == len(churned)
+
+
+def test_forecast_backtest_matches_pandas(spark, sf_dir):
+    got = (
+        CATALOG["orders_forecast_backtest"].spark_fn(spark, sf_dir).toPandas()
+        .set_index("year")
+    )
+    orders = table(spark, sf_dir, "orders").toPandas()
+    monthly = (
+        orders.assign(m=orders.o_orderdate.dt.to_period("M"))
+        .groupby("m")
+        .o_totalprice.sum()
+    )
+    rows = {}
+    for m, actual in monthly.items():
+        prev = m - 12
+        if prev in monthly.index:
+            y = str(m.year)
+            rows.setdefault(y, []).append(abs(actual - monthly[prev]) / actual)
+    for y, apes in rows.items():
+        assert got.loc[y].n_months == len(apes)
+        assert got.loc[y].mape == pytest.approx(
+            sum(apes) / len(apes), abs=1e-4
+        )
+    assert set(got.index) == set(rows)
+    # the first 12 months never get a row (no training year behind them)
+    assert got.n_months.sum() == len(monthly) - 12
