@@ -61,140 +61,97 @@ def register(name: str, oracle: Optional[str], tags: tuple = (), doc: str = ""):
 GRADING_WINDOW = 50
 
 PRIORITY_ORDER = [
-    # --- red in round 4 (events-loader regression, fixed this round via
-    #     sources.normalize_events_ts) → must re-grade to prove the fix ---
-    "streaming_hourly",
-    "streaming_sliding",
-    "streaming_sessions",
-    "streaming_dedup",
-    "streaming_interval_join",
-    "asof_click_within_1h",
-    "asof_purchase_last_click",
-    "events_user_totals_salted",
-    "events_scd2_history",
-    "sessions_concurrency_daily",
-    "approx_distinct_stats",
-    "events_value_percentiles",
-    "events_props_stats",
-    "events_daily_gapfill",
-    "events_rolling_24h",
-    "events_funnel",
-    # --- last graded round 1 (deferred twice; oldest standing rows) ---
-    "cust_name_parse",
-    "events_unpivot",
-    "events_trend",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    # docs_deterministic_sample rotated out late in round 5 for the new
-    # streaming_enrich first row (r1-green standing row; sampling family
-    # covered in-window by docs_weighted_sample + docs_domain_cap)
-    "events_cohort_retention",
-    "grouping_sets_custom",
-    # Refresh entries rotated out late in round 5 for the second new-entry
-    # batch (first-row entries outrank refreshes; every rotated entry
-    # holds a standing green row and is re-verified locally each run):
-    #   multimodal_features (r4-green; the numpy _byte_histogram rewrite
-    #     is output-identical and oracle-verified at sf0.001/sf0.01),
-    #   events_hourly / events_type_transitions / q1_pricing_summary
-    #     (r2-green; the loader fix is proven by the 16 red-in-r4 events
-    #     entries above, and q1 is additionally the entry() smoke the
-    #     driver runs every round),
-    #   ref_rolling_avg7 / ref_forecast5 (r1/r2-green; with these out the
-    #     whole ref_* family defers on standing rows + local verification).
-    # Earlier round-5 rotations (events_pivot_by_type, events_sessionize,
-    # events_range_join_binned, q3/q4/q5, top_customers,
-    # topk_orders_per_segment, rollup_segment_nation,
-    # set_customers_both_statuses, cust_above_nation_avg, tfidf_top_terms,
-    # docs_clean_corpus) — all r2-green with in-window family siblings.
-    # --- new in round 5, second batch (no driver row yet) ---
-    "streaming_enrich",
-    "dedup_incremental",
-    "bpe_pair_merge",
-    "docs_weighted_sample",
-    "events_scd2_fact_version",
-    "events_sliding_wau",
-    "orders_benford",
-    # --- new in round 5, first batch (no driver row yet) ---
-    "docs_sequence_pack",
-    "docs_domain_cap",
-    "docs_mixture_report",
-    "kmeans_assign_step",
-    "multimodal_dedup_assets",
-    "knn_ivf_kmeans",
-    "events_mv_incremental",
-    "streaming_running_totals",
-    "docs_decontaminate",
-    "docs_quality_filter",
-    "docs_subword_tokens",
-    "knn_recall_report",
-    "embedding_pq",
-    "graph_pagerank_bipartite",
-    "docs_dedup_survivors",
-    "lang_id_confusion",
-    "events_sketch_rollup",
-    "events_anomaly_mad",
-    "docs_curation_pipeline",
-    "streaming_scd2",
-    # Deferred to r6 on standing r2-green rows (window full; each family
-    # holds an r4-green or in-window sibling; the ref_* six DO read the
-    # events loader changed this round, but that path is exercised by 20+
-    # in-window events entries plus both in-window ref siblings, and
-    # every registered entry is oracle-verified locally at sf0.001/
-    # sf0.01 on each run): ref_avg_value / ref_days_available /
-    # ref_num_types / ref_range_window / ref_last_value / ref_change_month
-    # (simple agg+window shapes ~ in-window q1/order-rank plans),
-    # text_stats / lang_id / doc_fingerprint (text family: pii/ngram/
-    # repetition/vocab green r4), dedup_exact / dedup_ngram_jaccard /
-    # dedup_simhash / dedup_embedding_cosine (dedup family: minhash_lsh,
-    # clusters, jaccard_est green r4), knn_brute / knn_ivf / knn_lsh
-    # (knn_lsh_multiprobe green r4), embedding_norms (embedding_quantize
-    # green r4), similar_part_names (ngram-join ~ the r4-green dedup
-    # family), multimodal_frame_sample / multimodal_meta_stats (multimodal
-    # family: features + new dedup_assets in window), cube_status_priority
-    # (cube ~ in-window grouping_sets_custom; rollup rotated out on its
-    # r2-green row),
-    # docs_chunk_tokens (chunking ~ new in-window docs_sequence_pack),
-    # docs_stratified_sample (sampling ~ in-window docs_deterministic_
-    # sample + new docs_domain_cap), set_customers_no_open_orders and
-    # set_customers_both_statuses (set-op family, both r2-green; the
-    # rotations above favored first-row round-5 entries).
+    # ROUND 6 WINDOW — first driver rows for the never-graded backlog.
+    # Round-5 verdict item 1: 55 catalog entries had never received a
+    # driver correctness row; this window leads with 50 of them so
+    # CORRECTNESS_r06.json consists entirely of first-row entries. All 50
+    # are oracle-verified locally at sf0.001 AND sf0.01 by
+    # tests/test_oracle.py on every run. Net catalog growth is frozen
+    # this round (verdict item 2) until the grading debt clears.
     #
-    # NO SLOT THIS ROUND (window full; registered late in round 5, locally
-    # oracle-verified at sf0.001/sf0.01 + vanilla-session checked): the
-    # governance pair docs_shard_manifest / docs_split_leakage, the EWMA
-    # control chart events_ewma_revenue, the third-batch trio
-    # orders_bloom_prefilter / events_quantile_rollup /
-    # docs_bigram_surprisal, the retrieval pair docs_inverted_index /
-    # docs_index_lookup, the layout audit events_zorder_audit, the
-    # watermark-policy entry streaming_late_drop, the UDTF skip-gram
-    # extractor docs_skipgram_pairs, the anti-entropy fingerprint
-    # tables_row_checksum, the series pair events_hourly_interpolate /
-    # events_type_correlation, the customer-analytics pair
-    # customers_rfm_segments / parts_revenue_pareto, the affinity pair
-    # orders_market_basket / customers_interorder_gap, the profile
-    # pair embeddings_dim_stats / docs_source_token_divergence, and the
-    # attribution/migration/novelty trio events_click_attribution /
-    # customers_segment_migration / docs_shingle_novelty, and the
-    # sequence/hygiene trio events_transition_dwell /
-    # events_state_machine_audit / embedding_label_outliers, and the
-    # series/governance pair events_autocorrelation /
-    # customers_pseudonymize_audit, the selection/experiment pair
-    # docs_importance_weights / events_ab_experiment, the kNN-graph
-    # builder knn_graph_bucketed, the statistics trio
-    # part_brand_price_elasticity / docs_lang_source_chi2 /
-    # nation_supplier_hhi, the ops pair orders_sample_estimate /
-    # events_skew_report, the Spark-4 VARIANT twin
-    # events_props_variant, the recursive-CTE BFS supplier_reach_bfs,
-    # the funnel-velocity entry events_time_to_convert, the
-    # byte-budget curation audit multimodal_storage_quota, the
-    # Matryoshka audit knn_truncation_recall, the label/journey
-    # pair customers_churn_labels / events_journey_trigrams, the
-    # PCA step embedding_power_iteration, the curve pair
-    # events_dn_retention / lineitem_equidepth_histogram, and the
-    # growth pair customers_spend_gini / events_growth_accounting,
-    # the reliability entry events_slo_burn, and the forecast
-    # evaluation orders_forecast_backtest MUST LEAD the round-6
-    # window for their first driver rows.
+    # --- governance / curation audits ---
+    "docs_shard_manifest",
+    "docs_split_leakage",
+    "docs_importance_weights",
+    "docs_source_token_divergence",
+    "docs_shingle_novelty",
+    "docs_lang_source_chi2",
+    "customers_pseudonymize_audit",
+    "multimodal_storage_quota",
+    # --- retrieval / text ---
+    "docs_inverted_index",
+    "docs_skipgram_pairs",
+    "docs_bigram_surprisal",
+    # --- embeddings / ANN ---
+    "embeddings_dim_stats",
+    "embedding_label_outliers",
+    "embedding_power_iteration",
+    "knn_graph_bucketed",
+    "knn_truncation_recall",
+    "dedup_graph_degree_stats",
+    # --- events: series / sketches / layout ---
+    "events_ewma_revenue",
+    "events_quantile_rollup",
+    "events_hourly_interpolate",
+    "events_type_correlation",
+    "events_autocorrelation",
+    "events_zorder_audit",
+    "events_props_variant",
+    "orders_bloom_prefilter",
+    "tables_row_checksum",
+    # --- events: journeys / state machines / experiments ---
+    "events_click_attribution",
+    "events_transition_dwell",
+    "events_state_machine_audit",
+    "events_journey_trigrams",
+    "events_time_to_convert",
+    "events_ab_experiment",
+    "events_dn_retention",
+    "events_growth_accounting",
+    "events_slo_burn",
+    "events_skew_report",
+    # --- customer / order analytics ---
+    "customers_rfm_segments",
+    "parts_revenue_pareto",
+    "orders_market_basket",
+    "customers_interorder_gap",
+    "customers_segment_migration",
+    "customers_churn_labels",
+    "customers_spend_gini",
+    "orders_sample_estimate",
+    "orders_forecast_backtest",
+    "part_brand_price_elasticity",
+    "nation_supplier_hhi",
+    "lineitem_equidepth_histogram",
+    # --- recursive CTE + streaming watermark policy ---
+    "supplier_reach_bfs",
+    "streaming_late_drop",
+    # DEFERRED TO r7 (the 5 never-graded entries that don't fit the
+    # 50-slot window; each has an in-window or freshly-graded family
+    # sibling and a local oracle green):
+    #   docs_embedding_coverage (~ in-window embeddings_dim_stats),
+    #   docs_index_lookup (~ in-window docs_inverted_index, same index),
+    #   events_scd2_asof (scd2 family: events_scd2_history green r5),
+    #   events_session_stats (session family: streaming_sessions green
+    #     r5, events_sessionize standing r2),
+    #   orders_weekday_seasonality (~ in-window orders_forecast_backtest,
+    #     same seasonal decomposition).
+    # MUST LEAD round 7 after those five: the 43 r1/r2-stale standing
+    # greens, oldest first — docs_deterministic_sample (r1), then the r2
+    # block: q1_pricing_summary, q3_shipping_priority, q4_order_priority,
+    # q5_local_supplier_volume, top_customers, topk_orders_per_segment,
+    # rollup_segment_nation, cube_status_priority, grouping-sets twins,
+    # set_customers_both_statuses, set_customers_no_open_orders,
+    # cust_above_nation_avg, similar_part_names, the ref_* six
+    # (ref_avg_value, ref_days_available, ref_num_types, ref_range_window,
+    # ref_last_value, ref_change_month) + ref_rolling_avg7 + ref_forecast5,
+    # text_stats, lang_id, doc_fingerprint, tfidf_top_terms,
+    # docs_clean_corpus, docs_chunk_tokens, docs_stratified_sample,
+    # dedup_exact, dedup_ngram_jaccard, dedup_simhash,
+    # dedup_embedding_cosine, knn_brute, knn_ivf, knn_lsh,
+    # embedding_norms, multimodal_meta_stats, multimodal_frame_sample,
+    # events_hourly, events_pivot_by_type, events_sessionize,
+    # events_range_join_binned, events_type_transitions.
 ]
 
 
