@@ -373,22 +373,22 @@ _CATALOG["docs_curation_pipeline"].oracle = f"""
         ns AS (SELECT source, sum(c_sw) AS n_s FROM csw GROUP BY source),
         cw AS (SELECT w, sum(c_sw) AS c_w FROM csw GROUP BY w),
         tot AS (SELECT sum(c_w) AS n_total FROM cw),
-        grid AS (
-            SELECT ns.source, ns.n_s, cw.w, cw.c_w, tot.n_total,
-                   coalesce(csw.c_sw, 0) AS c_sw
-            FROM ns CROSS JOIN cw CROSS JOIN tot
-            LEFT JOIN csw ON csw.source = ns.source AND csw.w = cw.w
-        ),
         scored AS (
-            SELECT source, w, n_s,
-                   CAST(round((CAST(c_sw AS DOUBLE) / n_s
-                               - CAST(c_w AS DOUBLE) / n_total)
-                              * 1000000000000) AS BIGINT) AS diff_q
-            FROM grid
+            SELECT csw.source, csw.w, ns.n_s,
+                   CAST(round((CAST(csw.c_sw AS DOUBLE) / ns.n_s
+                               - CAST(cw.c_w AS DOUBLE) / tot.n_total)
+                              * 1000000000000) AS BIGINT) AS diff_q,
+                   CAST(round(CAST(cw.c_w AS DOUBLE) / tot.n_total
+                              * 1000000000000) AS BIGINT) AS cw_q
+            FROM csw
+            JOIN cw ON csw.w = cw.w
+            JOIN ns ON csw.source = ns.source
+            CROSS JOIN tot
         ),
         agg AS (
             SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
-                   sum(abs(diff_q)) AS sabs
+                   sum(abs(diff_q))
+                   + greatest(1000000000000 - sum(cw_q), 0) AS sabs
             FROM scored GROUP BY source
         ),
         topw AS (
@@ -411,13 +411,21 @@ _CATALOG["docs_curation_pipeline"].oracle = f"""
         "corpus-wide distribution, plus each source's most over-"
         "represented token. This is the monitoring primitive behind "
         "mixture rebalancing — a source whose TV distance jumps between "
-        "snapshots changed its content mix. The plan aggregates the "
-        "corpus down to the (source × vocab) frequency GRID first — at "
-        "100 TB the token stream collapses via map-side partial "
-        "aggregation into |sources|·|vocab| rows, and the vocab "
-        "frequency table broadcasts. Per-word probability deltas are "
-        "1e12-quantized to int64 before the cross-word fold, so the TV "
-        "sum is exact and partition-order-independent in both engines."
+        "snapshots changed its content mix. Scale shape: the TV mass of "
+        "words ABSENT from a source has the closed form "
+        "1 - sum(c_w/N over the source's present words), so the plan "
+        "never densifies a |sources|x|vocab| grid and never broadcasts "
+        "the vocabulary — it keeps only the existing (source, word) "
+        "pairs and shuffle-joins them with the per-word corpus counts on "
+        "the word key (round-5 advice: the previous grid + vocab "
+        "broadcast would exhaust memory on an unbounded vocab). Per-word "
+        "probability deltas are 1e12-quantized to int64 before the "
+        "cross-word fold, so the TV sum is exact and partition-order-"
+        "independent in both engines; the absent-mass term uses the same "
+        "quantization (1e12 - sum of quantized present corpus mass, "
+        "clamped at 0). The top word is always a present word: absent "
+        "words have strictly negative excess while each source's max "
+        "present excess is >= 0."
     ),
 )
 def docs_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,11 +439,12 @@ def docs_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = csw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
     tot = cw.agg(F.sum("c_w").alias("n_total"))
-    grid = (
-        ns.crossJoin(F.broadcast(cw))
+    # Present pairs only: shuffle-join on the word key (vocab-sized, NOT
+    # broadcast); ns is |sources| rows and tot is 1 row, both broadcast.
+    joined = (
+        csw.join(cw, "w")
+        .join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(tot))
-        .join(csw, ["source", "w"], "left")
-        .withColumn("c_sw", F.coalesce(F.col("c_sw"), F.lit(0)))
     )
     diff_q = F.round(
         (
@@ -444,10 +453,20 @@ def docs_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * 1000000000000
     ).cast("long")
-    scored = grid.select("source", "w", "n_s", diff_q.alias("diff_q"))
+    cw_q = F.round(
+        F.col("c_w").cast("double") / F.col("n_total") * 1000000000000
+    ).cast("long")
+    scored = joined.select(
+        "source", "w", "n_s", diff_q.alias("diff_q"), cw_q.alias("cw_q")
+    )
     agg = scored.groupBy("source").agg(
         F.max("n_s").cast("long").alias("n_tokens"),
-        F.sum(F.abs(F.col("diff_q"))).alias("sabs"),
+        (
+            F.sum(F.abs(F.col("diff_q")))
+            + F.greatest(
+                F.lit(1000000000000) - F.sum("cw_q"), F.lit(0).cast("long")
+            )
+        ).alias("sabs"),
     )
     topw = scored.withColumn(
         "rn",

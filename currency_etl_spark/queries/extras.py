@@ -2385,6 +2385,33 @@ def distributed_global_rank(df: DataFrame, key: str, tiebreak: str) -> DataFrame
     )
 
 
+def distributed_ntile(df: DataFrame, n_tiles: int, key, tiebreak: str, out_col: str) -> DataFrame:
+    """Exact NTILE(n) OVER (ORDER BY key ASC, tiebreak ASC) without an
+    unpartitioned window: distributed_global_rank supplies the global
+    row number via value-range splits + parallel per-split windows, and
+    the tile index follows from the closed form both engines define
+    NTILE by — base = n div k rows per tile, the first n mod k tiles one
+    row larger. DESC orderings negate the key; double keys must be
+    quantized to int64 by the caller (exactness rule) so the range-split
+    integer arithmetic applies. Adds ``out_col`` (int, 1-based) and
+    preserves every input column."""
+    d = df.withColumn("__ntile_key", key.cast("long"))
+    ranked = distributed_global_rank(d, "__ntile_key", tiebreak)
+    n1 = d.agg(F.count(F.lit(1)).cast("long").alias("__nrows"))
+    base = f"(__nrows div {n_tiles})"
+    rem = f"(__nrows % {n_tiles})"
+    tile = (
+        f"CASE WHEN rank <= {rem} * ({base} + 1) "
+        f"THEN (rank - 1) div ({base} + 1) + 1 "
+        f"ELSE {rem} + (rank - 1 - {rem} * ({base} + 1)) div {base} + 1 END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n1))
+        .withColumn(out_col, F.expr(tile).cast("int"))
+        .drop("rank", "__ntile_key", "__nrows")
+    )
+
+
 def _morton_sql(u: str, h: str, bits: int = ZORDER_BITS) -> str:
     """Bit-interleave expression (Morton/Z-value) shared VERBATIM by the
     Spark builder and the DuckDB oracle — both engines parse the same
@@ -4201,6 +4228,11 @@ _BFS_SQL = """
     ORDER BY hop
 """
 
+#: Last invocation's checkpointed edge list + view counter (see the
+#: unpersist note inside supplier_reach_bfs).
+_BFS_PREV_EDGES = None
+_BFS_VIEW_SEQ = 0
+
 
 @register(
     "supplier_reach_bfs",
@@ -4276,11 +4308,21 @@ def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan, so without this every recursion round would re-run the
     # aggregate + window + self-join that build the edge list (measured
     # 6.3 s -> ~1 s at sf0.1). Same checkpoint-the-graph move as
-    # dedup_clusters and graph_pagerank_bipartite.
+    # dedup_clusters and graph_pagerank_bipartite. One checkpoint stays
+    # live at a time: re-invoking releases the previous call's blocks
+    # (they are never freed otherwise), and the per-invocation view name
+    # keeps concurrent builders in one session from racing on a shared
+    # name (round-5 advice).
+    global _BFS_PREV_EDGES, _BFS_VIEW_SEQ
+    if _BFS_PREV_EDGES is not None:
+        _BFS_PREV_EDGES.unpersist()
     edges = edges.localCheckpoint(eager=True)
-    edges.createOrReplaceTempView("ces_bfs_edges")
+    _BFS_PREV_EDGES = edges
+    _BFS_VIEW_SEQ += 1
+    view = f"ces_bfs_edges_{_BFS_VIEW_SEQ}"
+    edges.createOrReplaceTempView(view)
     return spark.sql(
-        _BFS_SQL.format(seed=BFS_SEED, edges="ces_bfs_edges", max_hops=BFS_MAX_HOPS)
+        _BFS_SQL.format(seed=BFS_SEED, edges=view, max_hops=BFS_MAX_HOPS)
     )
 
 

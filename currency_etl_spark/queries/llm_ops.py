@@ -2290,10 +2290,17 @@ def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "integer-exact ilog2 (length(bin(x))-1, shared verbatim by both "
         "engines — no cross-libm log() drift). Shape at 100 TB: two "
         "partial-agg count passes collapse the token stream to the "
-        "vocab-sized weight table, which BROADCASTS back onto the "
-        "exploded tokens; per-doc sums are exact int64; top-25 is a "
-        "TakeOrderedAndProject. The target slice needs no second scan — "
-        "it is a conditional count inside the same pass."
+        "vocab-sized weight table, which shuffle-joins back onto the "
+        "exploded tokens on the word key — NOT broadcast (round-5 "
+        "advice: real corpora have vocabularies far beyond broadcast "
+        "limits; AQE may still pick broadcast when the table measures "
+        "small). The production scale path is DSIR's own trick — hash "
+        "n-grams into a fixed bucket count (hash(w) % N) so the weight "
+        "table is bounded regardless of vocab size; kept un-hashed here "
+        "because the oracle must count exact words. Per-doc sums are "
+        "exact int64; top-25 is a TakeOrderedAndProject. The target "
+        "slice needs no second scan — it is a conditional count inside "
+        "the same pass."
     ),
 )
 def docs_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2310,7 +2317,7 @@ def docs_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", (ilog2(F.col("t_w") + 1) - ilog2(F.col("c_w") + 1)).alias("s_w")
     )
     per = (
-        toks.join(F.broadcast(sw), "w")
+        toks.join(sw, "w")
         .groupBy("doc_id")
         .agg(
             F.max("lang").alias("lang"),

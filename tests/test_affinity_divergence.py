@@ -121,8 +121,11 @@ def test_source_divergence_matches_python(spark, sf_dir):
         sw = rows[rows.source == row.source].w.value_counts()
         n_s = int(sw.sum())
         assert n_s == row.n_tokens
-        tv_q = sum(
-            abs(round((sw.get(w, 0) / n_s - cw[w] / n_total) * 1e12))
-            for w in cw.index
+        # present-pairs formula: |diff| over the source's own words plus
+        # the quantized corpus mass of absent words (closed form, no grid)
+        present_q = sum(
+            abs(round((sw[w] / n_s - cw[w] / n_total) * 1e12)) for w in sw.index
         )
+        covered_q = sum(round(cw[w] / n_total * 1e12) for w in sw.index)
+        tv_q = present_q + max(int(1e12) - covered_q, 0)
         assert row.tv_dist == pytest.approx(round(tv_q / 2 / 1e12, 6), abs=1e-9)

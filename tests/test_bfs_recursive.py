@@ -55,3 +55,22 @@ def test_bfs_matches_python_reference(spark, sf_dir):
     # structure: the seed is alone at hop 0; hops are contiguous from 0
     assert got_map[0] == 1
     assert sorted(got_map) == list(range(len(got_map)))
+
+
+def test_bfs_repeat_invocation_releases_checkpoint(spark, sf_dir):
+    """Re-invoking the builder must not accumulate checkpointed edge
+    blocks (round-5 advice): exactly one edge-list checkpoint stays
+    cached, and each invocation's distinct temp view keeps concurrent
+    builders from racing on a shared name."""
+    from currency_etl_spark.queries import extras
+
+    first = CATALOG["supplier_reach_bfs"].spark_fn(spark, sf_dir).toPandas()
+    edges_first = extras._BFS_PREV_EDGES
+    seq_first = extras._BFS_VIEW_SEQ
+    second = CATALOG["supplier_reach_bfs"].spark_fn(spark, sf_dir).toPandas()
+    assert first.equals(second)
+    assert extras._BFS_VIEW_SEQ == seq_first + 1
+    assert extras._BFS_PREV_EDGES is not edges_first
+    # the first invocation's checkpoint blocks were released
+    assert edges_first.storageLevel.useMemory is False
+    assert edges_first.storageLevel.useDisk is False
