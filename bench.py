@@ -128,6 +128,31 @@ def main() -> None:
             break  # another pass of this size would blow the budget
 
     total = round(sum(times.values()), 3)
+    # Full per-query dict to a FILE (round-5 verdict item 6): the driver
+    # keeps only the stdout tail, which truncates the per-query dict at
+    # ~180 entries — the file makes round-over-round per-query
+    # regressions machine-diffable without re-running. Numbered after the
+    # round in flight (one past the newest recorded BENCH_r{N}.json).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    tag = f"r{max(rounds) + 1:02d}" if rounds else "latest"
+    payload = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "passes": passes,
+    }
+    try:
+        with open(os.path.join(here, f"bench_queries_{tag}.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: stdout line below still carries it
     # Detailed per-query line first; a SHORT summary line LAST so the
     # driver's tail capture always parses a complete JSON object (round 1's
     # single ~4 KB line was truncated mid-object → "parsed": null).

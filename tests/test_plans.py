@@ -403,3 +403,31 @@ def test_stats_trio_broadcast_only_no_fact_reshuffle(spark, sf_dir):
         assert "BroadcastHashJoin" in p
         assert not re.findall(r"SortMergeJoin|ShuffledHashJoin", p)
         assert "CartesianProduct" not in p
+
+
+def test_ntile_entries_have_no_unpartitioned_fact_window(spark, sf_dir):
+    """Round-5 verdict item 3: order_value_deciles, customer_rfm and
+    customers_rfm_segments must never funnel the fact/customer relation
+    through an unpartitioned ORDER BY window. After the
+    distributed_ntile rewiring, every per-row window is partitioned by
+    the range split (__pid); the only legitimately unpartitioned windows
+    are the 32-row boundary/offset cumsums, which order BY __pid itself
+    — so an unpartitioned windowspec whose first sort column is not
+    __pid is a regression."""
+    from currency_etl_spark.queries.extras import (
+        customer_rfm,
+        customers_rfm_segments,
+        order_value_deciles,
+    )
+
+    for fn in (order_value_deciles, customer_rfm, customers_rfm_segments):
+        p = plan_of(fn(spark, sf_dir))
+        # ntile() itself is gone — replaced by the closed-form bucket
+        assert "ntile(" not in p, fn.__name__
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+        assert specs, fn.__name__
+        for spec in specs:
+            head = spec.split(",")[0]
+            unpartitioned = " ASC" in head or " DESC" in head
+            if unpartitioned:
+                assert "__pid" in head, (fn.__name__, spec)

@@ -253,3 +253,32 @@ def test_distributed_rank_property(spark, vals):
         for i, (eid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
     }
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=60),
+    k=st.integers(1, 7),
+)
+@_PROP_SETTINGS
+def test_distributed_ntile_property(spark, vals, k):
+    """distributed_ntile == SQL NTILE(k) over (key, tiebreak) for any
+    value list and tile count — including n < k, exact-multiple n, and
+    duplicate keys. Reference semantics: base = n div k rows per tile,
+    the first n mod k tiles one row larger."""
+    from currency_etl_spark.queries.extras import distributed_ntile
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, k long")
+    got = {
+        r["event_id"]: r["tile"]
+        for r in distributed_ntile(df, k, F.col("k"), "event_id", "tile").collect()
+    }
+    n = len(rows)
+    base, rem = n // k, n % k
+    want = {}
+    for pos, (eid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0]))):
+        if pos < rem * (base + 1):
+            want[eid] = pos // (base + 1) + 1
+        else:
+            want[eid] = rem + (pos - rem * (base + 1)) // base + 1
+    assert got == want
