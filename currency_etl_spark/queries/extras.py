@@ -3428,16 +3428,18 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the data-derived midpoint date; quartile 0 = absent from that "
         "half), counted per (from, to) cell — the upgrade/churn movement "
         "table behind lifecycle marketing. Each half is one partial-agg "
-        "pass over orders; the ntile runs on the customers-sized "
-        "aggregate with custkey tie-breaks so both engines cut "
-        "identically (distributed_global_rank is the billion-customer "
-        "slot-in, as in customers_rfm_segments); the FULL OUTER join "
-        "aligns the halves on custkey. Spend folds decimal-exact."
+        "pass over orders into a once-materialized customers-sized "
+        "aggregate; the quartile comes from distributed_ntile (value-"
+        "range splits + parallel per-split windows + closed-form NTILE "
+        "bucket — no unpartitioned window even at a billion customers; "
+        "the oracle's plain ntile is the semantic spec) keyed on the "
+        "exact 1e4-scaled integer twin of the DECIMAL(18,4) spend, with "
+        "custkey tie-breaks so both engines cut identically; the FULL "
+        "OUTER join aligns the halves on custkey. Spend folds "
+        "decimal-exact."
     ),
 )
 def customers_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     orders = table(spark, sf_dir, "orders")
     bounds = orders.agg(
         F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
@@ -3451,21 +3453,24 @@ def customers_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     o = orders.crossJoin(F.broadcast(mid))
-    spend = lambda cond: (
-        o.where(cond)
-        .groupBy("o_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"))
-        .select(
-            "o_custkey",
-            F.ntile(4).over(W.orderBy("spend", "o_custkey")).alias("q"),
+
+    def spend_quartile(cond, tag):
+        h = (
+            o.where(cond)
+            .groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"))
         )
-    )
-    q1 = spend(F.col("o_orderdate") < F.col("m")).withColumnsRenamed(
-        {"o_custkey": "ck1", "q": "from_q"}
-    )
-    q2 = spend(F.col("o_orderdate") >= F.col("m")).withColumnsRenamed(
-        {"o_custkey": "ck2", "q": "to_q"}
-    )
+        h = _swap_checkpoint(tag, h)
+        return distributed_ntile(
+            h, 4, F.col("spend") * 10000, "o_custkey", "q"
+        ).select("o_custkey", "q")
+
+    q1 = spend_quartile(
+        F.col("o_orderdate") < F.col("m"), "seg_migration_h1"
+    ).withColumnsRenamed({"o_custkey": "ck1", "q": "from_q"})
+    q2 = spend_quartile(
+        F.col("o_orderdate") >= F.col("m"), "seg_migration_h2"
+    ).withColumnsRenamed({"o_custkey": "ck2", "q": "to_q"})
     m = q1.join(q2, q1.ck1 == q2.ck2, "full").select(
         F.coalesce("from_q", F.lit(0)).cast("long").alias("from_q"),
         F.coalesce("to_q", F.lit(0)).cast("long").alias("to_q"),

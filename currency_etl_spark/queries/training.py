@@ -446,18 +446,17 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         F.expr("replace(enc, concat('|', tl, '|', tr), concat('|', tl, tr))").alias("enc"),
     )
-    ranked = pair_counts(enc1)
+    # top-15 FIRST (plans as TakeOrderedAndProject — per-partition heaps,
+    # no global sort of the vocab²-bounded pair relation), then rank the
+    # 15 survivors with a trivially small unpartitioned window
+    top15 = pair_counts(enc1).orderBy(F.desc("cnt"), "l", "r").limit(15)
     w = Window.orderBy(F.desc("cnt"), "l", "r")
-    return (
-        ranked.select(
-            F.row_number().over(w).cast("long").alias("merge_rank"),
-            F.col("l").alias("left_sym"),
-            F.col("r").alias("right_sym"),
-            F.col("cnt").alias("pair_count"),
-        )
-        .orderBy("merge_rank")
-        .limit(15)
-    )
+    return top15.select(
+        F.row_number().over(w).cast("long").alias("merge_rank"),
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.col("cnt").alias("pair_count"),
+    ).orderBy("merge_rank")
 
 
 #: 2^52 — md5-derived 52-bit uniform denominator (exact double).

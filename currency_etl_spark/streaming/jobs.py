@@ -91,6 +91,16 @@ def _run_to_memory(
     ``nodata=True`` keeps the trailing no-data batch: required by any
     APPEND-mode windowed aggregation (streaming_late_drop), where the
     final watermark advance IS what emits the last closed windows."""
+    q = _start_query(spark, agg, name, mode, nodata)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _start_query(spark, agg, name, mode, nodata):
+    """Start (without awaiting) a memory-sink AvailableNow query. The
+    streaming engine clones the session conf at start() — so the
+    narrowed shuffle partitions / no-data setting travel with the query
+    and the session conf is restored immediately after start returns."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
@@ -98,18 +108,104 @@ def _run_to_memory(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true" if nodata else "false"
     )
     try:
-        q = (
+        return (
             agg.writeStream.outputMode(mode)
             .format("memory")
             .queryName(name)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
-    return spark.table(name)
+
+
+class _StreamJob:
+    """A pooled streaming job: the stream-side plan builder plus its
+    sink name / output mode / no-data policy. The builder returns the
+    STREAMING DataFrame only — batch post-processing stays in the
+    catalog entry."""
+
+    def __init__(self, sink, mode, nodata, builder):
+        self.sink = sink
+        self.mode = mode
+        self.nodata = nodata
+        self.builder = builder
+
+
+#: Catalog-entry name → _StreamJob, populated by @_stream_job below.
+STREAM_JOBS: dict = {}
+
+
+def _stream_job(name: str, sink: str, mode: str = "complete", nodata: bool = False):
+    def deco(fn):
+        STREAM_JOBS[name] = _StreamJob(sink, mode, nodata, fn)
+        return fn
+
+    return deco
+
+
+#: The single ACTIVE pool: (applicationId, sf_dir) → {entry: query}.
+#: One pool at a time — a new (app, sf_dir) drains and FORGETS the old
+#: one, because pools share memory-sink table names: a stale pool serving
+#: spark.table(sink) after another pool re-ran the same sink would return
+#: the other corpus's rows.
+_POOL_KEY = None
+_POOL: dict = {}
+
+
+def _drain_pool() -> None:
+    for n, q in _POOL.items():
+        if q is not None and not isinstance(q, Exception):
+            try:
+                q.awaitTermination()
+            except Exception:
+                pass
+    _POOL.clear()
+
+
+def reset_stream_pool() -> None:
+    """Await every in-flight pooled query and forget all pooled results,
+    so the next streaming-entry invocation re-runs its stream from
+    scratch. bench.py calls this between timed passes: min-of-2 must
+    measure the stream lifecycle each pass, never a pooled memory table
+    left warm by the previous pass."""
+    global _POOL_KEY
+    _drain_pool()
+    _POOL_KEY = None
+
+
+def pooled_sink(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lifecycle-pooled streaming runner (round-4/5 verdict): the first
+    streaming entry invoked for an (app, sf_dir) STARTS every registered
+    stream job concurrently; each entry then awaits only ITS OWN query.
+    The ~1-2 s/entry of checkpoint-dir + micro-batch-scheduling + state-
+    store fixed cost overlaps across the family instead of being paid
+    serially nine times — the multiplexed one-source/many-sinks topology
+    a production deployment runs. Per-entry semantics are unchanged
+    (same builder, same sink, same conf; results are exact-arithmetic
+    deterministic, so concurrency cannot reorder them). A job whose
+    START fails (e.g. a fixture dir without the enrich dimension) stores
+    its exception and raises it only when its own entry is invoked."""
+    global _POOL_KEY
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _POOL_KEY != key:
+        _drain_pool()
+        _POOL_KEY = key
+        for jname, job in STREAM_JOBS.items():
+            try:
+                _POOL[jname] = _start_query(
+                    spark, job.builder(spark, sf_dir), job.sink, job.mode, job.nodata
+                )
+            except Exception as ex:  # noqa: BLE001 — deferred to its own entry
+                _POOL[jname] = ex
+    q = _POOL[name]
+    if isinstance(q, Exception):
+        raise q
+    if q is not None:
+        q.awaitTermination()
+        _POOL[name] = None
+    return spark.table(STREAM_JOBS[name].sink)
 
 
 @register(
@@ -131,18 +227,19 @@ def _run_to_memory(
     ),
 )
 def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _events_stream(spark, sf_dir)
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
-        )
-    )
     return (
-        _run_to_memory(spark, agg, "streaming_hourly_out")
+        pooled_sink(spark, sf_dir, "streaming_hourly")
         .select(F.col("win.start").alias("hour_bucket"), "event_type", "n_events", "total_value")
         .orderBy("hour_bucket", "event_type")
+    )
+
+
+@_stream_job("streaming_hourly", "streaming_hourly_out")
+def _hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    return stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
 
 
@@ -172,18 +269,21 @@ def streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _events_stream(spark, sf_dir)
-    agg = (
-        stream.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
-        )
-    )
     return (
-        _run_to_memory(spark, agg, "streaming_sliding_out")
+        pooled_sink(spark, sf_dir, "streaming_sliding")
         .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
         .orderBy("win_start", "event_type")
+    )
+
+
+@_stream_job("streaming_sliding", "streaming_sliding_out")
+def _sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    return stream.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
 
 
@@ -220,16 +320,20 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        pooled_sink(spark, sf_dir, "streaming_sessions")
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@_stream_job("streaming_sessions", "streaming_sessions_out")
+def _sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _events_stream(spark, sf_dir)
-    agg = (
+    return (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(F.count("*").alias("n_events"))
-    )
-    return (
-        _run_to_memory(spark, agg, "streaming_sessions_out")
-        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -255,17 +359,21 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = _events_stream(spark, sf_dir)
-    deduped = (
-        stream.withWatermark("ts", "1 hour")
-        .select("ts", "user_id", "event_type")
-        .dropDuplicates(["user_id", "event_type"])
-    )
-    sink = _run_to_memory(spark, deduped, "streaming_dedup_out", mode="append")
+    sink = pooled_sink(spark, sf_dir, "streaming_dedup")
     return (
         sink.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("event_type")
+    )
+
+
+@_stream_job("streaming_dedup", "streaming_dedup_out", mode="append")
+def _dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _events_stream(spark, sf_dir)
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .select("ts", "user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
     )
 
 
@@ -331,11 +439,13 @@ def interval_join_pairs(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
     ),
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = interval_join_pairs(
+    return pooled_sink(spark, sf_dir, "streaming_interval_join")
+
+
+@_stream_job("streaming_interval_join", "streaming_interval_join_out", mode="append")
+def _interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_join_pairs(
         _events_stream(spark, sf_dir), _events_stream(spark, sf_dir)
-    )
-    return _run_to_memory(
-        spark, pairs, "streaming_interval_join_out", mode="append"
     )
 
 
@@ -405,17 +515,7 @@ def _running_totals_fn(key, pdf_iter, state):
     ),
 )
 def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    stream = quantize_event_values(_events_stream(spark, sf_dir))
-    updates = stream.groupBy("user_id").applyInPandasWithState(
-        _running_totals_fn,
-        outputStructType=RUNNING_TOTALS_OUT_SCHEMA,
-        stateStructType=RUNNING_TOTALS_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    sink = _run_to_memory(spark, updates, "streaming_running_totals_out", mode="update")
+    sink = pooled_sink(spark, sf_dir, "streaming_running_totals")
     return (
         sink.groupBy("user_id")
         .agg(
@@ -428,6 +528,20 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_q").cast("double") / RUNNING_TOTALS_SCALE).alias("total_value"),
         )
         .orderBy("user_id")
+    )
+
+
+@_stream_job("streaming_running_totals", "streaming_running_totals_out", mode="update")
+def _running_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = quantize_event_values(_events_stream(spark, sf_dir))
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_TOTALS_OUT_SCHEMA,
+        stateStructType=RUNNING_TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
@@ -488,22 +602,8 @@ def _scd2_fn(key, pdf_iter, state):
 )
 def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = _events_stream(spark, sf_dir).select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        "event_type",
-    )
-    changes = stream.groupBy("user_id").applyInPandasWithState(
-        _scd2_fn,
-        outputStructType="user_id long, event_type string, valid_from_us long, version long",
-        stateStructType="cur_type string, cur_from long, version long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    sink = _run_to_memory(spark, changes, "streaming_scd2_out", mode="update")
+    sink = pooled_sink(spark, sf_dir, "streaming_scd2")
     # close the intervals: version order IS (ts, event_id) order by
     # construction, so lead over version reproduces the batch history
     w = W.partitionBy("user_id").orderBy("version")
@@ -523,6 +623,25 @@ def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("valid_from").over(w).isNull().alias("is_current"),
         )
         .orderBy("user_id", "version")
+    )
+
+
+@_stream_job("streaming_scd2", "streaming_scd2_out", mode="update")
+def _scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _scd2_fn,
+        outputStructType="user_id long, event_type string, valid_from_us long, version long",
+        stateStructType="cur_type string, cur_from long, version long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
@@ -560,6 +679,15 @@ _CATALOG["streaming_scd2"].oracle = _CATALOG["events_scd2_history"].oracle
     ),
 )
 def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        pooled_sink(spark, sf_dir, "streaming_enrich")
+        .select("segment", "event_type", "n_events", "total_value")
+        .orderBy("segment", "event_type")
+    )
+
+
+@_stream_job("streaming_enrich", "streaming_enrich_out")
+def _enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from currency_etl_spark.sources import table
 
     stream = _events_stream(spark, sf_dir)
@@ -567,14 +695,9 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     enriched = stream.join(F.broadcast(dim), "user_id")
-    agg = enriched.groupBy("segment", "event_type").agg(
+    return enriched.groupBy("segment", "event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
-    )
-    return (
-        _run_to_memory(spark, agg, "streaming_enrich_out")
-        .select("segment", "event_type", "n_events", "total_value")
-        .orderBy("segment", "event_type")
     )
 
 
@@ -696,6 +819,16 @@ def _staged_late_dir(spark: SparkSession, sf_dir: str) -> str:
     ),
 )
 def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = pooled_sink(spark, sf_dir, "streaming_late_drop")
+    return sink.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+    ).orderBy("window_start", "event_type")
+
+
+@_stream_job("streaming_late_drop", "streaming_late_drop_out", mode="append", nodata=True)
+def _late_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _staged_late_dir(spark, sf_dir)
     st = (
         spark.readStream.schema("event_id bigint, ts timestamp_ntz, event_type string")
@@ -703,16 +836,8 @@ def streaming_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
         .select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
     )
-    agg = (
+    return (
         st.withWatermark("ts", LATE_DELAY)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    sink = _run_to_memory(
-        spark, agg, "streaming_late_drop_out", mode="append", nodata=True
-    )
-    return sink.select(
-        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-    ).orderBy("window_start", "event_type")

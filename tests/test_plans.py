@@ -417,10 +417,16 @@ def test_ntile_entries_have_no_unpartitioned_fact_window(spark, sf_dir):
     from currency_etl_spark.queries.extras import (
         customer_rfm,
         customers_rfm_segments,
+        customers_segment_migration,
         order_value_deciles,
     )
 
-    for fn in (order_value_deciles, customer_rfm, customers_rfm_segments):
+    for fn in (
+        order_value_deciles,
+        customer_rfm,
+        customers_rfm_segments,
+        customers_segment_migration,
+    ):
         p = plan_of(fn(spark, sf_dir))
         # ntile() itself is gone — replaced by the closed-form bucket
         assert "ntile(" not in p, fn.__name__

@@ -255,10 +255,20 @@ HEADLINERS = {
     ),
     "customers_segment_migration": (
         "Segment migration matrix. Check: each half is one partial-agg "
-        "pass over orders; the data-derived midpoint enters as a 1-row "
-        "broadcast; ntile runs on the customers-sized aggregate; the "
-        "halves align via FULL OUTER SortMergeJoin on custkey (correctly "
-        "NOT broadcastable)."
+        "pass over orders into a checkpointed customers-sized base; the "
+        "data-derived midpoint enters as a 1-row broadcast; the quartile "
+        "is distributed_ntile — every per-row row_number Window "
+        "partitions on __pid (the only unpartitioned windows order the "
+        "32-row offset relation BY __pid); the halves align via FULL "
+        "OUTER SortMergeJoin on custkey (correctly NOT broadcastable)."
+    ),
+    "order_value_deciles": (
+        "Distributed ntile/lag/lead. Check: the per-row "
+        "row_number/lag/lead Window partitions on __pid (range split of "
+        "the 1e2-quantized price); the only unpartitioned window is the "
+        "32-row boundary/offset relation ordered BY __pid; ntile() is "
+        "absent (closed-form bucket from the global rank); the boundary "
+        "relation enters via BroadcastHashJoin."
     ),
     "docs_shingle_novelty": (
         "Shingle novelty. Check: the only joins key on the shingle "
