@@ -1,0 +1,62 @@
+"""_exact_percentiles_distributed must be BIT-IDENTICAL to Spark's builtin
+percentile() — it exists purely so the exact interpolated boundaries can be
+computed without the builtin's single-node value-map merge (the 100 TB
+bottleneck lineitem_equidepth_histogram dropped in round 6). Bit-identity is
+the whole contract: the histogram entry compares rows against the boundary
+doubles, so an ulp of drift could flip a row's bucket and break the DuckDB
+oracle hash."""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import functions as F
+
+from currency_etl_spark.queries.extras import (
+    EQUIDEPTH_BUCKETS,
+    _exact_percentiles_distributed,
+)
+from currency_etl_spark.sources import table
+
+
+def _bits(xs):
+    return [struct.pack("<d", float(x)) for x in xs]
+
+
+def _builtin(df, col, qs):
+    arr = F.array(*[F.lit(q) for q in qs])
+    return df.agg(F.percentile(col, arr)).collect()[0][0]
+
+
+def test_matches_builtin_on_lineitem(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("price")
+    )
+    qs = [i / EQUIDEPTH_BUCKETS for i in range(1, EQUIDEPTH_BUCKETS)]
+    mine = _exact_percentiles_distributed(li, "price", qs)
+    want = _builtin(li, "price", qs)
+    assert _bits(mine) == _bits(want)
+
+
+def test_matches_builtin_small_and_tied(spark):
+    # n=1 (every position collapses to the single row), heavy ties (local
+    # rank among equal keys must not change the selected value), and a
+    # 2-decimal grid where interpolation lands exactly between cents
+    cases = [
+        [7.25],
+        [1.00, 1.00, 1.00, 1.00],
+        [0.01, 0.02, 0.02, 0.02, 99.99, 100.00],
+        [float(x) / 4 for x in range(17)],
+    ]
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "price double").repartition(4)
+        mine = _exact_percentiles_distributed(df, "price", qs)
+        want = _builtin(df, "price", qs)
+        assert _bits(mine) == _bits(want), vals
+
+
+def test_empty_input_yields_nans(spark):
+    df = spark.createDataFrame([], "price double")
+    out = _exact_percentiles_distributed(df, "price", [0.5, 0.9])
+    assert len(out) == 2 and all(x != x for x in out)
