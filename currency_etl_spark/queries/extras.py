@@ -2541,7 +2541,15 @@ def _exact_percentiles_distributed(
     rows at any data size. Interpolation mirrors Spark's
     Percentile.getPercentile formula ``(hi-pos)*v_lo + (pos-lo)*v_hi``
     (weighted two-point form) so the returned doubles are bit-identical
-    to the builtin's."""
+    to the builtin's.
+
+    Split balance follows the key's value distribution (same caveat as
+    distributed_global_rank): a probed split that the histogram shows
+    holding a disproportionate row count is re-probed in a real
+    deployment by re-splitting ITS key subrange — the histogram pass
+    already gives the driver exactly the per-split counts needed to
+    decide, so refinement is one more round of the same two jobs, never
+    a full sort."""
     import math
 
     from pyspark.sql import Window as W

@@ -437,3 +437,22 @@ def test_ntile_entries_have_no_unpartitioned_fact_window(spark, sf_dir):
             unpartitioned = " ASC" in head or " DESC" in head
             if unpartitioned:
                 assert "__pid" in head, (fn.__name__, spec)
+
+
+def test_equidepth_histogram_distributed_boundaries(spark, sf_dir):
+    """lineitem_equidepth_histogram's round-6 rewrite: boundary
+    percentiles come from split-histogram rank probes, never the builtin
+    percentile() whose TypedImperativeAggregate merges every partition's
+    value map on one node (ObjectHashAggregate in the plan). The returned
+    plan is the final bucketing pass — it must read ONLY l_extendedprice
+    and aggregate with codegen-friendly HashAggregate against literal
+    boundaries."""
+    from currency_etl_spark.queries.extras import lineitem_equidepth_histogram
+
+    p = plan_of(lineitem_equidepth_histogram(spark, sf_dir))
+    assert "ObjectHashAggregate" not in p  # builtin percentile is gone
+    assert "percentile" not in p
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_quantity" not in read_schema
+    assert "HashAggregate" in p
