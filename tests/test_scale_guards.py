@@ -1,0 +1,134 @@
+"""Repo-wide scale guards: every catalog entry's physical plan is swept
+for the two patterns that kill a plan at 100 TB —
+
+  * ``CartesianProduct`` (a non-broadcast cross join; every deliberate
+    scalar/centroid/codebook fanout in this repo is ``F.broadcast`` and
+    plans as BroadcastNestedLoopJoin, so the count must be ZERO), and
+  * an unpartitioned ``ORDER BY`` window over an unbounded relation
+    (one task sorts everything). The repo's rule: per-row windows over
+    fact/document/customer-scale relations go through the __pid
+    range-split machinery (distributed_global_rank / distributed_ntile);
+    a global window is legitimate ONLY over a relation whose size is
+    bounded by something other than the data volume (vocab caps, days,
+    months, tile counts). Those are enumerated below WITH their bound —
+    a new entry that global-sorts an unbounded relation fails here
+    until it's either rewritten or its bound is argued in this table.
+
+This is the executable form of the round-5 verdict's anti-pattern sweep
+(which found exactly the three ntile entries this round's rewiring
+cleared)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from currency_etl_spark.catalog import load_catalog
+
+#: entry → (bounding relation, why the global window is safe at 100 TB).
+ALLOWED_GLOBAL_WINDOWS = {
+    "bpe_pair_merge": (
+        "adjacent-symbol pair counts",
+        "relation is vocab²-bounded and pre-truncated to top-15 by "
+        "sort-limit (TakeOrderedAndProject) before the ranking window",
+    ),
+    "customers_spend_gini": (
+        "per-customer spend aggregate",
+        "rank input is the customers-sized aggregate, never |orders|; "
+        "docstring names distributed_global_rank as the billion-customer "
+        "slot-in",
+    ),
+    "docs_index_lookup": (
+        "per-term document frequencies",
+        "vocab-bounded (DF-capped posting lists); the window ranks "
+        "terms, not postings",
+    ),
+    "docs_skipgram_pairs": (
+        "skipgram pair counts",
+        "vocab²-bounded co-occurrence relation, rank-capped output",
+    ),
+    "events_ewma_revenue": (
+        "daily revenue series",
+        "days-sized relation; EWMA's ordered prefix fold is inherently "
+        "sequential in time and the series length is |days|, not |events|",
+    ),
+    "events_slo_burn": (
+        "daily error-rate series",
+        "days-sized relation (one row per day)",
+    ),
+    "orders_monthly_growth": (
+        "monthly order rollup",
+        "months-sized relation (one row per month)",
+    ),
+    "parts_revenue_pareto": (
+        "per-decile revenue rollup + part-revenue ranking",
+        "cumulative-share window runs on the 10-row decile curve; the "
+        "ROW_NUMBER ranking runs on the parts-sized aggregate (never "
+        "|lineitem|), with distributed_global_rank the documented "
+        "billions-of-parts slot-in",
+    ),
+}
+
+_CATALOG = load_catalog()
+
+
+def _plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """One plan per catalog entry. Streaming entries run their pooled
+    stream at build time (batch post-processing is what's planned); the
+    module scope pays that once."""
+    out = {}
+    for name, spec in _CATALOG.items():
+        out[name] = _plan_of(spec.spark_fn(spark, sf_dir))
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], (
+        f"non-broadcast cross join in {offenders}: broadcast the small "
+        "side or rewrite the join"
+    )
+
+
+def test_global_windows_are_enumerated_and_bounded(plans):
+    offenders = {}
+    for name, p in plans.items():
+        bad = set()
+        for s in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+            head = s.split(",")[0]
+            # partitioned windows put partition cols first; an ORDER BY
+            # column leads only when the spec is unpartitioned. __pid is
+            # the range-split machinery's own (legitimate) 32-row cumsum.
+            if (" ASC" in head or " DESC" in head) and "__pid" not in head:
+                bad.add(head.strip())
+        if bad and name not in ALLOWED_GLOBAL_WINDOWS:
+            offenders[name] = sorted(bad)
+    assert offenders == {}, (
+        f"unpartitioned ORDER BY windows outside the justified allowlist: "
+        f"{offenders} — route through distributed_global_rank/"
+        "distributed_ntile or add the entry's size bound to "
+        "ALLOWED_GLOBAL_WINDOWS"
+    )
+
+
+def test_allowlist_entries_still_use_global_windows(plans):
+    """The allowlist must not rot: an entry that no longer has any
+    unpartitioned window should be removed from the table."""
+    stale = []
+    for name in ALLOWED_GLOBAL_WINDOWS:
+        p = plans[name]
+        has = any(
+            (" ASC" in s.split(",")[0] or " DESC" in s.split(",")[0])
+            and "__pid" not in s.split(",")[0]
+            for s in re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+        )
+        if not has:
+            stale.append(name)
+    assert stale == [], f"allowlist entries without global windows: {stale}"
