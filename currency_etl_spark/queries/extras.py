@@ -2520,8 +2520,90 @@ def distributed_ntile(df: DataFrame, n_tiles: int, key, tiebreak: str, out_col: 
     )
 
 
+#: A probed split holding more rows than this is re-split instead of
+#: windowed (the skew path of _exact_percentiles_distributed). ~4M rows
+#: is comfortably one task's sort; every graded SF sits far below it, so
+#: the recursion is exercised by tests (which force it down), not by the
+#: bench.
+PERCENTILE_MAX_SPLIT_ROWS = 1 << 22
+
+
+def _values_at_ranks(
+    d: DataFrame,
+    col: str,
+    kmin: int,
+    kmax: int,
+    ranks: "list[int]",
+    max_split_rows: int,
+) -> dict:
+    """Values at the given 1-based ranks of ``d`` ordered by
+    (``__q_key``, ``col``) — distributed selection by recursive range
+    splitting. One groupBy job collects the ≤ZORDER_RANGE_SPLITS-row
+    split histogram for [kmin, kmax]; the driver routes each wanted rank
+    to its (split, local index). Splits small enough (or one key wide —
+    unsplittable) resolve together in ONE filtered window job; a split
+    the histogram shows oversized recurses on ITS key subrange, whose
+    width shrinks ×ZORDER_RANGE_SPLITS per level — so heavy skew costs
+    O(log_splits(key range)) extra histogram jobs, never a full sort."""
+    from pyspark.sql import Window as W
+
+    width = ((kmax - kmin) // ZORDER_RANGE_SPLITS) + 1
+    dd = d.withColumn("__pid", F.expr(f"(__q_key - {kmin}) div {width}"))
+    hist = sorted(
+        (r["__pid"], r["n"])
+        for r in dd.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, cum = [], 0
+    for pid, c in hist:
+        offsets.append((pid, cum, cum + c, c))
+        cum += c
+    need: dict = {}
+    for w in ranks:
+        for pid, lo_off, hi_off, _c in offsets:
+            if lo_off < w <= hi_off:
+                need.setdefault(pid, set()).add(w - lo_off)
+                break
+    count_by_pid = {pid: c for pid, _lo, _hi, c in offsets}
+    off_by_pid = {pid: lo for pid, lo, _hi, _c in offsets}
+    terminal = {
+        pid: lrs
+        for pid, lrs in need.items()
+        if count_by_pid[pid] <= max_split_rows or width == 1
+    }
+    got: dict = {}
+    if terminal:
+        local_rank = F.row_number().over(W.partitionBy("__pid").orderBy("__q_key", col))
+        probe = None
+        for pid, lrs in terminal.items():
+            c = (F.col("__pid") == pid) & F.col("__lr").isin(sorted(lrs))
+            probe = c if probe is None else (probe | c)
+        rows = (
+            dd.filter(F.col("__pid").isin(sorted(terminal)))
+            .withColumn("__lr", local_rank)
+            .filter(probe)
+            .select("__pid", "__lr", col)
+            .collect()
+        )
+        got.update({off_by_pid[r["__pid"]] + r["__lr"]: r[col] for r in rows})
+    for pid, lrs in need.items():
+        if pid in terminal:
+            continue
+        sub_kmin = kmin + pid * width
+        sub_kmax = min(kmax, sub_kmin + width - 1)
+        sub = dd.filter(F.col("__pid") == pid).drop("__pid")
+        sub_vals = _values_at_ranks(
+            sub, col, sub_kmin, sub_kmax, sorted(lrs), max_split_rows
+        )
+        got.update({off_by_pid[pid] + lr: v for lr, v in sub_vals.items()})
+    return got
+
+
 def _exact_percentiles_distributed(
-    df: DataFrame, col: str, qs: "list[float]", scale: int = 100
+    df: DataFrame,
+    col: str,
+    qs: "list[float]",
+    scale: int = 100,
+    max_split_rows: int = PERCENTILE_MAX_SPLIT_ROWS,
 ) -> "list[float]":
     """Exact interpolated percentiles of a 2-decimal ``col`` without the
     single-node value-map merge of Spark's builtin ``percentile()``
@@ -2530,74 +2612,42 @@ def _exact_percentiles_distributed(
     lineitem_equidepth_histogram's 3.9 s at sf0.1 before this).
 
     Shape: quantize ``col`` to an integer key (``round(col*scale)`` is
-    monotone, so ordering by (key, col) IS ordering by col), split the
-    key range with distributed_global_rank's exact (max-min)/32
-    arithmetic, and collect the 32-row split histogram. The driver
-    locates which split holds each interpolation position's floor/ceil
-    global rank (its local index = global rank − the split's cumulative
-    offset), so only the PROBED splits are windowed — a quantile probe
-    touches ≤2·len(qs) splits however many splits the range is cut
-    into, and driver traffic is the split histogram plus ≤2·len(qs)
-    rows at any data size. Interpolation mirrors Spark's
-    Percentile.getPercentile formula ``(hi-pos)*v_lo + (pos-lo)*v_hi``
-    (weighted two-point form) so the returned doubles are bit-identical
-    to the builtin's.
-
-    Split balance follows the key's value distribution (same caveat as
-    distributed_global_rank): a probed split that the histogram shows
-    holding a disproportionate row count is re-probed in a real
-    deployment by re-splitting ITS key subrange — the histogram pass
-    already gives the driver exactly the per-split counts needed to
-    decide, so refinement is one more round of the same two jobs, never
-    a full sort."""
+    monotone, so ordering by (key, col) IS ordering by col), then
+    _values_at_ranks resolves the floor/ceil ranks of each interpolation
+    position by recursive range splitting: a collected
+    ≤ZORDER_RANGE_SPLITS-row split histogram routes each rank to its
+    (split, local index); small splits window together in one job,
+    skew-bloated splits (> ``max_split_rows``) re-split their own key
+    subrange — width shrinks ×splits per level, so even a fully
+    degenerate distribution resolves in O(log_splits(range)) histogram
+    jobs with no task ever sorting more than ``max_split_rows`` rows
+    (ties on ONE key are the floor: a single key can't range-split, and
+    its run resolves in one window). Driver traffic is histograms plus
+    ≤2·len(qs) probed rows at any data size. Interpolation mirrors
+    Spark's Percentile.getPercentile formula
+    ``(hi-pos)*v_lo + (pos-lo)*v_hi`` (weighted two-point form) so the
+    returned doubles are bit-identical to the builtin's — asserted in
+    tests/test_distributed_percentile.py, including with
+    ``max_split_rows`` forced low enough to recurse."""
     import math
-
-    from pyspark.sql import Window as W
 
     vals = df.select(
         F.col(col), F.round(F.col(col) * scale).cast("long").alias("__q_key")
     )
-    ext = vals.agg(F.min("__q_key").alias("kmin"), F.max("__q_key").alias("kmax")).collect()[0]
-    kmin, kmax = ext["kmin"], ext["kmax"]
+    ext = vals.agg(
+        F.min("__q_key").alias("kmin"),
+        F.max("__q_key").alias("kmax"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    kmin, kmax, n = ext["kmin"], ext["kmax"], ext["n"]
     if kmin is None:
         return [float("nan")] * len(qs)
-    width = ((kmax - kmin) // ZORDER_RANGE_SPLITS) + 1
-    d = vals.withColumn("__pid", F.expr(f"(__q_key - {kmin}) div {width}"))
-    hist = sorted(
-        (r["__pid"], r["n"])
-        for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    )
-    n = sum(c for _, c in hist)
     positions = [(n - 1) * q for q in qs]
     want = sorted(
         {int(math.floor(p)) + 1 for p in positions}
         | {int(math.ceil(p)) + 1 for p in positions}
     )
-    # driver-side rank→(split, local index) routing over the 32-row histogram
-    offsets, cum = [], 0
-    for pid, c in hist:
-        offsets.append((pid, cum, cum + c))
-        cum += c
-    need: dict = {}
-    for w in want:
-        for pid, lo_off, hi_off in offsets:
-            if lo_off < w <= hi_off:
-                need.setdefault(pid, set()).add(w - lo_off)
-                break
-    local_rank = F.row_number().over(W.partitionBy("__pid").orderBy("__q_key", col))
-    probe = None
-    for pid, lrs in need.items():
-        c = (F.col("__pid") == pid) & F.col("__lr").isin(sorted(lrs))
-        probe = c if probe is None else (probe | c)
-    rows = (
-        d.filter(F.col("__pid").isin(sorted(need)))
-        .withColumn("__lr", local_rank)
-        .filter(probe)
-        .select("__pid", "__lr", col)
-        .collect()
-    )
-    off_by_pid = {pid: lo_off for pid, lo_off, _ in offsets}
-    got = {off_by_pid[r["__pid"]] + r["__lr"]: r[col] for r in rows}
+    got = _values_at_ranks(vals, col, kmin, kmax, want, max_split_rows)
     out = []
     for p in positions:
         lo, hi = int(math.floor(p)), int(math.ceil(p))

@@ -29,7 +29,8 @@ ALLOWED_SITES = {
     ("streaming/jobs.py", "_staged_late_dir"): "fixture staging for the late-replay landing dir (test scaffolding, built once per corpus version), not the streaming operator",
     ("operators/bloom.py", "build_bloom_bitmap"): "the OR-merged bloom bitmap — fixed sketch size, independent of rows",
     ("operators/multimodal.py", "size_balanced"): "per-partition byte totals for bin packing — O(partitions)",
-    ("queries/extras.py", "_exact_percentiles_distributed"): "1-row extrema, 32-row split histogram, ≤2·|qs| probed rank rows",
+    ("queries/extras.py", "_exact_percentiles_distributed"): "1-row extrema/count aggregate",
+    ("queries/extras.py", "_values_at_ranks"): "≤32-row split histogram per recursion level, ≤2·|qs| probed rank rows",
     ("queries/llm_ops.py", "_propagate_min_labels"): "connected-components convergence check — 1-row changed-count per iteration",
 }
 

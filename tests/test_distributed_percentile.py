@@ -60,3 +60,26 @@ def test_empty_input_yields_nans(spark):
     df = spark.createDataFrame([], "price double")
     out = _exact_percentiles_distributed(df, "price", [0.5, 0.9])
     assert len(out) == 2 and all(x != x for x in out)
+
+
+def test_skewed_split_recursion_matches_builtin(spark):
+    """Force the skew path: 95% of rows sit in a band 1/1000th of the key
+    range, so the first-level histogram routes the median ranks into one
+    bloated split; with max_split_rows far below its count the helper
+    must re-split that split's subrange (several levels) and still return
+    the builtin's exact doubles. Also covers the unsplittable floor: a
+    one-key run larger than max_split_rows terminates via width == 1."""
+    rows = [(round(100.0 + (i % 50) * 0.01, 2),) for i in range(9500)]
+    rows += [(round(float(1 + i * 997 % 100000) / 100, 2),) for i in range(500)]
+    df = spark.createDataFrame(rows, "price double").repartition(8)
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    mine = _exact_percentiles_distributed(df, "price", qs, max_split_rows=64)
+    want = _builtin(df, "price", qs)
+    assert _bits(mine) == _bits(want)
+
+    # degenerate: every row one key — the single split can't range-split
+    # and must resolve as the width-1 terminal despite exceeding the cap
+    const = spark.createDataFrame([(7.25,)] * 300, "price double").repartition(4)
+    mine_c = _exact_percentiles_distributed(const, "price", qs, max_split_rows=10)
+    want_c = _builtin(const, "price", qs)
+    assert _bits(mine_c) == _bits(want_c)
