@@ -83,3 +83,40 @@ def test_skewed_split_recursion_matches_builtin(spark):
     mine_c = _exact_percentiles_distributed(const, "price", qs, max_split_rows=10)
     want_c = _builtin(const, "price", qs)
     assert _bits(mine_c) == _bits(want_c)
+
+
+def test_adaptive_global_rank_matches_plain_row_number(spark):
+    """distributed_global_rank(max_split_rows=...) — the skew path — must
+    assign exactly the ranks of ROW_NUMBER() OVER (ORDER BY key, tiebreak)
+    while bounding every segment to the cap (single-key runs excepted)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import (
+        _adaptive_rank_segments,
+        distributed_global_rank,
+    )
+
+    # 90% of keys jammed into [1000, 1049], a 500-row single-key spike at
+    # 1020, and a sparse tail out to 10^9 — level-0 even splits put nearly
+    # everything in one split
+    rows = [(1000 + (i * 7) % 50, i) for i in range(4000)]
+    rows += [(1020, 100000 + i) for i in range(500)]
+    rows += [((i * 997) % 1000000000, 200000 + i) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, tb long").repartition(8)
+
+    got = distributed_global_rank(df, "k", "tb", max_split_rows=256)
+    want = df.withColumn(
+        "rank", F.row_number().over(W.orderBy("k", "tb")).cast("long")
+    )
+    assert sorted(got.select("k", "tb", "rank").collect()) == sorted(
+        want.select("k", "tb", "rank").collect()
+    )
+
+    ext = df.agg(F.min("k"), F.max("k")).collect()[0]
+    segs = _adaptive_rank_segments(df, "k", ext[0], ext[1], 256)
+    # every multi-key segment respects the cap; only the 1020 spike's
+    # single-key segment may exceed it
+    for lo, hi, c in segs:
+        assert c <= 256 or lo == hi, (lo, hi, c)
+    assert sum(c for _, _, c in segs) == df.count()
