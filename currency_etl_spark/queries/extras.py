@@ -2587,7 +2587,14 @@ def _swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
     return out
 
 
-def distributed_ntile(df: DataFrame, n_tiles: int, key, tiebreak: str, out_col: str) -> DataFrame:
+def distributed_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    key,
+    tiebreak: str,
+    out_col: str,
+    max_split_rows: "int | None" = None,
+) -> DataFrame:
     """Exact NTILE(n) OVER (ORDER BY key ASC, tiebreak ASC) without an
     unpartitioned window: distributed_global_rank supplies the global
     row number via value-range splits + parallel per-split windows, and
@@ -2596,9 +2603,10 @@ def distributed_ntile(df: DataFrame, n_tiles: int, key, tiebreak: str, out_col: 
     row larger. DESC orderings negate the key; double keys must be
     quantized to int64 by the caller (exactness rule) so the range-split
     integer arithmetic applies. Adds ``out_col`` (int, 1-based) and
-    preserves every input column."""
+    preserves every input column. ``max_split_rows`` passes through to
+    distributed_global_rank's skew-adaptive segmentation."""
     d = df.withColumn("__ntile_key", key.cast("long"))
-    ranked = distributed_global_rank(d, "__ntile_key", tiebreak)
+    ranked = distributed_global_rank(d, "__ntile_key", tiebreak, max_split_rows)
     n1 = d.agg(F.count(F.lit(1)).cast("long").alias("__nrows"))
     base = f"(__nrows div {n_tiles})"
     rem = f"(__nrows % {n_tiles})"
