@@ -120,3 +120,46 @@ def test_adaptive_global_rank_matches_plain_row_number(spark):
     for lo, hi, c in segs:
         assert c <= 256 or lo == hi, (lo, hi, c)
     assert sum(c for _, _, c in segs) == df.count()
+
+
+def test_adaptive_rank_property_random_keys(spark):
+    """Property: for arbitrary key multisets — negative keys, huge gaps,
+    heavy ties — the adaptive path assigns exactly ROW_NUMBER() OVER
+    (ORDER BY key, tiebreak). Hypothesis drives the key distribution;
+    example count is small because each example runs real Spark jobs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            min_size=1,
+            max_size=60,
+        ),
+        cap=st.integers(min_value=1, max_value=8),
+    )
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(keys, cap):
+        df = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)], "k long, tb long"
+        )
+        got = sorted(
+            distributed_global_rank(df, "k", "tb", max_split_rows=cap)
+            .select("k", "tb", "rank")
+            .collect()
+        )
+        want = sorted(
+            df.withColumn(
+                "rank", F.row_number().over(W.orderBy("k", "tb")).cast("long")
+            )
+            .select("k", "tb", "rank")
+            .collect()
+        )
+        assert got == want
+
+    check()
