@@ -456,3 +456,44 @@ def test_equidepth_histogram_distributed_boundaries(spark, sf_dir):
     assert "l_extendedprice" in read_schema
     assert "l_orderkey" not in read_schema and "l_quantity" not in read_schema
     assert "HashAggregate" in p
+
+
+def test_bloom_prefilter_probe_is_scan_stage_arithmetic(spark, sf_dir):
+    """orders_bloom_prefilter: the Bloom probe must be literal bitmap
+    arithmetic (xxhash64 + getbit on a broadcast array literal) compiled
+    into the plan — never a UDF or a join against a bitmap relation —
+    and the dimension joins broadcast, so the fact table is never
+    shuffled for the join (the entire point: drop fact rows before they
+    pay an exchange)."""
+    from currency_etl_spark.queries.extras import orders_bloom_prefilter
+
+    p = plan_of(orders_bloom_prefilter(spark, sf_dir))
+    assert "xxhash64" in p and "getbit" in p  # probe predicate in-plan
+    assert "BroadcastHashJoin" in p
+    assert not re.findall(r"SortMergeJoin|ShuffledHashJoin", p)
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_knn_graph_bucketed_equi_joins_only(spark, sf_dir):
+    """knn_graph_bucketed: the kNN graph must come from LSH-bucketed
+    EQUI-joins — a nested-loop or shuffle join here means the all-pairs
+    product leaked back in."""
+    from currency_etl_spark.queries.vectors import knn_graph_bucketed
+
+    p = plan_of(knn_graph_bucketed(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert not re.findall(r"SortMergeJoin|ShuffledHashJoin", p)
+
+
+def test_storage_quota_prunes_unused_columns(spark, sf_dir):
+    """multimodal_storage_quota sizes assets from octet_length(text);
+    the scan must read exactly (doc_id, text, lang) — source/n_chars
+    pruned. At 100 TB with real blob columns this pruning is the
+    difference between a metadata pass and dragging every asset byte
+    through the scan."""
+    from currency_etl_spark.queries.multimodal import multimodal_storage_quota
+
+    p = plan_of(multimodal_storage_quota(spark, sf_dir))
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema and "lang" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
