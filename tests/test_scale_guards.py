@@ -132,3 +132,15 @@ def test_allowlist_entries_still_use_global_windows(plans):
         if not has:
             stale.append(name)
     assert stale == [], f"allowlist entries without global windows: {stale}"
+
+
+def test_no_row_at_a_time_python_udfs(plans):
+    """Python may touch data only through Arrow-batched operators
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas...); a
+    BatchEvalPython node is a row-at-a-time UDF — serialize-per-row on
+    the hot path, the documented forbidden form."""
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], (
+        f"row-at-a-time Python UDF in {offenders}: use built-ins or an "
+        "Arrow-batched pandas form"
+    )
