@@ -1,9 +1,11 @@
 """Repo-wide scale guards: every catalog entry's physical plan is swept
-for the two patterns that kill a plan at 100 TB —
+for the patterns that kill a plan at 100 TB —
 
   * ``CartesianProduct`` (a non-broadcast cross join; every deliberate
     scalar/centroid/codebook fanout in this repo is ``F.broadcast`` and
-    plans as BroadcastNestedLoopJoin, so the count must be ZERO), and
+    plans as BroadcastNestedLoopJoin, so the count must be ZERO),
+  * ``BatchEvalPython`` (a row-at-a-time Python UDF on the hot path —
+    Arrow-batched operators are the only allowed Python data path), and
   * an unpartitioned ``ORDER BY`` window over an unbounded relation
     (one task sorts everything). The repo's rule: per-row windows over
     fact/document/customer-scale relations go through the __pid
