@@ -134,3 +134,56 @@ def frame_sample(blobs: DataFrame, frame_bytes: int = 64, every: int = 4) -> Dat
             F.substring(F.col("blob"), F.col("f") * frame_bytes + 1, frame_bytes).alias("frame"),
         )
     )
+
+
+RESIZE_SCHEMA = "doc_id long, out_h int, out_w int, blob binary"
+
+
+def resize_image(blob: bytes, out_w: int, out_h: int) -> bytes:
+    """Real image resize — requires PIL/cv2, not present in this container.
+    Same contract as decode_image: the Spark plumbing (grid_resize's
+    Arrow batching, RESIZE_SCHEMA, size_balanced partitioning) is the
+    deliverable; swap this for `PIL.Image.resize` on a cluster with the
+    libs installed."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _nn_resize(b: bytes, h: int, w: int, out_h: int, out_w: int) -> bytes:
+    """Deterministic nearest-neighbor resize of a raw h×w byte grid —
+    the codec-free stand-in with verifiable output: output pixel (j, i)
+    is input pixel (j*h//out_h, i*w//out_w) (floor sampling, the classic
+    NN kernel). Vectorized: one np.ix_ gather over the reshaped buffer,
+    no per-pixel Python."""
+    arr = np.frombuffer(b[: h * w], dtype=np.uint8).reshape(h, w)
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[np.ix_(rows, cols)].tobytes()
+
+
+def grid_resize(blobs: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Batch resize over (doc_id, blob, h, w) rows via mapInPandas — the
+    'resize' verb of the multimodal family (decode / feature-extract /
+    resize / frame-sample). Arrow moves blobs columnar; each task
+    resizes its batch with vectorized numpy; downstream size budgeting
+    is size_balanced's job, exactly as for decoding. Rows whose blob is
+    shorter than h*w are dropped (a real decoder rejects truncated
+    buffers; deterministic here so tests can pin the behavior)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ok = pdf[
+                pdf["blob"].map(len) >= (pdf["h"] * pdf["w"]).astype("int64")
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ok["doc_id"],
+                    "out_h": out_h,
+                    "out_w": out_w,
+                    "blob": [
+                        _nn_resize(b, int(h), int(w), out_h, out_w)
+                        for b, h, w in zip(ok["blob"], ok["h"], ok["w"])
+                    ],
+                }
+            )
+
+    return blobs.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -107,3 +107,45 @@ def test_storage_quota_greedy_invariants(spark, sf_dir):
         assert row.kept_bytes * QUOTA_DEN <= total * QUOTA_NUM
         if n_kept < len(sizes):
             assert (kept_bytes + sizes[n_kept]) * QUOTA_DEN > total * QUOTA_NUM
+
+
+def test_grid_resize_nearest_neighbor_exact(spark):
+    """grid_resize must reproduce the classic floor-sampling NN kernel
+    exactly: output pixel (j, i) = input pixel (j*h//out_h, i*w//out_w).
+    Verified against a per-pixel pure-Python oracle on asymmetric grids,
+    identity resize must return the original buffer, and truncated blobs
+    (len < h*w) are dropped."""
+    import numpy as np
+
+    from currency_etl_spark.operators.multimodal import grid_resize, resize_image
+
+    grids = {
+        1: (6, 8),   # downsample source
+        2: (3, 4),   # identity target
+        3: (2, 2),   # truncated (blob shorter than h*w)
+    }
+    rows = []
+    for doc_id, (h, w) in grids.items():
+        size = h * w if doc_id != 3 else h * w - 1
+        rows.append(
+            (doc_id, bytes(((doc_id * 37 + k * 11) % 256) for k in range(size)), h, w)
+        )
+    df = spark.createDataFrame(rows, "doc_id long, blob binary, h int, w int")
+    out = {r["doc_id"]: r for r in grid_resize(df, 3, 4).collect()}
+
+    assert set(out) == {1, 2}  # truncated doc 3 dropped
+    for doc_id in (1, 2):
+        h, w = grids[doc_id]
+        src = dict((r[0], r[1]) for r in rows)[doc_id]
+        arr = np.frombuffer(src[: h * w], dtype=np.uint8).reshape(h, w)
+        want = bytes(
+            arr[(j * h) // 3, (i * w) // 4] for j in range(3) for i in range(4)
+        )
+        got = bytes(out[doc_id]["blob"])
+        assert got == want, doc_id
+        assert (out[doc_id]["out_h"], out[doc_id]["out_w"]) == (3, 4)
+    # identity resize of an exact-size grid returns the original bytes
+    assert bytes(out[2]["blob"]) == rows[1][1]
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"x", 1, 1)
