@@ -1,0 +1,50 @@
+"""One-live-checkpoint-per-tag release discipline (round-5 advice,
+generalized in round 6 from supplier_reach_bfs to every eager
+localCheckpoint in the catalog).
+
+Eager ``localCheckpoint`` blocks are never freed by Spark until the
+session ends, so a long session invoking checkpointing entries
+repeatedly (the bench's min-of-2 passes, a notebook user re-running a
+query) accumulates storage memory without bound. These helpers keep at
+most ONE live checkpoint per tag:
+
+* :func:`swap_checkpoint` — release the previous checkpoint under the
+  tag, then materialize the new one. For independent re-builds: the new
+  plan derives from source tables, never from the previous checkpoint.
+* :func:`chain_checkpoint` — materialize FIRST, then release. For
+  iteration chains (connected components' label propagation) where the
+  new plan READS the previous checkpoint's blocks — releasing first
+  would free lineage-truncated data the in-flight materialization still
+  needs.
+
+Contract (same as the BFS/rfm pattern this generalizes): the checkpoint
+handed out stays live until the SAME tag is checkpointed again, so a
+consumer must execute its plan before re-invoking the entry family that
+owns the tag. The driver, bench, and oracle tests all run entries
+serially with immediate execution; concurrent same-tag builders in one
+session race benignly only because they compute identical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: dict = {}
+
+
+def swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
+    prev = _LIVE.get(tag)
+    if prev is not None:
+        prev.unpersist()
+    out = df.localCheckpoint(eager=True)
+    _LIVE[tag] = out
+    return out
+
+
+def chain_checkpoint(tag: str, df: DataFrame) -> DataFrame:
+    out = df.localCheckpoint(eager=True)
+    prev = _LIVE.get(tag)
+    if prev is not None:
+        prev.unpersist()
+    _LIVE[tag] = out
+    return out

@@ -2568,23 +2568,16 @@ def _adaptive_global_rank(
     )
 
 
-#: One live localCheckpoint per tag (see _swap_checkpoint).
-_CKPT_PREV: dict = {}
-
-
 def _swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
     """Eagerly localCheckpoint ``df``, releasing the previous checkpoint
     held under ``tag`` — the one-live-checkpoint-per-entry release
-    pattern from round-5 advice (supplier_reach_bfs). Used where a
-    small relation (customers-sized base, edge lists) feeds several
-    downstream 1-row aggregates that would otherwise each re-execute
-    its whole lineage."""
-    prev = _CKPT_PREV.get(tag)
-    if prev is not None:
-        prev.unpersist()
-    out = df.localCheckpoint(eager=True)
-    _CKPT_PREV[tag] = out
-    return out
+    pattern from round-5 advice (supplier_reach_bfs), shared repo-wide
+    via operators/ckpt. Used where a small relation (customers-sized
+    base, edge lists) feeds several downstream 1-row aggregates that
+    would otherwise each re-execute its whole lineage."""
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    return swap_checkpoint(tag, df)
 
 
 def distributed_ntile(

@@ -107,13 +107,16 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the key each round's join uses
     from pyspark.sql import Window as W
 
-    ed = edges.withColumn(
-        "deg", F.count(F.lit(1)).over(W.partitionBy("src"))
-    ).localCheckpoint(eager=True)
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    ed = swap_checkpoint(
+        "pr_edges",
+        edges.withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src"))),
+    )
     # node list: tiny (|parts| + |suppliers|) but referenced every round —
     # materialize it too, or each iteration re-runs the distinct over edges
-    nodes = (
-        ed.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    nodes = swap_checkpoint(
+        "pr_nodes", ed.select(F.col("src").alias("node")).distinct()
     )
     ranks = nodes.withColumn("rank_q", F.lit(PR_SCALE).cast("long"))
     for _ in range(PR_ITERS):

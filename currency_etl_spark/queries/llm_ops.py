@@ -776,12 +776,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _propagate_min_labels(edges: DataFrame) -> DataFrame:
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    from currency_etl_spark.operators.ckpt import chain_checkpoint, swap_checkpoint
+
+    edges = swap_checkpoint("cc_edges", edges)
+    labels = swap_checkpoint(
+        "cc_labels",
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("cluster_id", F.col("node")),
     )
     # Min-label propagation until fixpoint (diameter-bounded; typically 2-4).
     # One join + union + min-agg per iteration (message passing), not the
@@ -789,18 +791,21 @@ def _propagate_min_labels(edges: DataFrame) -> DataFrame:
     # labels only ever DECREASE, so sum(cluster_id) is strictly decreasing
     # until the fixpoint — a 1-row agg over the just-checkpointed labels
     # replaces a join-based changed-row count (one cheap action, no join).
-    # Each iteration localCheckpoints — without lineage truncation,
-    # iteration k replays all k-1 predecessors and the loop goes quadratic.
+    # Each iteration checkpoints — without lineage truncation, iteration
+    # k replays all k-1 predecessors and the loop goes quadratic.
+    # chain_checkpoint releases iteration k-1's blocks only AFTER k is
+    # materialized (the new plan reads them), so the loop carries one
+    # live labels checkpoint instead of accumulating one per iteration.
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(20):
         msgs = edges.join(labels, edges.dst == labels.node).select(
             edges.src.alias("node"), "cluster_id"
         )
-        labels = (
+        labels = chain_checkpoint(
+            "cc_labels",
             msgs.unionByName(labels.select("node", "cluster_id"))
             .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("cluster_id").alias("cluster_id")),
         )
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -999,16 +1004,17 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-char digest string, and conv() runs once instead of per branch:
     # x = 28-bit permutation input, sx = 60-bit overlap key (the same
     # substrings of md5 the oracle derives; collisions mirror bit-for-bit).
-    sh = (
-        _shingle_docs(spark, sf_dir)
-        .select(
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    sh = swap_checkpoint(
+        "minhash_sh",
+        _shingle_docs(spark, sf_dir).select(
             "doc_id",
             F.conv(F.substring("m", 1, 7), 16, 10).cast("long").alias("x"),
             F.conv(F.substring("m", 1, 15), 16, 10).cast("long").alias("sx"),
-        )
-        .localCheckpoint(eager=True)
+        ),
     )
-    sig = _signatures(sh, with_count=True).localCheckpoint(eager=True)
+    sig = swap_checkpoint("minhash_sig", _signatures(sh, with_count=True))
     pairs = _band_pairs(_bands(sig))  # bounded candidate set
     # exact overlap for candidate pairs only: posting-list pair-gen keyed
     # on the 60-bit digest prefix — an 8-byte shuffle key instead of the

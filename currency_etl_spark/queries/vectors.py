@@ -467,15 +467,16 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers (re-assignment, probe selection, and the final join);
     # Catalyst re-runs the whole scan→assign→mean chain per reference, so
     # materialize it once — localCheckpoint here, persist() on a cluster
-    cents1 = (
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    cents1 = swap_checkpoint(
+        "ivf_cents",
         refined.select(
             F.struct(
                 F.col("cell0").alias("cid"),
                 F.array(*[F.col(f"s{d}").cast("double") / F.col("n") for d in range(dims)]).alias("cm"),
             ).alias("c")
-        )
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-        .localCheckpoint(eager=True)
+        ).agg(F.sort_array(F.collect_list("c")).alias("cents")),
     )
     assigned1 = q.crossJoin(F.broadcast(cents1)).select(
         "vec_id",
