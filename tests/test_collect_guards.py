@@ -82,3 +82,46 @@ def test_allowlist_does_not_rot():
     live = {(rel, fn) for rel, fn, _ in _sites()}
     stale = [k for k in ALLOWED_SITES if k not in live]
     assert stale == [], f"allowlisted sites no longer in source: {stale}"
+
+
+def test_checkpoints_go_through_release_helpers():
+    """Eager localCheckpoint blocks are never freed by Spark until the
+    session ends, so every checkpoint must flow through operators/ckpt's
+    one-live-per-tag helpers (or supplier_reach_bfs's equivalent
+    test-pinned release). A raw .localCheckpoint( anywhere else is an
+    unbounded storage leak across re-invocations."""
+    allowed = {
+        ("operators/ckpt.py", "swap_checkpoint"),
+        ("operators/ckpt.py", "chain_checkpoint"),
+        # BFS keeps its own swap (tests pin extras._BFS_PREV_EDGES)
+        ("queries/extras.py", "supplier_reach_bfs"),
+    }
+    offenders = []
+    for dirpath, _, files in os.walk(PACKAGE):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            rel = os.path.relpath(path, PACKAGE)
+            tree = ast.parse(open(path).read())
+            funcs = [
+                (n.lineno, n.end_lineno, n.name)
+                for n in ast.walk(tree)
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+            ]
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "localCheckpoint"
+                ):
+                    fn = next(
+                        (name for s, e, name in funcs if s <= node.lineno <= e),
+                        "<module>",
+                    )
+                    if (rel, fn) not in allowed:
+                        offenders.append(f"{rel}:{node.lineno} in {fn}()")
+    assert offenders == [], (
+        f"raw localCheckpoint outside the release helpers: {offenders} — "
+        "use operators.ckpt.swap_checkpoint/chain_checkpoint"
+    )
