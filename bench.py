@@ -149,11 +149,17 @@ def main() -> None:
         "sf": sf,
         "passes": passes,
     }
-    try:
-        with open(os.path.join(here, f"bench_queries_{tag}.json"), "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass  # read-only checkout: stdout line below still carries it
+    # Subset runs (CLI names) and off-SF runs must NOT clobber the
+    # full-catalog artifact — a 2-query spot-check or an sf0.001 CLI
+    # contract check would silently replace the 182-entry sf0.1 dump the
+    # next verdict diffs against. Only a full-catalog run at the driver's
+    # grading SF (0.1) writes the file; stdout always carries the data.
+    if not only and abs(sf - 0.1) < 1e-9:
+        try:
+            with open(os.path.join(here, f"bench_queries_{tag}.json"), "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: stdout line below still carries it
     # Detailed per-query line first; a SHORT summary line LAST so the
     # driver's tail capture always parses a complete JSON object (round 1's
     # single ~4 KB line was truncated mid-object → "parsed": null).

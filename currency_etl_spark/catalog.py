@@ -136,7 +136,13 @@ PRIORITY_ORDER = [
     #     r5, events_sessionize standing r2),
     #   orders_weekday_seasonality (~ in-window orders_forecast_backtest,
     #     same seasonal decomposition).
-    # MUST LEAD round 7 after those five: the 43 r1/r2-stale standing
+    # PLUS the one entry added after the freeze (debt-neutral: r7's queue
+    # was 48 of 50 slots — 5 deferred + 43 stale — leaving room):
+    #   multimodal_phash_dedup (perceptual near-dup; fills the genuinely
+    #     uncovered "byte-different, content-identical" multimodal dedup
+    #     rung per the freeze's family-gap exception; local oracle green
+    #     at sf0.001 + sf0.01).
+    # MUST LEAD round 7 after those six: the 43 r1/r2-stale standing
     # greens, oldest first — docs_deterministic_sample (r1), then the r2
     # block: q1_pricing_summary, q3_shipping_priority, q4_order_priority,
     # q5_local_supplier_volume, top_customers, topk_orders_per_segment,

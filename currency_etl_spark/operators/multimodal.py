@@ -136,6 +136,64 @@ def frame_sample(blobs: DataFrame, frame_bytes: int = 64, every: int = 4) -> Dat
     )
 
 
+PHASH_SCHEMA = "doc_id long, phash long, checksum string"
+
+
+def phash_image(blob: bytes) -> int:
+    """Real perceptual hash (DCT over decoded, downscaled pixels — the
+    pHash/dHash family) — requires an image codec, not present in this
+    container. Same contract as decode_image/resize_image: the Spark
+    plumbing around this stub (perceptual_hash's Arrow batching,
+    PHASH_SCHEMA, the phash groupBy downstream) is the deliverable; swap
+    this for a real pHash on a cluster with the libs installed."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _gradient_hash(b: bytes) -> int:
+    """Deterministic codec-free pHash stand-in with verifiable output:
+    cyclic gradient hash over the 16-bin byte histogram — bit i is set
+    iff count[i] > count[(i+1) % 16]. Exactly dHash's construction
+    ('is this cell brighter than its neighbor?') applied to the byte
+    distribution instead of downscaled pixels, so byte-identical copies
+    AND lightly perturbed payloads with the same distribution shape
+    collide, while different content spreads across the 16-bit space.
+    Integer count comparisons only — no float thresholds to drift."""
+    arr = np.frombuffer(b, dtype=np.uint8)
+    counts = np.bincount(arr % N_HIST_BINS, minlength=N_HIST_BINS).astype(np.int64)
+    bits = (counts > np.roll(counts, -1)).astype(np.int64)
+    return int((bits << np.arange(N_HIST_BINS, dtype=np.int64)).sum())
+
+
+def perceptual_hash(blobs: DataFrame) -> DataFrame:
+    """(doc_id, blob) → (doc_id, phash, checksum) in ONE Arrow pass —
+    the fingerprint verb of the multimodal family. Both the perceptual
+    fingerprint and the exact checksum come out of the same mapInPandas
+    scan so near-dup detection never reads the blob column twice;
+    downstream is a narrow 24-byte-per-asset relation whatever the asset
+    size. Real codec path is phash_image (stubbed); _gradient_hash is
+    the deterministic stand-in, mirrored exactly by the DuckDB oracle of
+    multimodal_phash_dedup."""
+    import hashlib
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.Series(
+                        [_gradient_hash(b) for b in pdf["blob"]],
+                        dtype="int64",
+                        index=pdf.index,
+                    ),
+                    "checksum": pdf["blob"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return blobs.mapInPandas(_ph, schema=PHASH_SCHEMA)
+
+
 RESIZE_SCHEMA = "doc_id long, out_h int, out_w int, blob binary"
 
 

@@ -200,6 +200,101 @@ def multimodal_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+        -- DuckDB twin of the codec-free pHash stand-in (cyclic gradient
+        -- hash over the 16-bin byte histogram; operators/multimodal.py
+        -- _gradient_hash): integer count comparisons + bit shifts only,
+        -- so both engines agree exactly. Corpus text is pure ASCII
+        -- (octet_length == length at every SF), so ord() over character
+        -- positions IS the byte value — same device as the
+        -- multimodal_features oracle.
+        WITH d AS (
+            SELECT doc_id, text, md5(text) AS checksum,
+                   octet_length(encode(text)) AS total
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, text, unnest(generate_series(1, total)) AS i
+            FROM d
+        ),
+        counts AS (
+            SELECT doc_id, ord(substring(text, i, 1)) % 16 AS bin, count(*) AS c
+            FROM pos GROUP BY doc_id, ord(substring(text, i, 1)) % 16
+        ),
+        grid AS (
+            SELECT d.doc_id, g.bin
+            FROM d, (SELECT unnest(generate_series(0, 15)) AS bin) g
+        ),
+        dense AS (
+            SELECT g.doc_id, g.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM grid g
+            LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+        ),
+        ph AS (
+            SELECT a.doc_id,
+                   CAST(coalesce(sum(CASE WHEN a.c > b.c
+                        THEN (CAST(1 AS BIGINT) << a.bin) END), 0) AS BIGINT)
+                       AS phash
+            FROM dense a
+            JOIN dense b ON b.doc_id = a.doc_id AND b.bin = (a.bin + 1) % 16
+            GROUP BY a.doc_id
+        )
+        SELECT ph.phash,
+               count(*) AS n_assets,
+               count(DISTINCT d.checksum) AS n_payloads,
+               min(ph.doc_id) AS canonical_doc
+        FROM ph JOIN d ON d.doc_id = ph.doc_id
+        GROUP BY ph.phash
+        ORDER BY ph.phash
+    """,
+    tags=("llm", "multimodal", "dedup", "pandas-udf"),
+    doc=(
+        "Perceptual near-dup detection — the missing third rung of the "
+        "multimodal dedup ladder: checksum dedup (multimodal_dedup_assets) "
+        "catches byte-identical copies only; this entry fingerprints each "
+        "blob with a pHash-family perceptual hash and groups assets whose "
+        "CONTENT is near-identical even when bytes differ (re-encoded, "
+        "metadata-stripped, lightly perturbed copies — the dominant "
+        "duplicate class in scraped image corpora). Real codec path is "
+        "the stubbed DCT pHash (operators/multimodal.py:phash_image); the "
+        "graded stand-in is the cyclic gradient hash over the byte "
+        "histogram, bit-for-bit mirrored by the oracle. Per phash "
+        "cluster: asset count, DISTINCT payload count (n_payloads > 1 = "
+        "true near-dups, invisible to checksum dedup), canonical "
+        "(min-doc_id) survivor. Scale shape: fingerprint + checksum come "
+        "out of ONE Arrow mapInPandas pass over the blob column (no "
+        "second blob scan, no join back — PHASH_SCHEMA carries both), "
+        "then everything downstream is a 24-byte-per-asset groupBy on a "
+        "64-bit key — no all-pairs comparison anywhere, the same "
+        "bucket-don't-compare discipline as dedup_minhash_lsh. Hamming-"
+        "neighbor probing (17 bucket probes per asset, as in "
+        "knn_lsh_multiprobe) is the documented extension for radius-1 "
+        "matches."
+    ),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.operators.multimodal import perceptual_hash
+    from currency_etl_spark.sources import spread
+
+    # spread: under-split local scans would run the Arrow pass on one
+    # core (same rationale as multimodal_features)
+    blobs = spread(
+        attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+    )
+    ph = perceptual_hash(blobs)
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.countDistinct("checksum").alias("n_payloads"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .orderBy("phash")
+    )
+
+
 #: Per-language storage budget for the quota audit, as a rational share
 #: (4/10 = keep the largest assets until 40% of the language's bytes).
 #: Integer cross-multiplication keeps the cut exact in both engines.

@@ -50,3 +50,28 @@ def test_bench_subprocess_contract():
     assert summary["sf"] == 0.001 and summary["n_queries"] == 2
     detailed = json.loads(lines[-2])
     assert set(detailed["queries"]) == {"ref_avg_value", "top_customers"}
+
+
+def test_subset_run_does_not_clobber_full_dump():
+    """A subset or off-SF CLI run must leave bench_queries_r{N}.json
+    untouched — the file is the round's machine-diffable full-catalog
+    sf0.1 artifact, and a 2-query spot-check (or an sf0.001 contract
+    check) overwriting it silently destroys the comparison baseline
+    (this happened: the subprocess-contract test above replaced the
+    182-entry dump with its own 2 queries)."""
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dumps = [f for f in os.listdir(here) if re.match(r"bench_queries_r\d+\.json$", f)]
+    if not dumps:  # fresh checkout before the first full run
+        return
+    newest = max(dumps)
+    with open(os.path.join(here, newest)) as fh:
+        n_before = len(json.load(fh)["queries"])
+    # the subprocess-contract test already ran a real subset invocation
+    # in this same checkout; assert the artifact still holds a full
+    # catalog's worth of queries (subset runs skip the dump write)
+    assert n_before > 2, (
+        f"{newest} holds only {n_before} queries — a subset bench run "
+        "overwrote the full-catalog dump"
+    )

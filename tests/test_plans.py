@@ -497,3 +497,24 @@ def test_storage_quota_prunes_unused_columns(spark, sf_dir):
     read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" in read_schema and "lang" in read_schema
     assert "source" not in read_schema and "n_chars" not in read_schema
+
+
+def test_phash_dedup_single_arrow_pass_pruned_scan(spark, sf_dir):
+    """multimodal_phash_dedup must run exactly ONE Arrow mapInPandas pass
+    over the blob column (fingerprint + checksum from the same scan — a
+    second pass would re-read every asset byte at 100 TB), scan only
+    (doc_id, text), and aggregate with map-side partial combine on the
+    64-bit phash key — never an all-pairs comparison (no nested-loop or
+    cartesian join anywhere)."""
+    from currency_etl_spark.queries.multimodal import multimodal_phash_dedup
+
+    p = plan_of(multimodal_phash_dedup(spark, sf_dir))
+    # one "(n) MapInPandas" detail header == one physical Arrow pass (the
+    # formatted dump also names the node in the tree summary, so a raw
+    # substring count reads 2 for a single node)
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
+    assert "partial_count" in p  # map-side combine before the phash exchange
+    assert "NestedLoop" not in p and "Cartesian" not in p

@@ -287,6 +287,14 @@ HEADLINERS = {
         "type) — no window, no ordering, no self-join; the rule rollup "
         "is a 1-row stack()."
     ),
+    "multimodal_phash_dedup": (
+        "Perceptual near-dup. Check: exactly ONE MapInPandas node (the "
+        "fingerprint and checksum come out of the same Arrow pass — a "
+        "second pass would re-read every asset byte); ReadSchema is "
+        "(doc_id, text) only; partial_count/partial_min fold map-side "
+        "before the phash-key exchange; no nested-loop or cartesian "
+        "join anywhere (bucket-don't-compare, as in dedup_minhash_lsh)."
+    ),
     "knn_graph_bucketed": (
         "kNN-graph build. Check: the self-join keys on the 6-bit LSH "
         "bucket (candidates O(Σ bucket²), never all-pairs); per-vector "
