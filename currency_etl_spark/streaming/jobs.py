@@ -64,43 +64,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(spark.readStream.schema(schema).parquet(stream_dir))
 
 
-def _run_to_memory(
-    spark: SparkSession,
-    agg: DataFrame,
-    name: str,
-    mode: str = "complete",
-    nodata: bool = False,
-) -> DataFrame:
-    """Run a streaming query to completion (Trigger.AvailableNow) into a
-    memory sink and return the sink table. `complete` for windowed
-    aggregations, `append` for watermark-evicted operators (dedup).
-    Shuffle partitions are narrowed to STREAM_SHUFFLE_PARTITIONS for the
-    stream's lifetime (state-store count = shuffle partitions) and
-    restored after.
-
-    No-data micro-batches are disabled for the stream's lifetime: with
-    Trigger.AvailableNow every input row arrives in the data batches, so
-    the trailing no-data batch only advances the watermark to evict state
-    that the query teardown discards anyway — measured ~0.3-0.5 s of pure
-    fixed cost per entry, with bit-identical emitted results (complete
-    mode ignores watermark eviction; append dedup and the inner interval
-    join emit on arrival/match, not on watermark). A CONTINUOUS deployment
-    of these jobs should leave the default on — there the no-data batch is
-    what flushes final windows during input lulls.
-
-    ``nodata=True`` keeps the trailing no-data batch: required by any
-    APPEND-mode windowed aggregation (streaming_late_drop), where the
-    final watermark advance IS what emits the last closed windows."""
-    q = _start_query(spark, agg, name, mode, nodata)
-    q.awaitTermination()
-    return spark.table(name)
-
-
 def _start_query(spark, agg, name, mode, nodata):
-    """Start (without awaiting) a memory-sink AvailableNow query. The
+    """Start (without awaiting) a memory-sink AvailableNow query — every
+    pooled entry funnels through here (pooled_sink is the ONLY runner;
+    an unpooled path would bypass the pool's key/reset discipline). The
     streaming engine clones the session conf at start() — so the
     narrowed shuffle partitions / no-data setting travel with the query
-    and the session conf is restored immediately after start returns."""
+    and the session conf is restored immediately after start returns.
+    `complete` mode for windowed aggregations, `append` for
+    watermark-evicted operators (dedup).
+
+    No-data micro-batches are disabled by default for the stream's
+    lifetime: with Trigger.AvailableNow every input row arrives in the
+    data batches, so the trailing no-data batch only advances the
+    watermark to evict state that the query teardown discards anyway —
+    measured ~0.3-0.5 s of pure fixed cost per entry, with bit-identical
+    emitted results (complete mode ignores watermark eviction; append
+    dedup and the inner interval join emit on arrival/match, not on
+    watermark). A CONTINUOUS deployment of these jobs should leave the
+    default on — there the no-data batch is what flushes final windows
+    during input lulls. ``nodata=True`` keeps the trailing no-data
+    batch: required by any APPEND-mode windowed aggregation
+    (streaming_late_drop), where the final watermark advance IS what
+    emits the last closed windows."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))

@@ -62,15 +62,16 @@ def test_bfs_repeat_invocation_releases_checkpoint(spark, sf_dir):
     blocks (round-5 advice): exactly one edge-list checkpoint stays
     cached, and each invocation's distinct temp view keeps concurrent
     builders from racing on a shared name."""
+    from currency_etl_spark.operators import ckpt
     from currency_etl_spark.queries import extras
 
     first = CATALOG["supplier_reach_bfs"].spark_fn(spark, sf_dir).toPandas()
-    edges_first = extras._BFS_PREV_EDGES
+    edges_first = ckpt._LIVE["bfs_edges"]
     seq_first = extras._BFS_VIEW_SEQ
     second = CATALOG["supplier_reach_bfs"].spark_fn(spark, sf_dir).toPandas()
     assert first.equals(second)
     assert extras._BFS_VIEW_SEQ == seq_first + 1
-    assert extras._BFS_PREV_EDGES is not edges_first
+    assert ckpt._LIVE["bfs_edges"] is not edges_first
     # the first invocation's checkpoint blocks were released
     assert edges_first.storageLevel.useMemory is False
     assert edges_first.storageLevel.useDisk is False

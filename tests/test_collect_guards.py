@@ -87,14 +87,11 @@ def test_allowlist_does_not_rot():
 def test_checkpoints_go_through_release_helpers():
     """Eager localCheckpoint blocks are never freed by Spark until the
     session ends, so every checkpoint must flow through operators/ckpt's
-    one-live-per-tag helpers (or supplier_reach_bfs's equivalent
-    test-pinned release). A raw .localCheckpoint( anywhere else is an
-    unbounded storage leak across re-invocations."""
+    one-live-per-tag helpers. A raw .localCheckpoint( anywhere else is
+    an unbounded storage leak across re-invocations."""
     allowed = {
         ("operators/ckpt.py", "swap_checkpoint"),
         ("operators/ckpt.py", "chain_checkpoint"),
-        # BFS keeps its own swap (tests pin extras._BFS_PREV_EDGES)
-        ("queries/extras.py", "supplier_reach_bfs"),
     }
     offenders = []
     for dirpath, _, files in os.walk(PACKAGE):

@@ -163,3 +163,74 @@ def test_adaptive_rank_property_random_keys(spark):
         assert got == want
 
     check()
+
+
+def test_global_rank_null_keys_rank_first_both_paths(spark):
+    """NULL keys must not vanish: ROW_NUMBER semantics under Spark's ASC
+    default put NULLs FIRST (ordered by tiebreak). The lazy path routes
+    them through the sentinel split -1 (a NULL __pid would fall out of
+    the equi-join — the silent row-drop this pins); the adaptive path
+    ranks them as their own leading segment. Both must equal the plain
+    global ROW_NUMBER, preserve the row count, and agree with each
+    other; the all-NULL degenerate relation must also survive."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    rows = [(k, i) for i, k in enumerate([5, None, 17, None, 5, 1000, None, -3])]
+    df = spark.createDataFrame(rows, "k long, tb long").repartition(4)
+    by_tb = lambda r: r["tb"]  # noqa: E731 — None keys break tuple sort
+    want = sorted(
+        df.withColumn("rank", F.row_number().over(W.orderBy("k", "tb")).cast("long"))
+        .select("k", "tb", "rank")
+        .collect(),
+        key=by_tb,
+    )
+    for kwargs in ({}, {"max_split_rows": 2}):
+        got = sorted(
+            distributed_global_rank(df, "k", "tb", **kwargs)
+            .select("k", "tb", "rank")
+            .collect(),
+            key=by_tb,
+        )
+        assert got == want, kwargs
+    # all-NULL keys: the null segment IS the relation (adaptive path's
+    # kmin-is-None branch; lazy path's sentinel split catches every row)
+    all_null = spark.createDataFrame(
+        [(None, i) for i in range(6)], "k long, tb long"
+    )
+    for kwargs in ({}, {"max_split_rows": 3}):
+        got = sorted(
+            (r["tb"], r["rank"])
+            for r in distributed_global_rank(all_null, "k", "tb", **kwargs).collect()
+        )
+        assert got == [(i, i + 1) for i in range(6)], kwargs
+
+
+def test_distributed_ntile_null_keys_and_total(spark):
+    """distributed_ntile must keep NULL-key rows (tile 1 first — Spark
+    NTILE over ASC NULLS FIRST) and compute tile boundaries against the
+    TRUE row count. Before the with_total rewiring the NULL rows were
+    dropped by the rank join while still inflating the count — every
+    boundary shifted. Pin against Spark's own ntile."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import distributed_ntile
+
+    rows = [(k, i) for i, k in enumerate([9, None, 3, 7, None, 42, 0, 11, 5, 2])]
+    df = spark.createDataFrame(rows, "k long, tb long").repartition(3)
+    by_tb = lambda r: r["tb"]  # noqa: E731 — None keys break tuple sort
+    want = sorted(
+        df.withColumn("q", F.ntile(4).over(W.orderBy("k", "tb")))
+        .select("k", "tb", "q")
+        .collect(),
+        key=by_tb,
+    )
+    got = sorted(
+        distributed_ntile(df, 4, F.col("k"), "tb", "q").select("k", "tb", "q").collect(),
+        key=by_tb,
+    )
+    assert got == want
+    assert len(got) == len(rows)  # every input row present exactly once

@@ -151,6 +151,23 @@ def test_grid_resize_nearest_neighbor_exact(spark):
         resize_image(b"x", 1, 1)
 
 
+def test_grid_resize_int32_dim_product_does_not_wrap(spark):
+    """h and w arrive as int32; h*w for a 50000x50000 declaration wraps
+    negative in int32, which would let a tiny truncated blob through the
+    length guard and crash the task on reshape. The guard must widen to
+    int64 BEFORE multiplying: the truncated row is dropped, valid rows in
+    the same batch survive."""
+    from currency_etl_spark.operators.multimodal import grid_resize
+
+    rows = [
+        (1, bytes(range(12)), 3, 4),          # valid 3x4 grid
+        (2, b"\x01\x02\x03", 50000, 50000),   # h*w wraps int32 negative
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary, h int, w int")
+    out = {r["doc_id"] for r in grid_resize(df, 2, 2).collect()}
+    assert out == {1}
+
+
 def test_perceptual_hash_gradient_kernel_exact(spark):
     """perceptual_hash must reproduce the cyclic gradient hash exactly:
     bit i set iff hist16[i] > hist16[(i+1) % 16]. Verified against a
