@@ -3385,11 +3385,12 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue, packed into rank deciles, each reporting its exact "
         "decimal revenue and the cumulative share — the 80/20 diagnostic "
         "behind assortment and capacity planning. The rank runs on the "
-        "parts-sized AGGREGATE (|parts| rows, not |lineitem|); the "
-        "cumulative window then touches only the 10-row curve. The same "
-        "rank at billions of parts swaps in distributed_global_rank "
-        "(events_zorder_audit) — value-range splits + parallel local "
-        "windows — without changing the output."
+        "parts-sized AGGREGATE (|parts| rows, not |lineitem|) through "
+        "distributed_global_rank — value-range splits + parallel "
+        "per-split windows, DESC via exact key negation — and the row "
+        "count rides out of the rank helper's own split counts "
+        "(with_total); the only remaining ordered window touches the "
+        "10-row decile curve."
     ),
 )
 def parts_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3400,22 +3401,28 @@ def parts_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("revenue"))
     )
-    w_all = W.partitionBy()
-    ranked = rev.select(
-        "p_partkey",
+    # materialize the parts-sized rollup once: the distributed rank
+    # evaluates its input three times (extrema, split counts, ranked
+    # join) and the grand total once more — without this the lineitem
+    # scan + groupBy would re-run each time
+    rev = _swap_checkpoint("parts_pareto_rev", rev)
+    # revenue DESC == negated exact int64 key ASC (decimal(18,4)·10⁴ is
+    # an exact integer), partkey tie-break unchanged
+    keyed = rev.withColumn("__k", F.expr("CAST(-(revenue * 10000) AS BIGINT)"))
+    ranked = distributed_global_rank(keyed, "__k", "p_partkey", with_total=True).select(
         "revenue",
-        F.row_number().over(W.orderBy(F.desc("revenue"), "p_partkey")).alias("rnk"),
-        F.count(F.lit(1)).over(w_all).alias("n_parts"),
-        F.sum("revenue").over(w_all).alias("total"),
+        F.col("rank").alias("rnk"),
+        F.col("__ntot").alias("n_parts"),
     )
+    tot = rev.agg(F.sum("revenue").alias("total"))
     curve = (
         ranked.withColumn("decile", F.expr("((rnk - 1) * 10) div n_parts"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_parts_in_decile"),
             F.sum("revenue").alias("decile_revenue"),
-            F.max("total").alias("total"),
         )
+        .crossJoin(F.broadcast(tot))
     )
     cum = F.sum("decile_revenue").over(W.orderBy("decile"))
     return (
@@ -3423,7 +3430,7 @@ def parts_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decile").cast("long").alias("decile"),
             "n_parts_in_decile",
             F.col("decile_revenue").cast("double").alias("decile_revenue"),
-            F.round(cum.cast("double") / F.max("total").over(w_all).cast("double"), 6).alias(
+            F.round(cum.cast("double") / F.col("total").cast("double"), 6).alias(
                 "cum_share"
             ),
         )
@@ -5207,22 +5214,29 @@ def lineitem_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "squared shares, parts_revenue_pareto's cumulative curve): "
         "G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over spend ranked ascending "
         "with custkey tie-breaks. The rank runs on the customers-sized "
-        "AGGREGATE (never |orders|; distributed_global_rank is the "
-        "billion-customer slot-in), and the rank-weighted sum folds in "
-        "exact DECIMAL so the one-row result is bit-identical in both "
-        "engines."
+        "AGGREGATE (never |orders|) through distributed_global_rank — "
+        "value-range splits + parallel per-split windows, so no task "
+        "sorts the whole relation even at billions of customers — and "
+        "the rank-weighted sum folds in exact DECIMAL so the one-row "
+        "result is bit-identical in both engines."
     ),
 )
 def customers_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     spend = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"))
     )
-    ranked = spend.select(
-        "s", F.row_number().over(W.orderBy("s", "o_custkey")).alias("i")
+    # materialize the customers-sized rollup once: the distributed rank
+    # evaluates its input three times (extrema, split counts, ranked
+    # join) — without this the orders scan + groupBy would re-run each
+    # time (same rationale as customer_rfm / events_zorder_audit)
+    spend = _swap_checkpoint("spend_gini", spend)
+    # decimal(18,4) quantizes exactly: ORDER BY s == ORDER BY s·10⁴ as
+    # int64 (the helper's range-split arithmetic needs an integer key)
+    keyed = spend.withColumn("__k", F.expr("CAST(s * 10000 AS BIGINT)"))
+    ranked = distributed_global_rank(keyed, "__k", "o_custkey").select(
+        "s", F.col("rank").alias("i")
     )
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),

@@ -35,12 +35,6 @@ ALLOWED_GLOBAL_WINDOWS = {
         "relation is vocab²-bounded and pre-truncated to top-15 by "
         "sort-limit (TakeOrderedAndProject) before the ranking window",
     ),
-    "customers_spend_gini": (
-        "per-customer spend aggregate",
-        "rank input is the customers-sized aggregate, never |orders|; "
-        "docstring names distributed_global_rank as the billion-customer "
-        "slot-in",
-    ),
     "docs_index_lookup": (
         "per-term document frequencies",
         "vocab-bounded (DF-capped posting lists); the window ranks "
@@ -64,11 +58,10 @@ ALLOWED_GLOBAL_WINDOWS = {
         "months-sized relation (one row per month)",
     ),
     "parts_revenue_pareto": (
-        "per-decile revenue rollup + part-revenue ranking",
+        "per-decile revenue rollup",
         "cumulative-share window runs on the 10-row decile curve; the "
-        "ROW_NUMBER ranking runs on the parts-sized aggregate (never "
-        "|lineitem|), with distributed_global_rank the documented "
-        "billions-of-parts slot-in",
+        "part-revenue ranking itself goes through "
+        "distributed_global_rank (no parts-sized window remains)",
     ),
 }
 
