@@ -418,7 +418,9 @@ def test_ntile_entries_have_no_unpartitioned_fact_window(spark, sf_dir):
         customer_rfm,
         customers_rfm_segments,
         customers_segment_migration,
+        customers_spend_gini,
         order_value_deciles,
+        parts_revenue_pareto,
     )
 
     for fn in (
@@ -426,6 +428,8 @@ def test_ntile_entries_have_no_unpartitioned_fact_window(spark, sf_dir):
         customer_rfm,
         customers_rfm_segments,
         customers_segment_migration,
+        customers_spend_gini,
+        parts_revenue_pareto,
     ):
         p = plan_of(fn(spark, sf_dir))
         # ntile() itself is gone — replaced by the closed-form bucket
@@ -436,7 +440,12 @@ def test_ntile_entries_have_no_unpartitioned_fact_window(spark, sf_dir):
             head = spec.split(",")[0]
             unpartitioned = " ASC" in head or " DESC" in head
             if unpartitioned:
-                assert "__pid" in head, (fn.__name__, spec)
+                # pareto's cumulative-share window orders the 10-row
+                # decile curve — bounded by construction
+                assert "__pid" in head or head.startswith("decile#"), (
+                    fn.__name__,
+                    spec,
+                )
 
 
 def test_equidepth_histogram_distributed_boundaries(spark, sf_dir):

@@ -270,6 +270,22 @@ HEADLINERS = {
         "absent (closed-form bucket from the global rank); the boundary "
         "relation enters via BroadcastHashJoin."
     ),
+    "customers_spend_gini": (
+        "Closed-form Gini over the distributed rank. Check: the per-row "
+        "row_number Window partitions on __pid (range split of the "
+        "1e4-quantized spend); the only unpartitioned window orders the "
+        "32-row offset relation BY __pid (broadcast back); the "
+        "rank-weighted sum folds as a plain partial/final HashAggregate "
+        "to one row."
+    ),
+    "parts_revenue_pareto": (
+        "Pareto curve over the distributed rank. Check: the part-revenue "
+        "ranking Window partitions on __pid (range split of the NEGATED "
+        "1e4-quantized revenue — DESC without a descending global sort); "
+        "the row count arrives from the offset relation (__ntot), the "
+        "grand total as a 1-row BroadcastNestedLoopJoin; the only "
+        "ordered unpartitioned window runs on the 10-row decile curve."
+    ),
     "docs_shingle_novelty": (
         "Shingle novelty. Check: the only joins key on the shingle "
         "(dictionary relation) — no doc×doc pairing, no "
