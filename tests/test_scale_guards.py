@@ -113,6 +113,67 @@ def test_global_windows_are_enumerated_and_bounded(plans):
     )
 
 
+#: entry → (bounding relation, why an UNORDERED whole-relation window is
+#: safe). These are windowspecdefinition(specifiedwindowframe(...)) specs —
+#: no partition, no order — which funnel their input through one task just
+#: like an ordered global window; the only difference is Spark skips the
+#: sort. The rank helper's own sum(__n) over the ≤33-row offset relation is
+#: exempted structurally (matched by function argument, not entry name).
+ALLOWED_WHOLE_RELATION_WINDOWS = {
+    "docs_curation_pipeline": (
+        "per-language kept-corpus rollup",
+        "the doc_share denominator sums n_docs over the languages-sized "
+        "relation (|langs| rows)",
+    ),
+    "orders_weekday_seasonality": (
+        "ISO-weekday rollup",
+        "the order_share denominator sums over the 7-row weekday relation",
+    ),
+    "orders_benford": (
+        "first-digit counts",
+        "the share denominator sums over the 9-row digit relation",
+    ),
+}
+
+_WHOLE_REL = re.compile(
+    r"(\w+\([^)]*\)) windowspecdefinition\(specifiedwindowframe"
+)
+
+
+def _whole_relation_windows(plan: str) -> "list[str]":
+    """Window functions whose spec has no partition and no order — every
+    row lands in one task. The rank helper's internal total over the
+    offset relation (sum of __n) is structural machinery, not a leak."""
+    return [f for f in _WHOLE_REL.findall(plan) if "__n#" not in f]
+
+
+def test_whole_relation_windows_are_enumerated_and_bounded(plans):
+    offenders = {
+        name: fns
+        for name, p in plans.items()
+        if (fns := _whole_relation_windows(p))
+        and name not in ALLOWED_WHOLE_RELATION_WINDOWS
+    }
+    assert offenders == {}, (
+        f"unordered whole-relation windows outside the justified "
+        f"allowlist: {offenders} — these single-task the relation exactly "
+        "like an ordered global window; replace with a 1-row aggregate "
+        "broadcast back (crossJoin(F.broadcast(...))) or add a size bound "
+        "to ALLOWED_WHOLE_RELATION_WINDOWS"
+    )
+
+
+def test_whole_relation_allowlist_does_not_rot(plans):
+    stale = [
+        name
+        for name in ALLOWED_WHOLE_RELATION_WINDOWS
+        if not _whole_relation_windows(plans[name])
+    ]
+    assert stale == [], (
+        f"whole-relation allowlist entries without such windows: {stale}"
+    )
+
+
 def test_allowlist_entries_still_use_global_windows(plans):
     """The allowlist must not rot: an entry that no longer has any
     unpartitioned window should be removed from the table."""
