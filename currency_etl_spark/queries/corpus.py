@@ -733,7 +733,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        # no broadcast hint on `big`: it is FACT-derived (orders passing a
+        # data-dependent quantity threshold), so its size is unbounded at
+        # scale — AQE broadcasts it at runtime when it actually fits
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")

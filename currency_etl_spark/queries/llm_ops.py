@@ -614,7 +614,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndocs = docs.agg(F.count("*").alias("nd"))
     tf = words.groupBy("lang", "w").agg(F.count("*").alias("tf"))
     scored = (
-        tf.join(F.broadcast(dfreq), "w")
+        # no broadcast hint on dfreq: it is vocab-sized (unbounded on a
+        # real corpus — same reasoning as the hash-bucketed importance
+        # weights); the join keys on w so a shuffle join co-locates, and
+        # AQE still broadcasts at runtime when the vocab fits
+        tf.join(dfreq, "w")
         .crossJoin(F.broadcast(ndocs))
         .select(
             "lang",
@@ -1477,15 +1481,17 @@ def docs_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "connected-component id and a kept flag — the canonical member "
         "(min doc_id) of each near-dup cluster survives, singletons (docs "
         "in no candidate cluster) survive by default. Composes "
-        "dedup_clusters over the full corpus via a LEFT join; at 100 TB "
-        "the cluster map is graph-sized and broadcasts against the corpus "
-        "scan, so applying dedup costs one map-side pass."
+        "dedup_clusters over the full corpus via a LEFT equi-join on "
+        "doc_id; no broadcast hint — web-scale dedup rates make the "
+        "cluster map corpus-proportional, so the planner must be free to "
+        "shuffle, while AQE still broadcasts it at runtime whenever it "
+        "fits (one map-side pass in that case)."
     ),
 )
 def docs_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters(spark, sf_dir).withColumnRenamed("cluster_id", "cid")
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    out = docs.join(F.broadcast(clusters), "doc_id", "left")
+    out = docs.join(clusters, "doc_id", "left")
     return out.select(
         "doc_id",
         F.coalesce("cid", F.col("doc_id")).alias("cluster_id"),
