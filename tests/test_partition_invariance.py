@@ -32,6 +32,10 @@ FOLD_ENTRIES = [
     "customers_rfm_segments",
     "orders_market_basket",
     "events_transition_dwell",
+    # round-6 rank rewires: the decimal-quantized range-split key and the
+    # rank-weighted decimal fold must regroup identically
+    "customers_spend_gini",
+    "parts_revenue_pareto",
 ]
 
 
