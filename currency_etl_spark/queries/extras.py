@@ -2429,12 +2429,23 @@ ZORDER_BITS = 16
 ZORDER_BUCKET_ROWS = 256
 ZORDER_RANGE_SPLITS = 32
 
+#: Default per-task row bound for distributed_global_rank/distributed_ntile:
+#: the skew-adaptive path splits any key range — and any single hot key's
+#: tie run, via its integer tiebreak — until no rank task sorts more rows
+#: than this. 2M (key, tiebreak) pairs ≈ tens of MB of sort input per task
+#: at cluster scale; every test-SF relation sits far below it, so locally
+#: the segmentation terminates at level 0 (one extrema job + one counting
+#: job on the checkpointed input). Pass max_split_rows=None to opt a
+#: known-uniform key (zorder's Morton values) back onto the fully lazy
+#: single-pass path.
+RANK_SKEW_CAP = 2_000_000
+
 
 def distributed_global_rank(
     df: DataFrame,
     key: str,
     tiebreak: str,
-    max_split_rows: "int | None" = None,
+    max_split_rows: "int | None" = RANK_SKEW_CAP,
     with_total: bool = False,
 ) -> DataFrame:
     """Exact global ROW_NUMBER over (key, tiebreak) without a single-task
@@ -2455,17 +2466,20 @@ def distributed_global_rank(
     RangePartitioner (whose boundaries — and therefore any downstream
     fixed-size bucketing — vary run to run).
 
-    With the default ``max_split_rows=None`` the whole plan is lazy and
-    split balance follows the key's value distribution — right for the
-    graded entries, whose splits are near-even. A deployment facing key
-    skew passes ``max_split_rows``: the helper then refines the split
-    boundaries ADAPTIVELY before building the plan (one counting job per
-    refinement level, driver-side bookkeeping of ≤levels·splits interval
-    rows — see _adaptive_rank_segments) so no task's local window sorts
-    more than the cap, however skewed the key; a single-key run is the
-    unsplittable floor. Rank output is identical either way
-    (tests/test_distributed_percentile.py forces the adaptive path and
-    asserts equality with the plain global ROW_NUMBER)."""
+    The default ``max_split_rows=RANK_SKEW_CAP`` takes the skew-ADAPTIVE
+    path: split boundaries refine before the plan is built (one counting
+    job per refinement level, driver-side bookkeeping of ≤levels·splits
+    interval rows — see _adaptive_rank_segments) so no task's local
+    window sorts more than the cap however skewed the key, and a single
+    hot key's tie run re-splits on its integer tiebreak
+    (_tb_subsegments). At test SFs every relation is below the cap, so
+    the refinement terminates at level 0 — two small jobs against the
+    caller's checkpointed input. ``max_split_rows=None`` opts a
+    known-uniform key (zorder's Morton values) onto the fully lazy
+    single-pass path, where split balance follows the key's value
+    distribution. Rank output is identical either way
+    (tests/test_distributed_percentile.py forces both paths and asserts
+    equality with the plain global ROW_NUMBER)."""
     from pyspark.sql import Window as W
 
     if max_split_rows is not None:
@@ -2556,6 +2570,84 @@ def _adaptive_rank_segments(
     return sorted(final)
 
 
+#: int64 sentinels marking "no tiebreak restriction" on a rank segment.
+_TB_MIN, _TB_MAX = -(2**63), 2**63 - 1
+
+
+def _is_integral(dt) -> bool:
+    from pyspark.sql import types as T
+
+    return isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+
+
+def _tb_subsegments(
+    df: DataFrame, key: str, tiebreak: str, hot_keys: "list[int]", max_rows: int
+) -> "dict[int, list[tuple[int, int, int]]]":
+    """Second-level segmentation for hot keys: a single-key run larger
+    than max_rows cannot be divided on the key, but its ties CAN be
+    range-split on the integer tiebreak (a row id — unique, so always
+    splittable down to the cap). Same batched recursion as
+    _adaptive_rank_segments: one counting job per level covers every hot
+    key's pending tiebreak intervals, so N hot keys cost O(log) jobs
+    total, not O(N). Returns {key value: sorted (tlo, thi, count)
+    intervals partitioning that key's tiebreak range}.
+
+    Keys whose ties include NULL tiebreaks are omitted (caller keeps the
+    unsplittable-floor segment): a NULL never satisfies a between-range
+    join, and silently dropping rows is the exact bug class the NULL-key
+    sentinel split guards against on the key side."""
+    ext = (
+        df.filter(F.col(key).isin(hot_keys))
+        .groupBy(key)
+        .agg(
+            F.min(tiebreak).alias("tlo"),
+            F.max(tiebreak).alias("thi"),
+            F.count(F.when(F.col(tiebreak).isNull(), F.lit(1))).alias("tnull"),
+        )
+        .collect()
+    )
+    pending = [
+        (int(r[key]), int(r["tlo"]), int(r["thi"]))
+        for r in ext
+        if not r["tnull"] and r["tlo"] is not None
+    ]
+    out: dict = {}
+    while pending:
+        widths = [((hi - lo) // ZORDER_RANGE_SPLITS) + 1 for _, lo, hi in pending]
+        seg = None
+        sub = None
+        for i, ((k, lo, hi), w) in enumerate(zip(pending, widths)):
+            in_seg = (
+                (F.col(key) == k)
+                & (F.col(tiebreak) >= lo)
+                & (F.col(tiebreak) <= hi)
+            )
+            seg = F.when(in_seg, i) if seg is None else seg.when(in_seg, i)
+            s = F.expr(f"({tiebreak} - {lo}) div {w}")
+            sub = F.when(in_seg, s) if sub is None else sub.when(in_seg, s)
+        counts = (
+            df.select(seg.alias("__seg"), sub.alias("__sub"))
+            .filter(F.col("__seg").isNotNull())
+            .groupBy("__seg", "__sub")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        by_seg: dict = {}
+        for r in counts:
+            by_seg.setdefault(r["__seg"], []).append((r["__sub"], r["__n"]))
+        nxt = []
+        for i, ((k, lo, hi), w) in enumerate(zip(pending, widths)):
+            for s, c in sorted(by_seg.get(i, [])):
+                slo = lo + s * w
+                shi = min(hi, slo + w - 1)
+                if c <= max_rows or slo == shi:
+                    out.setdefault(k, []).append((slo, shi, c))
+                else:
+                    nxt.append((k, slo, shi))
+        pending = nxt
+    return {k: sorted(v) for k, v in out.items()}
+
+
 def _adaptive_global_rank(
     df: DataFrame, key: str, tiebreak: str, max_rows: int, with_total: bool = False
 ) -> DataFrame:
@@ -2563,10 +2655,13 @@ def _adaptive_global_rank(
     _adaptive_rank_segments (driver-side, data-adaptive), offsets are
     plain prefix sums of the already-known segment counts, and the plan
     is a broadcast RANGE join onto the tiny segment relation plus the
-    same parallel per-segment window. No task sorts more than max_rows
-    (single-key runs excepted — a range split cannot divide one key).
-    NULL keys rank first as their own segment — NULL is one key value,
-    so like any single-key run it is the unsplittable floor."""
+    same parallel per-segment window. No task sorts more than max_rows:
+    key-range splits first, and a single-key run larger than the cap
+    (a hot small-domain key — e.g. frequency=1 holding half the
+    customers) re-splits on its integer TIEBREAK via _tb_subsegments.
+    Remaining unsplittable floors, each documented there: equal
+    (key, tiebreak) pairs, non-integral tiebreaks, NULL-tiebreak ties,
+    and the NULL-key block (which ranks first as its own segment)."""
     from pyspark.sql import Window as W
 
     ext = df.agg(
@@ -2590,22 +2685,42 @@ def _adaptive_global_rank(
         )
     nonnull = df.filter(F.col(key).isNotNull())
     segs = _adaptive_rank_segments(nonnull, key, ext["kmin"], ext["kmax"], max_rows)
-    rows, off = [], nnull  # non-null ranks start after the null block
-    for sid, (lo, hi, c) in enumerate(segs):
-        rows.append((lo, hi, sid, off))
-        off += c
+    hot = [lo for lo, hi, c in segs if lo == hi and c > max_rows]
+    tbsegs: dict = {}
+    if hot and _is_integral(nonnull.schema[tiebreak].dataType):
+        tbsegs = _tb_subsegments(nonnull, key, tiebreak, hot, max_rows)
+    rows, off, sid = [], nnull, 0  # non-null ranks start after the null block
+    for lo, hi, c in segs:
+        if lo == hi and lo in tbsegs:
+            # hot key: its tie run splits into tiebreak-bounded segments,
+            # ordered by tlo — within one key, (key, tiebreak) order IS
+            # tiebreak order, so the prefix-sum offsets stay exact
+            for tlo, thi, tc in tbsegs[lo]:
+                rows.append((lo, hi, tlo, thi, sid, off))
+                off += tc
+                sid += 1
+        else:
+            rows.append((lo, hi, _TB_MIN, _TB_MAX, sid, off))
+            off += c
+            sid += 1
     segs_df = df.sparkSession.createDataFrame(
-        rows, "__lo long, __hi long, __sid long, __off long"
+        rows, "__lo long, __hi long, __tlo long, __thi long, __sid long, __off long"
+    )
+    # the tiebreak restriction applies only to tb-split segments: gating
+    # on the sentinel bounds keeps NULL-tiebreak rows (NULL never passes
+    # a between-range predicate) flowing into their ordinary segment
+    tb_ok = ((F.col("__tlo") == _TB_MIN) & (F.col("__thi") == _TB_MAX)) | (
+        (F.col(tiebreak) >= F.col("__tlo")) & (F.col(tiebreak) <= F.col("__thi"))
     )
     d = nonnull.join(
         F.broadcast(segs_df),
-        (F.col(key) >= F.col("__lo")) & (F.col(key) <= F.col("__hi")),
+        (F.col(key) >= F.col("__lo")) & (F.col(key) <= F.col("__hi")) & tb_ok,
     )
     rank = F.col("__off") + F.row_number().over(
         W.partitionBy("__sid").orderBy(key, tiebreak)
     )
     out = d.withColumn("rank", rank.cast("long")).drop(
-        "__lo", "__hi", "__sid", "__off"
+        "__lo", "__hi", "__tlo", "__thi", "__sid", "__off"
     )
     if nnull:
         out = null_part.unionByName(out)
@@ -2632,7 +2747,7 @@ def distributed_ntile(
     key,
     tiebreak: str,
     out_col: str,
-    max_split_rows: "int | None" = None,
+    max_split_rows: "int | None" = RANK_SKEW_CAP,
 ) -> DataFrame:
     """Exact NTILE(n) OVER (ORDER BY key ASC, tiebreak ASC) without an
     unpartitioned window: distributed_global_rank supplies the global
@@ -2909,7 +3024,11 @@ def events_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucketed(df: DataFrame, key: str) -> DataFrame:
         return (
-            distributed_global_rank(df, key, "event_id")
+            # uniform-by-construction keys (shuffled uids / Morton codes):
+            # the lazy single-pass path — no skew to adapt to, and the
+            # audit ranks the SAME relation twice, so two fewer counting
+            # jobs each
+            distributed_global_rank(df, key, "event_id", max_split_rows=None)
             .withColumn("bucket", F.expr(f"(rank - 1) div {ZORDER_BUCKET_ROWS}"))
             .groupBy("bucket")
             .agg(

@@ -234,3 +234,86 @@ def test_distributed_ntile_null_keys_and_total(spark):
     )
     assert got == want
     assert len(got) == len(rows)  # every input row present exactly once
+
+
+def test_hot_key_tie_run_splits_on_tiebreak(spark):
+    """A single-key run larger than the cap — the old unsplittable floor
+    — must re-split on the integer tiebreak: every resulting segment
+    holds <= cap rows, and the end-to-end ranks still equal plain
+    ROW_NUMBER. This is the skew case that matters for small-domain ntile
+    keys (frequency=1 holding half the customers)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import (
+        _tb_subsegments,
+        distributed_global_rank,
+    )
+
+    # one hot key (7) with 900 tied rows, two cold keys around it
+    rows = [(7, i) for i in range(900)]
+    rows += [(3, 10000 + i) for i in range(5)]
+    rows += [(9, 20000 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, tb long").repartition(8)
+
+    segs = _tb_subsegments(df, "k", "tb", [7], 64)
+    assert list(segs) == [7]
+    assert sum(c for _, _, c in segs[7]) == 900
+    assert all(c <= 64 for _, _, c in segs[7]), segs[7]
+    # intervals tile the tiebreak range in order without overlap
+    bounds = [(lo, hi) for lo, hi, _ in segs[7]]
+    assert bounds == sorted(bounds)
+    assert all(a_hi < b_lo for (_, a_hi), (b_lo, _) in zip(bounds, bounds[1:]))
+
+    got = sorted(
+        distributed_global_rank(df, "k", "tb", max_split_rows=64)
+        .select("k", "tb", "rank")
+        .collect()
+    )
+    want = sorted(
+        df.withColumn("rank", F.row_number().over(W.orderBy("k", "tb")).cast("long"))
+        .select("k", "tb", "rank")
+        .collect()
+    )
+    assert got == want
+
+
+def test_hot_key_null_tiebreaks_fall_back_without_row_drop(spark):
+    """A hot key whose ties include NULL tiebreaks keeps the unsplittable
+    floor (a NULL never passes a between-range join), and no row drops:
+    every input row appears exactly once with plain ROW_NUMBER's rank
+    (NULLS FIRST tiebreak order)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    rows = [(7, i) for i in range(200)] + [(7, None), (7, None), (2, 1), (11, 1)]
+    df = spark.createDataFrame(rows, "k long, tb long").repartition(4)
+    got = distributed_global_rank(df, "k", "tb", max_split_rows=32)
+    assert got.count() == len(rows)
+    want = df.withColumn(
+        "rank", F.row_number().over(W.orderBy("k", "tb")).cast("long")
+    )
+    key = lambda r: (r["k"], -1 if r["tb"] is None else 0, r["tb"] or 0)  # noqa: E731
+    assert sorted(got.select("k", "tb", "rank").collect(), key=key) == sorted(
+        want.select("k", "tb", "rank").collect(), key=key
+    )
+
+
+def test_hot_key_single_tiebreak_value_is_terminal(spark):
+    """Degenerate: a hot key whose ties also tie on the tiebreak cannot
+    split at all (width-1 terminal) — ranks within the run are then
+    arbitrary but must still be a permutation of the ROW_NUMBER range,
+    and the cold keys' ranks must be exact."""
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    rows = [(5, 42)] * 100 + [(1, 1), (9, 9)]
+    df = spark.createDataFrame(rows, "k long, tb long").repartition(4)
+    got = distributed_global_rank(df, "k", "tb", max_split_rows=10)
+    by_key = {}
+    for r in got.collect():
+        by_key.setdefault(r["k"], []).append(r["rank"])
+    assert by_key[1] == [1]
+    assert sorted(by_key[5]) == list(range(2, 102))
+    assert by_key[9] == [102]

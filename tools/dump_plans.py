@@ -257,10 +257,11 @@ HEADLINERS = {
         "Segment migration matrix. Check: each half is one partial-agg "
         "pass over orders into a checkpointed customers-sized base; the "
         "data-derived midpoint enters as a 1-row broadcast; the quartile "
-        "is distributed_ntile — every per-row row_number Window "
-        "partitions on __pid (the only unpartitioned windows order the "
-        "32-row offset relation BY __pid); the halves align via FULL "
-        "OUTER SortMergeJoin on custkey (correctly NOT broadcastable)."
+        "is distributed_ntile on the default skew-adaptive path — every "
+        "per-row row_number Window partitions on __sid (driver-refined "
+        "value-range segments, each ≤ RANK_SKEW_CAP rows, entering via a "
+        "broadcast range join); the halves align via FULL OUTER "
+        "SortMergeJoin on custkey (correctly NOT broadcastable)."
     ),
     "order_value_deciles": (
         "Distributed ntile/lag/lead. Check: the per-row "
@@ -271,20 +272,23 @@ HEADLINERS = {
         "relation enters via BroadcastHashJoin."
     ),
     "customers_spend_gini": (
-        "Closed-form Gini over the distributed rank. Check: the per-row "
-        "row_number Window partitions on __pid (range split of the "
-        "1e4-quantized spend); the only unpartitioned window orders the "
-        "32-row offset relation BY __pid (broadcast back); the "
+        "Closed-form Gini over the distributed rank (skew-adaptive "
+        "path). Check: the per-row row_number Window partitions on __sid "
+        "— driver-refined range segments of the 1e4-quantized spend, "
+        "each ≤ RANK_SKEW_CAP rows even under value skew, entering via "
+        "a broadcast range join; no unpartitioned window anywhere; the "
         "rank-weighted sum folds as a plain partial/final HashAggregate "
         "to one row."
     ),
     "parts_revenue_pareto": (
-        "Pareto curve over the distributed rank. Check: the part-revenue "
-        "ranking Window partitions on __pid (range split of the NEGATED "
-        "1e4-quantized revenue — DESC without a descending global sort); "
-        "the row count arrives from the offset relation (__ntot), the "
-        "grand total as a 1-row BroadcastNestedLoopJoin; the only "
-        "ordered unpartitioned window runs on the 10-row decile curve."
+        "Pareto curve over the distributed rank (skew-adaptive path). "
+        "Check: the part-revenue ranking Window partitions on __sid — "
+        "driver-refined range segments of the NEGATED 1e4-quantized "
+        "revenue (DESC without a descending global sort), each ≤ "
+        "RANK_SKEW_CAP rows; the row count is a driver-known literal "
+        "(__ntot), the grand total a 1-row BroadcastNestedLoopJoin; the "
+        "only ordered unpartitioned window runs on the 10-row decile "
+        "curve."
     ),
     "docs_shingle_novelty": (
         "Shingle novelty. Check: the only joins key on the shingle "
