@@ -2706,16 +2706,22 @@ def _adaptive_global_rank(
     segs_df = df.sparkSession.createDataFrame(
         rows, "__lo long, __hi long, __tlo long, __thi long, __sid long, __off long"
     )
-    # the tiebreak restriction applies only to tb-split segments: gating
-    # on the sentinel bounds keeps NULL-tiebreak rows (NULL never passes
-    # a between-range predicate) flowing into their ordinary segment
-    tb_ok = ((F.col("__tlo") == _TB_MIN) & (F.col("__thi") == _TB_MAX)) | (
-        (F.col(tiebreak) >= F.col("__tlo")) & (F.col(tiebreak) <= F.col("__thi"))
-    )
-    d = nonnull.join(
-        F.broadcast(segs_df),
-        (F.col(key) >= F.col("__lo")) & (F.col(key) <= F.col("__hi")) & tb_ok,
-    )
+    cond = (F.col(key) >= F.col("__lo")) & (F.col(key) <= F.col("__hi"))
+    if tbsegs:
+        # the tiebreak restriction applies only to tb-split segments:
+        # gating on the sentinel bounds keeps NULL-tiebreak rows (NULL
+        # never passes a between-range predicate) flowing into their
+        # ordinary segment. Built only when tb-splits exist — the
+        # tiebreak is integral then (_is_integral gate), so the bound
+        # comparisons never need a cross-type coercion
+        cond = cond & (
+            ((F.col("__tlo") == _TB_MIN) & (F.col("__thi") == _TB_MAX))
+            | (
+                (F.col(tiebreak) >= F.col("__tlo"))
+                & (F.col(tiebreak) <= F.col("__thi"))
+            )
+        )
+    d = nonnull.join(F.broadcast(segs_df), cond)
     rank = F.col("__off") + F.row_number().over(
         W.partitionBy("__sid").orderBy(key, tiebreak)
     )

@@ -317,3 +317,28 @@ def test_hot_key_single_tiebreak_value_is_terminal(spark):
     assert by_key[1] == [1]
     assert sorted(by_key[5]) == list(range(2, 102))
     assert by_key[9] == [102]
+
+
+def test_hot_key_string_tiebreak_falls_back(spark):
+    """Non-integral tiebreaks can't range-split, so a hot key keeps the
+    floor — and the join must not build a tiebreak-vs-bounds comparison
+    at all (a string tiebreak would need a cross-type coercion there).
+    Ranks must equal plain ROW_NUMBER over (key, string tiebreak)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    rows = [(7, f"u{i:04d}") for i in range(120)] + [(1, "a"), (9, "z")]
+    df = spark.createDataFrame(rows, "k long, tb string").repartition(4)
+    got = sorted(
+        distributed_global_rank(df, "k", "tb", max_split_rows=16)
+        .select("k", "tb", "rank")
+        .collect()
+    )
+    want = sorted(
+        df.withColumn("rank", F.row_number().over(W.orderBy("k", "tb")).cast("long"))
+        .select("k", "tb", "rank")
+        .collect()
+    )
+    assert got == want

@@ -136,7 +136,9 @@ ALLOWED_WHOLE_RELATION_WINDOWS = {
 }
 
 _WHOLE_REL = re.compile(
-    r"(\w+\([^)]*\)) windowspecdefinition\(specifiedwindowframe"
+    # function call allowing one level of nested parens (sum(cast(x as
+    # bigint)) etc.) so wrapped aggregates can't slip past the sweep
+    r"(\w+\((?:[^()]|\([^()]*\))*\)) windowspecdefinition\(specifiedwindowframe"
 )
 
 
