@@ -342,3 +342,41 @@ def test_hot_key_string_tiebreak_falls_back(spark):
         .collect()
     )
     assert got == want
+
+
+def test_tb_split_property_small_domain_keys(spark):
+    """Property: tiny key domains force every key hot at small caps —
+    the tb-split path must still assign exactly ROW_NUMBER() OVER
+    (ORDER BY key, tiebreak) for arbitrary key multisets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=50),
+        cap=st.integers(min_value=1, max_value=6),
+    )
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    def check(keys, cap):
+        df = spark.createDataFrame(
+            [(k, i * 7 % 1000) for i, k in enumerate(keys)], "k long, tb long"
+        )
+        got = sorted(
+            distributed_global_rank(df, "k", "tb", max_split_rows=cap)
+            .select("k", "tb", "rank")
+            .collect()
+        )
+        want = sorted(
+            df.withColumn(
+                "rank", F.row_number().over(W.orderBy("k", "tb")).cast("long")
+            )
+            .select("k", "tb", "rank")
+            .collect()
+        )
+        assert got == want
+
+    check()
