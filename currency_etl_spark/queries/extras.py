@@ -2684,29 +2684,47 @@ def _adaptive_global_rank(
             else out
         )
     nonnull = df.filter(F.col(key).isNotNull())
-    segs = _adaptive_rank_segments(nonnull, key, ext["kmin"], ext["kmax"], max_rows)
+    kmin, kmax = int(ext["kmin"]), int(ext["kmax"])
+    segs = _adaptive_rank_segments(nonnull, key, kmin, kmax, max_rows)
     hot = [lo for lo, hi, c in segs if lo == hi and c > max_rows]
     tbsegs: dict = {}
     if hot and _is_integral(nonnull.schema[tiebreak].dataType):
         tbsegs = _tb_subsegments(nonnull, key, tiebreak, hot, max_rows)
+    # refinement only ever SUBDIVIDES level-0 splits, so every segment
+    # nests inside exactly one level-0 split — that split id is a pure
+    # arithmetic function of the key on both sides, which turns the
+    # segment join into a broadcast HASH join on __pid0 with the range
+    # bounds as residual predicates. Each row then compares only against
+    # its own split's segments instead of the whole segment relation
+    # (a nested-loop range join is linear in |segments| per row — the
+    # scale trap when |rows|/cap is large).
+    w0 = ((kmax - kmin) // ZORDER_RANGE_SPLITS) + 1
     rows, off, sid = [], nnull, 0  # non-null ranks start after the null block
     for lo, hi, c in segs:
+        pid0 = (lo - kmin) // w0
         if lo == hi and lo in tbsegs:
             # hot key: its tie run splits into tiebreak-bounded segments,
             # ordered by tlo — within one key, (key, tiebreak) order IS
             # tiebreak order, so the prefix-sum offsets stay exact
             for tlo, thi, tc in tbsegs[lo]:
-                rows.append((lo, hi, tlo, thi, sid, off))
+                rows.append((pid0, lo, hi, tlo, thi, sid, off))
                 off += tc
                 sid += 1
         else:
-            rows.append((lo, hi, _TB_MIN, _TB_MAX, sid, off))
+            rows.append((pid0, lo, hi, _TB_MIN, _TB_MAX, sid, off))
             off += c
             sid += 1
     segs_df = df.sparkSession.createDataFrame(
-        rows, "__lo long, __hi long, __tlo long, __thi long, __sid long, __off long"
+        rows,
+        "__pid0 long, __lo long, __hi long, __tlo long, __thi long, "
+        "__sid long, __off long",
     )
-    cond = (F.col(key) >= F.col("__lo")) & (F.col(key) <= F.col("__hi"))
+    keyed = nonnull.withColumn("__pid0", F.expr(f"({key} - {kmin}) div {w0}"))
+    cond = (
+        (keyed["__pid0"] == segs_df["__pid0"])
+        & (F.col(key) >= F.col("__lo"))
+        & (F.col(key) <= F.col("__hi"))
+    )
     if tbsegs:
         # the tiebreak restriction applies only to tb-split segments:
         # gating on the sentinel bounds keeps NULL-tiebreak rows (NULL
@@ -2721,7 +2739,7 @@ def _adaptive_global_rank(
                 & (F.col(tiebreak) <= F.col("__thi"))
             )
         )
-    d = nonnull.join(F.broadcast(segs_df), cond)
+    d = keyed.join(F.broadcast(segs_df), cond).drop("__pid0")
     rank = F.col("__off") + F.row_number().over(
         W.partitionBy("__sid").orderBy(key, tiebreak)
     )
