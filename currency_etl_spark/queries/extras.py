@@ -2654,8 +2654,9 @@ def _adaptive_global_rank(
     """distributed_global_rank's skew path: segment boundaries come from
     _adaptive_rank_segments (driver-side, data-adaptive), offsets are
     plain prefix sums of the already-known segment counts, and the plan
-    is a broadcast RANGE join onto the tiny segment relation plus the
-    same parallel per-segment window. No task sorts more than max_rows:
+    is a broadcast HASH join on the level-0 split id (range bounds as
+    residual predicates) onto the tiny segment relation plus the same
+    parallel per-segment window. No task sorts more than max_rows:
     key-range splits first, and a single-key run larger than the cap
     (a hot small-domain key — e.g. frequency=1 holding half the
     customers) re-splits on its integer TIEBREAK via _tb_subsegments.

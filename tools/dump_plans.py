@@ -260,7 +260,7 @@ HEADLINERS = {
         "is distributed_ntile on the default skew-adaptive path — every "
         "per-row row_number Window partitions on __sid (driver-refined "
         "value-range segments, each ≤ RANK_SKEW_CAP rows, entering via a "
-        "broadcast range join); the halves align via FULL OUTER "
+        "BroadcastHashJoin on the level-0 split id); the halves align via FULL OUTER "
         "SortMergeJoin on custkey (correctly NOT broadcastable)."
     ),
     "order_value_deciles": (
@@ -276,7 +276,7 @@ HEADLINERS = {
         "path). Check: the per-row row_number Window partitions on __sid "
         "— driver-refined range segments of the 1e4-quantized spend, "
         "each ≤ RANK_SKEW_CAP rows even under value skew, entering via "
-        "a broadcast range join; no unpartitioned window anywhere; the "
+        "a BroadcastHashJoin on the level-0 split id; no unpartitioned window anywhere; the "
         "rank-weighted sum folds as a plain partial/final HashAggregate "
         "to one row."
     ),
