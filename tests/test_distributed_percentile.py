@@ -380,3 +380,49 @@ def test_tb_split_property_small_domain_keys(spark):
         assert got == want
 
     check()
+
+
+def test_corpus_scale_skewed_ntile_matches_builtin(spark, sf_dir):
+    """Full-corpus skew rehearsal: per-customer order counts are a
+    small-domain, low-end-heavy key (many customers share frequency
+    1-3), so a small cap forces real tiebreak sub-splits. The
+    distributed ntile must equal SQL NTILE over (key, custkey) on the
+    actual corpus, and every tb segment must respect the cap."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import (
+        _tb_subsegments,
+        distributed_ntile,
+    )
+    from currency_etl_spark.sources import table
+
+    freq = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    cap = 8
+    got = {
+        r["o_custkey"]: r["q"]
+        for r in distributed_ntile(
+            freq, 4, F.col("f"), "o_custkey", "q", max_split_rows=cap
+        ).collect()
+    }
+    want = {
+        r["o_custkey"]: r["q"]
+        for r in freq.withColumn(
+            "q", F.ntile(4).over(W.orderBy("f", "o_custkey"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # at least one frequency value is hot at this cap (sf0.001: ~20 customers share a frequency), and its tb
+    # segments are all within bounds
+    counts = {r["f"]: r["n"] for r in freq.groupBy("f").agg(F.count(F.lit(1)).alias("n")).collect()}
+    hot = [k for k, n in counts.items() if n > cap]
+    assert hot, f"corpus not skewed at cap={cap}? counts={counts}"
+    segs = _tb_subsegments(freq.withColumn("__k", F.col("f")), "__k", "o_custkey", hot, cap)
+    for k in hot:
+        assert sum(c for _, _, c in segs[k]) == counts[k]
+        assert all(c <= cap for _, _, c in segs[k])
