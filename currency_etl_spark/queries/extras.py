@@ -565,69 +565,56 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ntile/lag/lead surface: global deciles of order value with "
         "neighbor deltas, rolled up per decile — WITHOUT the single-task "
         "global window the oracle spells (its plain ntile/lag/lead is "
-        "the semantic spec). The distributed form: orders range-split by "
-        "the exact 1e2-quantized price (injective on distinct prices, so "
-        "the split key orders identically to the double), parallel "
-        "per-split row_number/lag/lead windows, and a 32-row boundary "
-        "relation — cumulative offsets plus each split's edge rows — "
-        "broadcast back so the first/last row of every split sees its "
-        "cross-split neighbor. Global rank = offset + local row_number; "
-        "the decile is NTILE's closed form (n div 10 per tile, first "
-        "n mod 10 tiles one larger). Only the 32-row boundary window is "
-        "unpartitioned — at 100 TB every |orders|-sized stage stays "
-        "parallel (same machinery as distributed_global_rank)."
+        "the semantic spec). The distributed form: the exact global rank "
+        "comes from distributed_global_rank on the 1e2-quantized price "
+        "(injective on distinct prices, so the split key orders "
+        "identically to the double; skew-adaptive default, so every "
+        "rank task is cap-bounded), the decile is NTILE's closed form "
+        "(n div 10 per tile, first n mod 10 tiles one larger), and "
+        "lag/lead need no window at all: the rank is exact and DENSE, "
+        "so the previous row IS rank-1 and the next IS rank+1 — two "
+        "rank-keyed equi-joins on the checkpointed ranked relation, "
+        "hash-parallel at any scale. No fixed split count anywhere; at "
+        "100 TB every |orders|-sized stage stays parallel."
     ),
 )
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     keyed = orders.withColumn("__k", F.round(F.col("o_totalprice") * 100).cast("long"))
-    ext = keyed.agg(F.min("__k").alias("__kmin"), F.max("__k").alias("__kmax"))
-    d = keyed.crossJoin(F.broadcast(ext)).withColumn(
-        "__pid",
-        F.expr(
-            f"(__k - __kmin) div (((__kmax - __kmin) div {ZORDER_RANGE_SPLITS}) + 1)"
+    # materialize the ranked relation once: the rank±1 self-joins below
+    # read it three times
+    ranked = _swap_checkpoint(
+        "order_deciles_ranked",
+        distributed_global_rank(keyed, "__k", "o_orderkey", with_total=True).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rank").alias("__gr"),
+            "__ntot",
         ),
     )
-    w = W.partitionBy("__pid").orderBy("__k", "o_orderkey")
-    local = d.select(
-        "__pid",
-        "o_orderkey",
-        "o_totalprice",
-        F.row_number().over(w).alias("__rn"),
-        F.lag("o_totalprice").over(w).alias("__lp"),
-        F.lead("o_orderkey").over(w).alias("__lk"),
+    # lag/lead without any window: the global rank is exact and DENSE,
+    # so the previous row IS rank-1 and the next IS rank+1 — rank-keyed
+    # equi-joins are hash-parallel at any scale (rank values unique and
+    # uniform by construction), with no fixed split count to outgrow
+    prev = ranked.select(
+        (F.col("__gr") + 1).alias("__gr"), F.col("o_totalprice").alias("__pp")
     )
-    b = d.groupBy("__pid").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.max(F.struct("__k", "o_orderkey", "o_totalprice")).alias("__last"),
-        F.min(F.struct("__k", "o_orderkey")).alias("__first"),
+    nxt = ranked.select(
+        (F.col("__gr") - 1).alias("__gr"), F.col("o_orderkey").alias("__nk")
     )
-    wb = W.orderBy("__pid")
-    bounds = b.select(
-        "__pid",
-        F.coalesce(
-            F.sum("__n").over(wb.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
-        ).alias("__off"),
-        F.sum("__n")
-        .over(wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
-        .alias("__ntot"),
-        F.lag(F.col("__last").getField("o_totalprice")).over(wb).alias("__pp"),
-        F.lead(F.col("__first").getField("o_orderkey")).over(wb).alias("__nk"),
-    )
-    g = local.join(F.broadcast(bounds), "__pid").select(
-        "o_orderkey",
-        "o_totalprice",
-        (F.col("__off") + F.col("__rn")).cast("long").alias("__gr"),
-        "__ntot",
-        F.round(
-            F.coalesce(
-                F.col("o_totalprice") - F.coalesce("__lp", "__pp"), F.lit(0.0)
-            ),
-            6,
-        ).alias("step_up"),
-        F.coalesce("__lk", "__nk").alias("next_orderkey"),
+    g = (
+        ranked.join(prev, "__gr", "left")
+        .join(nxt, "__gr", "left")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "__gr",
+            "__ntot",
+            F.round(
+                F.coalesce(F.col("o_totalprice") - F.col("__pp"), F.lit(0.0)), 6
+            ).alias("step_up"),
+            F.col("__nk").alias("next_orderkey"),
+        )
     )
     t = g.select(
         "o_orderkey",

@@ -435,7 +435,11 @@ def test_ntile_entries_have_no_unpartitioned_fact_window(spark, sf_dir):
         # ntile() itself is gone — replaced by the closed-form bucket
         assert "ntile(" not in p, fn.__name__
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
-        assert specs, fn.__name__
+        # deciles checkpoints the RANKED relation (its rank±1 self-joins
+        # read it three times), so its windows already ran inside the
+        # checkpoint and the final plan reads ExistingRDD — window-free
+        # is fine there; everywhere else the specs must be present
+        assert specs or "ExistingRDD" in p, fn.__name__
         for spec in specs:
             head = spec.split(",")[0]
             unpartitioned = " ASC" in head or " DESC" in head

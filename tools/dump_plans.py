@@ -264,12 +264,12 @@ HEADLINERS = {
         "SortMergeJoin on custkey (correctly NOT broadcastable)."
     ),
     "order_value_deciles": (
-        "Distributed ntile/lag/lead. Check: the per-row "
-        "row_number/lag/lead Window partitions on __pid (range split of "
-        "the 1e2-quantized price); the only unpartitioned window is the "
-        "32-row boundary/offset relation ordered BY __pid; ntile() is "
-        "absent (closed-form bucket from the global rank); the boundary "
-        "relation enters via BroadcastHashJoin."
+        "Distributed ntile/lag/lead. Check: ZERO Window operators in the "
+        "final plan — the skew-bounded global rank ran inside the "
+        "checkpointed relation (Scan ExistingRDD), ntile() is absent "
+        "(closed-form bucket from the rank), and lag/lead are rank±1 "
+        "equi-joins on the checkpoint (SortMergeJoin/ShuffledHashJoin on "
+        "__gr — hash-parallel, correctly NOT broadcastable at scale)."
     ),
     "customers_spend_gini": (
         "Closed-form Gini over the distributed rank (skew-adaptive "
