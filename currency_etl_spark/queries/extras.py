@@ -2461,12 +2461,13 @@ def distributed_global_rank(
     hot key's tie run re-splits on its integer tiebreak
     (_tb_subsegments). At test SFs every relation is below the cap, so
     the refinement terminates at level 0 — two small jobs against the
-    caller's checkpointed input. ``max_split_rows=None`` opts a
-    known-uniform key (zorder's Morton values) onto the fully lazy
-    single-pass path, where split balance follows the key's value
-    distribution. Rank output is identical either way
-    (tests/test_distributed_percentile.py forces both paths and asserts
-    equality with the plain global ROW_NUMBER)."""
+    caller's checkpointed input. ``max_split_rows=None`` opts onto the
+    fully lazy single-pass path — zero driver jobs, but parallelism
+    fixed at ZORDER_RANGE_SPLITS tasks and split balance following the
+    key's value distribution: right only for relations comfortably
+    sorted by 32 tasks, never a fact-scale default. Rank output is
+    identical either way (tests/test_distributed_percentile.py forces
+    both paths and asserts equality with the plain global ROW_NUMBER)."""
     from pyspark.sql import Window as W
 
     if max_split_rows is not None:
@@ -3036,11 +3037,12 @@ def events_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucketed(df: DataFrame, key: str) -> DataFrame:
         return (
-            # uniform-by-construction keys (shuffled uids / Morton codes):
-            # the lazy single-pass path — no skew to adapt to, and the
-            # audit ranks the SAME relation twice, so two fewer counting
-            # jobs each
-            distributed_global_rank(df, key, "event_id", max_split_rows=None)
+            # the default skew-adaptive rank: the keys are uniform by
+            # construction (shuffled uids / Morton codes) so no tb-splits
+            # ever trigger, but the cap still governs SEGMENT COUNT —
+            # |events|/cap parallel rank tasks at 100 TB instead of the
+            # lazy path's fixed 32
+            distributed_global_rank(df, key, "event_id")
             .withColumn("bucket", F.expr(f"(rank - 1) div {ZORDER_BUCKET_ROWS}"))
             .groupBy("bucket")
             .agg(

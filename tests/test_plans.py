@@ -330,17 +330,16 @@ def test_bigram_surprisal_two_content_exchanges_pruned_scan(spark, sf_dir):
 
 def test_zorder_rank_windows_are_partitioned(spark, sf_dir):
     """The only per-row windows in the z-order audit must be partitioned by
-    the range split (__pid) — an unpartitioned row_number over the fact
-    relation is the single-task bottleneck distributed_global_rank exists
-    to avoid. The offset cumsum window is unpartitioned but runs on the
-    32-row counts relation, never the fact."""
+    the adaptive range segment (__sid) — an unpartitioned row_number over
+    the fact relation is the single-task bottleneck
+    distributed_global_rank exists to avoid."""
     from currency_etl_spark.queries.extras import events_zorder_audit
 
     p = plan_of(events_zorder_audit(spark, sf_dir))
     rn_windows = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", p)
     assert rn_windows, p
     for spec in rn_windows:
-        assert "__pid" in spec.split(",")[0], spec
+        assert spec.split(",")[0].startswith("__sid"), spec
 
 
 def test_market_basket_topk_and_broadcast_prefilter(spark, sf_dir):

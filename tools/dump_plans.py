@@ -210,9 +210,10 @@ HEADLINERS = {
     ),
     "events_zorder_audit": (
         "Z-order layout audit. Check: every per-row row_number window is "
-        "partitioned by the __pid range split (parallel local ranks); the "
-        "key extrema and 32-row offset tables enter as broadcasts; no "
-        "unpartitioned window ever sees the fact relation."
+        "partitioned by the adaptive range segment __sid (segment count "
+        "scales as |rows|/cap — parallel local ranks with no fixed task "
+        "ceiling); segments enter via BroadcastHashJoin on the level-0 "
+        "split id; no unpartitioned window ever sees the fact relation."
     ),
     "docs_inverted_index": (
         "Inverted-index build. Check: one exchange to (doc, term) tf "
