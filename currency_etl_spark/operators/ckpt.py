@@ -27,9 +27,12 @@ session race benignly only because they compute identical data.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 
 _LIVE: dict = {}
+_KEYS: dict = {}
 
 
 def swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
@@ -38,6 +41,25 @@ def swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
         prev.unpersist()
     out = df.localCheckpoint(eager=True)
     _LIVE[tag] = out
+    _KEYS.pop(tag, None)
+    return out
+
+
+def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
+    """swap_checkpoint with cross-entry reuse: if the live checkpoint
+    under ``tag`` was built for the same ``key`` (the caller passes
+    everything the content depends on — e.g. the sf_dir), hand it back
+    without recomputing; otherwise build and swap. Lets sibling entries
+    that need the SAME materialized relation (customer_rfm /
+    customers_rfm_segments share one customers-sized RFM aggregate) pay
+    its build once per session instead of once per entry, while a
+    different sf_dir — the oracle tests hop between SFs — always
+    rebuilds. Same one-live-per-tag release discipline."""
+    got = _LIVE.get(tag)
+    if got is not None and _KEYS.get(tag) == key:
+        return got
+    out = swap_checkpoint(tag, build())
+    _KEYS[tag] = key
     return out
 
 

@@ -792,6 +792,34 @@ def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("check_name")
 
 
+def _rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customers-sized RFM aggregate BOTH customer_rfm and
+    customers_rfm_segments score from: recency anchored to
+    max(o_orderdate) (Spark's datediff casts its timestamp args to DATE,
+    so this one expression serves both entries' oracles), frequency, and
+    the exact-decimal monetary sum. Checkpointed once per (sf_dir) via
+    memo_checkpoint — the two entries together previously paid this
+    orders rollup (and its materialization) twice per bench pass."""
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    def build() -> DataFrame:
+        orders = table(spark, sf_dir, "orders")
+        mx = orders.agg(F.max("o_orderdate").alias("mxd"))
+        return (
+            orders.crossJoin(F.broadcast(mx))
+            .groupBy("o_custkey")
+            .agg(
+                F.datediff(F.max("mxd").cast("date"), F.max("o_orderdate").cast("date"))
+                .cast("long")
+                .alias("recency_days"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("monetary"),
+            )
+        )
+
+    return memo_checkpoint("rfm_base", sf_dir, build)
+
+
 @register(
     "customer_rfm",
     oracle="""
@@ -837,24 +865,11 @@ def integrity_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
-    mx = orders.agg(F.max("o_orderdate").alias("mxd"))
-    base = (
-        orders.crossJoin(F.broadcast(mx))
-        .groupBy("o_custkey", "mxd")
-        .agg(
-            F.datediff(F.col("mxd").cast("date"), F.max("o_orderdate").cast("date"))
-            .cast("long")
-            .alias("recency_days"),
-            F.count("*").alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("monetary"),
-        )
-    )
-    # materialize the customers-sized base once: three chained ntile
-    # helpers each carry extrema/count/offset side-aggregates that would
-    # otherwise re-execute the orders rollup lineage multiply (measured
-    # 5.3 s -> ~1 s at sf0.1); previous invocation's blocks are released
-    base = _swap_checkpoint("customer_rfm", base)
+    # materialized customers-sized base, shared with customers_rfm_segments:
+    # three chained ntile helpers each carry extrema/count/offset
+    # side-aggregates that would otherwise re-execute the orders rollup
+    # lineage multiply (measured 5.3 s -> ~1 s at sf0.1)
+    base = _rfm_base(spark, sf_dir)
     # three INDEPENDENT slim score relations off the checkpoint (chaining
     # the helpers would nest their side-aggregates — each would re-run
     # the previous helper's window), joined back on the customer key
@@ -2523,8 +2538,23 @@ def _adaptive_rank_segments(
     interval width shrinks ×splits per level and heavy skew costs
     O(log_splits(range)) counting jobs. Driver traffic is the per-level
     interval counts — ≤ splits · |oversized| rows, never data rows."""
-    pending = [(kmin, kmax)]
-    final: list = []
+    return _refine_segments(df, key, [(kmin, kmax)], [], max_rows)
+
+
+def _refine_segments(
+    df: DataFrame,
+    key: str,
+    pending: "list[tuple[int, int]]",
+    final: "list[tuple[int, int, int]]",
+    max_rows: int,
+) -> "list[tuple[int, int, int]]":
+    """The refinement loop behind _adaptive_rank_segments, callable with
+    an arbitrary starting frontier: ``pending`` intervals get recursively
+    range-split (one counting job per level covering ALL oversized
+    intervals) until every populated interval holds ≤max_rows rows or is
+    one key wide; ``final`` carries intervals already known small enough
+    (e.g. from _adaptive_global_rank's fused level-0 histogram)."""
+    final = list(final)
     while pending:
         widths = [((hi - lo) // ZORDER_RANGE_SPLITS) + 1 for lo, hi in pending]
         seg = None
@@ -2560,6 +2590,30 @@ def _adaptive_rank_segments(
 
 #: int64 sentinels marking "no tiebreak restriction" on a rank segment.
 _TB_MIN, _TB_MAX = -(2**63), 2**63 - 1
+
+
+def _log_bucket_sql(key: str) -> str:
+    """SQL for the log2-magnitude bucket of int64 ``key`` — a monotone
+    (order-preserving, hence range-disjoint) map of the full int64 domain
+    onto ≤130 bucket ids, computable per-row with no data extrema:
+    non-negative keys take 64 + bit-length (65..128), negative keys take
+    64 − bit-length of −(key+1) (1..64; the +1 shift keeps INT64_MIN in
+    range), NULL keys map to NULL. _adaptive_global_rank groups on this
+    to fuse extrema + null-count + level-0 segment counts into ONE job,
+    and reuses it as the broadcast hash-join key onto the segment table."""
+    return (
+        f"CASE WHEN {key} IS NULL THEN NULL "
+        f"WHEN {key} >= 0 THEN 64 + length(bin({key})) "
+        f"ELSE 64 - length(bin(-({key} + 1))) END"
+    )
+
+
+def _log_bucket(v: int) -> int:
+    """Driver-side twin of _log_bucket_sql (bin(0) = '0' has length 1,
+    hence the max(1, bit_length))."""
+    if v >= 0:
+        return 64 + max(1, v.bit_length())
+    return 64 - max(1, (-(v + 1)).bit_length())
 
 
 def _is_integral(dt) -> bool:
@@ -2639,31 +2693,43 @@ def _tb_subsegments(
 def _adaptive_global_rank(
     df: DataFrame, key: str, tiebreak: str, max_rows: int, with_total: bool = False
 ) -> DataFrame:
-    """distributed_global_rank's skew path: segment boundaries come from
-    _adaptive_rank_segments (driver-side, data-adaptive), offsets are
-    plain prefix sums of the already-known segment counts, and the plan
-    is a broadcast HASH join on the level-0 split id (range bounds as
-    residual predicates) onto the tiny segment relation plus the same
-    parallel per-segment window. No task sorts more than max_rows:
-    key-range splits first, and a single-key run larger than the cap
-    (a hot small-domain key — e.g. frequency=1 holding half the
-    customers) re-splits on its integer TIEBREAK via _tb_subsegments.
-    Remaining unsplittable floors, each documented there: equal
-    (key, tiebreak) pairs, non-integral tiebreaks, NULL-tiebreak ties,
-    and the NULL-key block (which ranks first as its own segment)."""
+    """distributed_global_rank's skew path: ONE fused driver job — a
+    ≤130-group log2-magnitude histogram (_log_bucket_sql) carrying count
+    + exact min/max per bucket — yields the null count, the key extrema,
+    AND the level-0 segmentation at once; only buckets over the cap pay
+    further counting jobs (_refine_segments). Offsets are plain prefix
+    sums of the already-known segment counts, and the plan is a broadcast
+    HASH join on the bucket id (range bounds as residual predicates) onto
+    the tiny segment relation plus the same parallel per-segment window.
+    No task sorts more than max_rows: key-range splits first, and a
+    single-key run larger than the cap (a hot small-domain key — e.g.
+    frequency=1 holding half the customers) re-splits on its integer
+    TIEBREAK via _tb_subsegments. Remaining unsplittable floors, each
+    documented there: equal (key, tiebreak) pairs, non-integral
+    tiebreaks, NULL-tiebreak ties, and the NULL-key block (which ranks
+    first as its own segment)."""
     from pyspark.sql import Window as W
 
-    ext = df.agg(
-        F.min(key).alias("kmin"),
-        F.max(key).alias("kmax"),
-        F.count(F.when(F.col(key).isNull(), F.lit(1))).alias("nnull"),
-    ).collect()[0]
-    nnull = int(ext["nnull"])
+    hist = (
+        df.groupBy(F.expr(_log_bucket_sql(key)).alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(key).alias("__lo"),
+            F.max(key).alias("__hi"),
+        )
+        .collect()
+    )
+    nnull = sum(int(r["__n"]) for r in hist if r["__b"] is None)
+    buckets = sorted(
+        (int(r["__lo"]), int(r["__hi"]), int(r["__n"]))
+        for r in hist
+        if r["__b"] is not None
+    )
     null_part = df.filter(F.col(key).isNull()).withColumn(
         "rank",
         F.row_number().over(W.partitionBy(F.lit(0)).orderBy(tiebreak)).cast("long"),
     )
-    if ext["kmin"] is None:
+    if not buckets:
         # every row's key is NULL (or df is empty): the null segment IS
         # the relation
         out = null_part
@@ -2673,24 +2739,61 @@ def _adaptive_global_rank(
             else out
         )
     nonnull = df.filter(F.col(key).isNotNull())
-    kmin, kmax = int(ext["kmin"]), int(ext["kmax"])
-    segs = _adaptive_rank_segments(nonnull, key, kmin, kmax, max_rows)
+    total = sum(c for _, _, c in buckets)
+    if all(c <= max_rows for _, _, c in buckets):
+        # the histogram just PROVED every log-bucket fits one task's sort
+        # cap — no segment table needed at all: the bucket id is already
+        # a per-row expression and the bucket offsets are already known
+        # driver-side (prefix sums of the histogram counts), so rank =
+        # offset[bucket] + per-bucket row_number. Zero joins, and the
+        # window stays PARTITIONED (by __rank_bucket — up to ~130
+        # parallel cap-bounded sort tasks, never a single-task global
+        # sort); a bucket over the cap takes the segmented path below.
+        whens, off = [], nnull
+        for lo, _hi, c in buckets:
+            whens.append(f"WHEN {_log_bucket(lo)} THEN {off}L")
+            off += c
+        off_case = f"CASE __rank_bucket {' '.join(whens)} END"
+        out = (
+            nonnull.withColumn(
+                "__rank_bucket", F.expr(_log_bucket_sql(key)).cast("long")
+            )
+            .withColumn(
+                "rank",
+                (
+                    F.expr(off_case)
+                    + F.row_number().over(
+                        W.partitionBy("__rank_bucket").orderBy(key, tiebreak)
+                    )
+                ).cast("long"),
+            )
+            .drop("__rank_bucket")
+        )
+        if nnull:
+            out = null_part.unionByName(out)
+        return (
+            out.withColumn("__ntot", F.lit(nnull + total).cast("long"))
+            if with_total
+            else out
+        )
+    ok = [(lo, hi, c) for lo, hi, c in buckets if c <= max_rows or lo == hi]
+    oversized = [(lo, hi) for lo, hi, c in buckets if c > max_rows and lo != hi]
+    segs = _refine_segments(nonnull, key, oversized, ok, max_rows)
     hot = [lo for lo, hi, c in segs if lo == hi and c > max_rows]
     tbsegs: dict = {}
     if hot and _is_integral(nonnull.schema[tiebreak].dataType):
         tbsegs = _tb_subsegments(nonnull, key, tiebreak, hot, max_rows)
-    # refinement only ever SUBDIVIDES level-0 splits, so every segment
-    # nests inside exactly one level-0 split — that split id is a pure
+    # refinement only ever SUBDIVIDES level-0 buckets, so every segment
+    # nests inside exactly one bucket — the bucket id is a pure
     # arithmetic function of the key on both sides, which turns the
     # segment join into a broadcast HASH join on __pid0 with the range
     # bounds as residual predicates. Each row then compares only against
-    # its own split's segments instead of the whole segment relation
+    # its own bucket's segments instead of the whole segment relation
     # (a nested-loop range join is linear in |segments| per row — the
     # scale trap when |rows|/cap is large).
-    w0 = ((kmax - kmin) // ZORDER_RANGE_SPLITS) + 1
     rows, off, sid = [], nnull, 0  # non-null ranks start after the null block
     for lo, hi, c in segs:
-        pid0 = (lo - kmin) // w0
+        pid0 = _log_bucket(lo)
         if lo == hi and lo in tbsegs:
             # hot key: its tie run splits into tiebreak-bounded segments,
             # ordered by tlo — within one key, (key, tiebreak) order IS
@@ -2708,7 +2811,7 @@ def _adaptive_global_rank(
         "__pid0 long, __lo long, __hi long, __tlo long, __thi long, "
         "__sid long, __off long",
     )
-    keyed = nonnull.withColumn("__pid0", F.expr(f"({key} - {kmin}) div {w0}"))
+    keyed = nonnull.withColumn("__pid0", F.expr(_log_bucket_sql(key)).cast("long"))
     cond = (
         (keyed["__pid0"] == segs_df["__pid0"])
         & (F.col(key) >= F.col("__lo"))
@@ -3417,20 +3520,9 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
-    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
-    base = (
-        orders.crossJoin(F.broadcast(anchor))
-        .groupBy(F.col("o_custkey").alias("c_custkey"))
-        .agg(
-            F.datediff(F.max("mx"), F.max("o_orderdate")).cast("long").alias("recency_days"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("monetary"),
-        )
-    )
-    # same once-materialized base as customer_rfm (three chained ntile
-    # helpers; previous invocation's checkpoint blocks are released)
-    base = _swap_checkpoint("customers_rfm_segments", base)
+    # the SAME once-materialized customers-sized base customer_rfm reads
+    # (memo_checkpoint: built once per sf_dir, not once per entry)
+    base = _rfm_base(spark, sf_dir).withColumnRenamed("o_custkey", "c_custkey")
     # independent slim score relations off the checkpoint, joined back
     # (see customer_rfm for why the helpers must not chain)
     r = distributed_ntile(

@@ -31,8 +31,8 @@ ALLOWED_SITES = {
     ("operators/multimodal.py", "size_balanced"): "per-partition byte totals for bin packing — O(partitions)",
     ("queries/extras.py", "_exact_percentiles_distributed"): "1-row extrema/count aggregate",
     ("queries/extras.py", "_values_at_ranks"): "≤32-row split histogram per recursion level, ≤2·|qs| probed rank rows",
-    ("queries/extras.py", "_adaptive_rank_segments"): "per-level interval counts — ≤ splits·|oversized intervals| rows, never data rows",
-    ("queries/extras.py", "_adaptive_global_rank"): "1-row key extrema aggregate",
+    ("queries/extras.py", "_refine_segments"): "per-level interval counts — ≤ splits·|oversized intervals| rows, never data rows",
+    ("queries/extras.py", "_adaptive_global_rank"): "≤130-row log2-magnitude histogram (count + extrema per bucket) — the fused single driver job",
     ("queries/extras.py", "_tb_subsegments"): "per-hot-key tiebreak extrema (≤ |hot keys| rows) + per-level interval counts — ≤ splits·|oversized intervals| rows, never data rows",
     ("queries/llm_ops.py", "_propagate_min_labels"): "connected-components convergence check — 1-row changed-count per iteration",
 }
