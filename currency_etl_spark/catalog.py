@@ -61,7 +61,77 @@ def register(name: str, oracle: Optional[str], tags: tuple = (), doc: str = ""):
 GRADING_WINDOW = 50
 
 PRIORITY_ORDER = [
-    # ROUND 6 WINDOW — first driver rows for the never-graded backlog.
+    # ROUND 7 WINDOW — grading debt to ZERO (round-6 verdict item 1; the
+    # plan this window executes was written in round 6's deferral note).
+    # Composition: the 7 never-graded entries lead (the 5 round-6
+    # deferrals + the post-freeze multimodal_phash_dedup + the new
+    # multimodal_phash_near, its Hamming-1 multiprobe sibling shipped
+    # this round per verdict item 7), followed by the 43 standing greens
+    # whose newest driver row is round 1/2, oldest first. 7 + 43 = all
+    # 50 slots. After this round every catalog entry holds a driver
+    # correctness row no older than two rounds and the net-growth freeze
+    # lifts (verdict item 4). All 50 are oracle-verified locally at
+    # sf0.001 on every pytest run (tests/test_oracle.py); the builder's
+    # logged driver simulation repeats the comparison at sf0.01.
+    #
+    # --- never driver-graded (6 carried + 1 new) ---
+    "multimodal_phash_dedup",
+    "multimodal_phash_near",
+    "events_scd2_asof",
+    "events_session_stats",
+    "orders_weekday_seasonality",
+    "docs_embedding_coverage",
+    "docs_index_lookup",
+    # --- r1-stale standing green ---
+    "docs_deterministic_sample",
+    # --- r2-stale standing greens (registration order within the round) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "top_customers",
+    "topk_orders_per_segment",
+    "rollup_segment_nation",
+    "cube_status_priority",
+    "set_customers_both_statuses",
+    "set_customers_no_open_orders",
+    "cust_above_nation_avg",
+    "similar_part_names",
+    "ref_avg_value",
+    "ref_days_available",
+    "ref_num_types",
+    "ref_range_window",
+    "ref_last_value",
+    "ref_change_month",
+    "ref_rolling_avg7",
+    "ref_forecast5",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "docs_clean_corpus",
+    "docs_chunk_tokens",
+    "docs_stratified_sample",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_brute",
+    "knn_ivf",
+    "knn_lsh",
+    "embedding_norms",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    "events_hourly",
+    "events_pivot_by_type",
+    "events_sessionize",
+    "events_range_join_binned",
+    "events_type_transitions",
+]
+
+_ROUND6_WINDOW = [
+    # ROUND 6 WINDOW (kept for the rotation audit trail) — first driver
+    # rows for the never-graded backlog.
     # Round-5 verdict item 1: 55 catalog entries had never received a
     # driver correctness row; this window leads with 50 of them so
     # CORRECTNESS_r06.json consists entirely of first-row entries. All 50

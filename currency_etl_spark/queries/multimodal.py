@@ -295,6 +295,138 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_phash_near",
+    oracle="""
+        -- same phash CTE chain as multimodal_phash_dedup (cyclic
+        -- gradient hash over the 16-bin byte histogram — integer-exact
+        -- in both engines), extended with the Hamming-1 multiprobe:
+        -- every asset probes 17 buckets (its own hash + each single-bit
+        -- flip), so an equi-join on the bucket key finds every neighbor
+        -- at Hamming distance <= 1 without any all-pairs comparison.
+        WITH d AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS total
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, text, unnest(generate_series(1, total)) AS i
+            FROM d
+        ),
+        counts AS (
+            SELECT doc_id, ord(substring(text, i, 1)) % 16 AS bin, count(*) AS c
+            FROM pos GROUP BY doc_id, ord(substring(text, i, 1)) % 16
+        ),
+        grid AS (
+            SELECT d.doc_id, g.bin
+            FROM d, (SELECT unnest(generate_series(0, 15)) AS bin) g
+        ),
+        dense AS (
+            SELECT g.doc_id, g.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM grid g
+            LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+        ),
+        ph AS (
+            SELECT a.doc_id,
+                   CAST(coalesce(sum(CASE WHEN a.c > b.c
+                        THEN (CAST(1 AS BIGINT) << a.bin) END), 0) AS BIGINT)
+                       AS phash
+            FROM dense a
+            JOIN dense b ON b.doc_id = a.doc_id AND b.bin = (a.bin + 1) % 16
+            GROUP BY a.doc_id
+        ),
+        probes AS (
+            SELECT doc_id, phash,
+                   CASE WHEN f.i = 16 THEN phash
+                        ELSE xor(phash, CAST(1 AS BIGINT) << f.i) END AS probe
+            FROM ph, (SELECT unnest(generate_series(0, 16)) AS i) f
+        ),
+        pairs AS (
+            SELECT p.doc_id, p.phash, b.doc_id AS nbr_id, b.phash AS nbr_hash
+            FROM probes p
+            JOIN ph b ON b.phash = p.probe AND b.doc_id <> p.doc_id
+        ),
+        deg AS (
+            SELECT ph.doc_id,
+                   CAST(count(pairs.nbr_id) AS BIGINT) AS n_near,
+                   CAST(count(*) FILTER (pairs.nbr_hash = ph.phash) AS BIGINT)
+                       AS n_exact
+            FROM ph LEFT JOIN pairs ON pairs.doc_id = ph.doc_id
+            GROUP BY ph.doc_id
+        )
+        SELECT n_near,
+               count(*) AS n_docs,
+               count(*) FILTER (n_exact > 0) AS n_with_exact
+        FROM deg
+        GROUP BY n_near
+        ORDER BY n_near
+    """,
+    tags=("llm", "multimodal", "dedup", "multiprobe", "pandas-udf"),
+    doc=(
+        "Radius-1 perceptual near-dup audit — the Hamming-multiprobe rung "
+        "above multimodal_phash_dedup's exact-bucket grouping: a lightly "
+        "perturbed copy whose fingerprint differs by ONE bit lands in a "
+        "different phash bucket and is invisible to the exact groupBy; "
+        "this entry catches it with the knn_lsh_multiprobe device — every "
+        "asset probes 17 buckets (its own 16-bit hash plus each single-"
+        "bit flip), an equi-join on the probed bucket key finds every "
+        "neighbor at Hamming distance <= 1, and the per-asset neighbor "
+        "degree rolls up into a near-dup degree histogram (n_near -> how "
+        "many assets, and how many of those also have an exact-hash "
+        "twin). Scale shape: ONE Arrow blob pass (perceptual_hash, "
+        "checkpointed so the probe fanout and the bucket side share it), "
+        "a bounded 17x fanout of 16-byte rows, hash equi-joins only — "
+        "never an all-pairs comparison, the same bucket-don't-compare "
+        "discipline as dedup_minhash_lsh. Real codec path swaps in via "
+        "operators/multimodal.py:phash_image exactly as documented there."
+    ),
+)
+def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+    from currency_etl_spark.operators.multimodal import perceptual_hash
+    from currency_etl_spark.sources import spread
+
+    blobs = spread(
+        attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+    )
+    # one Arrow pass over the blobs, materialized once: the probe fanout
+    # and the bucket (neighbor) side both read it
+    ph = swap_checkpoint(
+        "phash_near", perceptual_hash(blobs).select("doc_id", "phash")
+    )
+    probes = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.col("phash"),
+                *[F.expr(f"phash ^ {1 << i}") for i in range(16)],
+            )
+        ).alias("probe"),
+    )
+    nbrs = ph.select(F.col("doc_id").alias("nbr_id"), F.col("phash").alias("nbr_hash"))
+    pairs = probes.join(nbrs, probes["probe"] == nbrs["nbr_hash"]).filter(
+        F.col("doc_id") != F.col("nbr_id")
+    )
+    agg = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.sum((F.col("nbr_hash") == F.col("phash")).cast("long")).alias("n_exact"),
+    )
+    deg = (
+        ph.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .fillna({"n_near": 0, "n_exact": 0})
+    )
+    return (
+        deg.groupBy("n_near")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_exact") > 0).cast("long")).alias("n_with_exact"),
+        )
+        .orderBy("n_near")
+    )
+
+
 #: Per-language storage budget for the quota audit, as a rational share
 #: (4/10 = keep the largest assets until 40% of the language's bytes).
 #: Integer cross-multiplication keeps the cut exact in both engines.
