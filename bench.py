@@ -108,12 +108,19 @@ def main() -> None:
     times: dict[str, float] = {}
     passes = 0
     for _ in range(2):
-        # honesty guard: forget pooled streaming results so each pass
-        # re-runs every stream INSIDE its timed region — min-of-2 must
-        # measure the stream lifecycle, never a warm memory-sink table
+        # honesty guards: forget pooled streaming results AND memoized
+        # cross-entry checkpoints (the shared RFM base, the MinHash
+        # shingle/signature/pair bases) so each pass rebuilds every
+        # shared relation INSIDE a timed region — min-of-2 must measure
+        # the work, never a previous pass's warm materialization. Within
+        # one pass the sharing stands: that's the operator design (one
+        # dedup index feeding the whole family), and its build cost lands
+        # in the first consumer's time.
+        from currency_etl_spark.operators.ckpt import reset_memos
         from currency_etl_spark.streaming.jobs import reset_stream_pool
 
         reset_stream_pool()
+        reset_memos()
         pass_t0 = time.perf_counter()
         for name in sorted(catalog):
             if only and name not in only:

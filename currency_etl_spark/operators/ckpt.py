@@ -63,6 +63,15 @@ def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
     return out
 
 
+def reset_memos() -> None:
+    """Forget every memo key (bench pass boundary — the honesty guard
+    mirroring reset_stream_pool): the next memo_checkpoint under each tag
+    rebuilds inside its caller's timed region, and the swap releases the
+    previous pass's blocks. Already-handed-out checkpoints stay valid for
+    plans still holding them."""
+    _KEYS.clear()
+
+
 def chain_checkpoint(tag: str, df: DataFrame) -> DataFrame:
     out = df.localCheckpoint(eager=True)
     prev = _LIVE.get(tag)
