@@ -127,6 +127,29 @@ PRIORITY_ORDER = [
     "events_sessionize",
     "events_range_join_binned",
     "events_type_transitions",
+    # MUST LEAD round 8 (grading debt is zero once this window lands;
+    # staleness after r7 is: 50×r7, 50×r6, 50×r5, 34×r4): the 34
+    # r4-stale standing greens — acctbal_dispersion, customer_rfm,
+    # customers_order_coverage, dedup_clusters, dedup_minhash_lsh,
+    # docs_ngram_counts, docs_pii_scrub, docs_repetition_score,
+    # docs_vocab_coverage, embedding_quantize, integrity_checks,
+    # knn_lsh_multiprobe, lineitem_price_histogram, minhash_jaccard_est,
+    # multimodal_features, order_rank_metrics, order_value_deciles,
+    # orders_monthly_growth, orders_snapshot_diff, part_brand_revenue,
+    # part_min_price_per_brand, profile_lineitem, q10_returned_items,
+    # q13_customer_distribution, q14_promo_share, q15_top_supplier,
+    # q16_supplier_part_counts, q17_small_quantity_revenue,
+    # q18_large_orders, q19_disjunctive_filter, q22_idle_customers,
+    # q7_nation_volume, q8_market_share, q9_product_profit — then the
+    # oldest 16 of the r5 block (approx_distinct_stats,
+    # asof_click_within_1h, asof_purchase_last_click, bpe_pair_merge,
+    # cust_name_parse, dedup_incremental, docs_curation_pipeline,
+    # docs_decontaminate, docs_dedup_survivors, docs_domain_cap,
+    # docs_mixture_report, docs_quality_filter, docs_sequence_pack,
+    # docs_subword_tokens, docs_weighted_sample, embedding_pq) = 50.
+    # The r7 rewires (adaptive-rank fusion, memoized shared bases) are
+    # hash-identical, so they claim no slot; any NEW entry added after
+    # the freeze lifts takes a slot from the r5 block's tail instead.
 ]
 
 _ROUND6_WINDOW = [

@@ -122,6 +122,41 @@ def test_adaptive_global_rank_matches_plain_row_number(spark):
     assert sum(c for _, _, c in segs) == df.count()
 
 
+def test_log_bucket_sql_matches_python_at_int64_edges(spark):
+    """_log_bucket (driver-side, routes segments to their hash-join
+    bucket) and _log_bucket_sql (per-row, the join key and the fast
+    path's window partition) MUST agree on every int64 — a divergence
+    silently drops rows from the rank join. Pin the edges the hypothesis
+    property test (±1e12) never reaches, monotonicity across sign
+    boundaries, and the full bucket-id range claim (1..128)."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import _log_bucket, _log_bucket_sql
+
+    edges = [
+        -(2**63), -(2**63) + 1, -(2**62), -(2**32), -3, -2, -1,
+        0, 1, 2, 3, 2**32, 2**62, 2**63 - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in edges], "k long")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select("k", F.expr(_log_bucket_sql("k")).alias("b")).collect()
+    }
+    for v in edges:
+        assert got[v] == _log_bucket(v), (v, got[v], _log_bucket(v))
+        assert 1 <= got[v] <= 128, (v, got[v])
+    # monotone non-decreasing in key order => bucket ranges are disjoint
+    buckets = [_log_bucket(v) for v in sorted(edges)]
+    assert buckets == sorted(buckets)
+    # NULL keys map to the NULL bucket (they take the sentinel segment)
+    nb = (
+        spark.createDataFrame([(None,)], "k long")
+        .select(F.expr(_log_bucket_sql("k")).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert nb is None
+
+
 def test_adaptive_rank_property_random_keys(spark):
     """Property: for arbitrary key multisets — negative keys, huge gaps,
     heavy ties — the adaptive path assigns exactly ROW_NUMBER() OVER
