@@ -67,10 +67,12 @@ HEADLINERS = {
     ),
     "minhash_jaccard_est": (
         "LSH verify stage. Check: ZERO parquet scans — every branch reads "
-        "the two checkpointed relations (Scan ExistingRDD), so the shingle "
-        "explode and the 16-min signature aggregation each ran exactly "
-        "once; the overlap pair-gen exchanges an 8-byte sx key, not "
-        "shingle strings."
+        "the family's memoized checkpoints (Scan ExistingRDD: shingles, "
+        "signatures, candidate pairs — shared with the seven sibling "
+        "dedup entries), so the shingle explode and the 16-min signature "
+        "aggregation each ran exactly once per session per SF; the "
+        "overlap pair-gen exchanges an 8-byte sx key, not shingle "
+        "strings."
     ),
     "knn_lsh_multiprobe": (
         "Multi-probe ANN. Check: the widened probe set still enters as a "
@@ -210,10 +212,13 @@ HEADLINERS = {
     ),
     "events_zorder_audit": (
         "Z-order layout audit. Check: every per-row row_number window is "
-        "partitioned by the adaptive range segment __sid (segment count "
-        "scales as |rows|/cap — parallel local ranks with no fixed task "
-        "ceiling); segments enter via BroadcastHashJoin on the level-0 "
-        "split id; no unpartitioned window ever sees the fact relation."
+        "PARTITIONED — by __rank_bucket (the fused histogram proved every "
+        "log-bucket under the cap, so ranks are driver-known bucket "
+        "offsets + per-bucket local windows, the shape at these SFs) or, "
+        "once a bucket exceeds the cap, by the refined segment __sid "
+        "entering via BroadcastHashJoin; either way segment/bucket count "
+        "scales with |rows|/cap and no unpartitioned window ever sees "
+        "the fact relation."
     ),
     "docs_inverted_index": (
         "Inverted-index build. Check: one exchange to (doc, term) tf "
@@ -259,10 +264,11 @@ HEADLINERS = {
         "pass over orders into a checkpointed customers-sized base; the "
         "data-derived midpoint enters as a 1-row broadcast; the quartile "
         "is distributed_ntile on the default skew-adaptive path — every "
-        "per-row row_number Window partitions on __sid (driver-refined "
-        "value-range segments, each ≤ RANK_SKEW_CAP rows, entering via a "
-        "BroadcastHashJoin on the level-0 split id); the halves align via FULL OUTER "
-        "SortMergeJoin on custkey (correctly NOT broadcastable)."
+        "per-row row_number Window partitions on __rank_bucket (cap-"
+        "proven log-buckets with driver-known offsets; over-cap buckets "
+        "revert to __sid segments via BroadcastHashJoin); the halves "
+        "align via FULL OUTER SortMergeJoin on custkey (correctly NOT "
+        "broadcastable)."
     ),
     "order_value_deciles": (
         "Distributed ntile/lag/lead. Check: ZERO Window operators in the "
@@ -274,22 +280,22 @@ HEADLINERS = {
     ),
     "customers_spend_gini": (
         "Closed-form Gini over the distributed rank (skew-adaptive "
-        "path). Check: the per-row row_number Window partitions on __sid "
-        "— driver-refined range segments of the 1e4-quantized spend, "
-        "each ≤ RANK_SKEW_CAP rows even under value skew, entering via "
-        "a BroadcastHashJoin on the level-0 split id; no unpartitioned window anywhere; the "
-        "rank-weighted sum folds as a plain partial/final HashAggregate "
-        "to one row."
+        "path). Check: the per-row row_number Window partitions on "
+        "__rank_bucket — cap-proven log-buckets of the 1e4-quantized "
+        "spend with driver-known offsets (an over-cap bucket reverts to "
+        "__sid segments via BroadcastHashJoin); no unpartitioned window "
+        "anywhere; the rank-weighted sum folds as a plain partial/final "
+        "HashAggregate to one row."
     ),
     "parts_revenue_pareto": (
         "Pareto curve over the distributed rank (skew-adaptive path). "
-        "Check: the part-revenue ranking Window partitions on __sid — "
-        "driver-refined range segments of the NEGATED 1e4-quantized "
-        "revenue (DESC without a descending global sort), each ≤ "
-        "RANK_SKEW_CAP rows; the row count is a driver-known literal "
-        "(__ntot), the grand total a 1-row BroadcastNestedLoopJoin; the "
-        "only ordered unpartitioned window runs on the 10-row decile "
-        "curve."
+        "Check: the part-revenue ranking Window partitions on "
+        "__rank_bucket — cap-proven log-buckets of the NEGATED 1e4-"
+        "quantized revenue (DESC without a descending global sort), "
+        "driver-known offsets, over-cap buckets reverting to __sid "
+        "segments; the row count is a driver-known literal (__ntot), "
+        "the grand total a 1-row BroadcastNestedLoopJoin; the only "
+        "ordered unpartitioned window runs on the 10-row decile curve."
     ),
     "docs_shingle_novelty": (
         "Shingle novelty. Check: the only joins key on the shingle "
@@ -354,6 +360,16 @@ HEADLINERS = {
         "text metadata (no blob materialization beyond byte length); "
         "the cumulative window partitions per language; the budget cut "
         "is an integer predicate, no float threshold."
+    ),
+    "multimodal_phash_near": (
+        "Radius-1 perceptual multiprobe. Check: the fingerprint relation "
+        "is ONE memoized Arrow pass — both the probe side and the bucket "
+        "side read the same checkpoint (Scan ExistingRDD twice, zero "
+        "MapInPandas re-runs); the 17-probe fanout is a narrow Generate "
+        "(explode of a 17-element array); neighbor matching is a hash "
+        "equi-join on the probed bucket key — no nested-loop, no "
+        "all-pairs; the degree histogram is two partial/final "
+        "HashAggregates."
     ),
     "embedding_label_outliers": (
         "Embedding hygiene. Check: centroids fold quantized int64 per "
