@@ -45,6 +45,29 @@ def test_reset_memos_forces_rebuild(spark):
     assert len(calls) == 2, "reset_memos must invalidate every memo key"
 
 
+def test_memoized_entries_hop_sf_dirs_correctly(spark):
+    """Integration form of the key contract: run a memoized dedup-family
+    entry and the shared-base RFM entry at one SF, then at another, then
+    back — each hop must serve THAT directory's data, never the previous
+    materialization. Counts pin it: the corpus sizes differ by 10x."""
+    from currency_etl_spark.queries.extras import customer_rfm
+    from currency_etl_spark.queries.llm_ops import _sh_base
+
+    tiny, small = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    n_tiny = _sh_base(spark, tiny).count()
+    n_small = _sh_base(spark, small).count()
+    # both tiny corpora hold 500 docs of DIFFERENT content — equal
+    # distinct-shingle counts across the hop would mean the memo served
+    # the previous directory's materialization
+    assert n_tiny > 0 and n_small > 0 and n_small != n_tiny
+    assert _sh_base(spark, tiny).count() == n_tiny  # hop back rebuilds
+    r_tiny = customer_rfm(spark, tiny).collect()
+    r_small = customer_rfm(spark, small).collect()
+    # the segment rollup differs between corpora; identical output would
+    # mean the memo served sf0.001's base to the sf0.01 query
+    assert sorted(map(tuple, r_tiny)) != sorted(map(tuple, r_small))
+
+
 def test_plain_swap_invalidates_memo(spark):
     """swap_checkpoint under the same tag replaces the content, so a
     later memo_checkpoint with the old key must NOT serve the swapped-in
