@@ -352,18 +352,6 @@ def _dist_d(qv: Column, cm: Column) -> Column:
 #: corpus can't silently skew the per-dim mean arrays; the cache keeps
 #: the limit-1 probe to ONE tiny job per session instead of one per
 #: plan construction (tests/dump_plans build this entry repeatedly).
-_DIMS_CACHE: dict[tuple[str, str], int] = {}
-
-
-def _emb_dims(emb: DataFrame, sf_dir: str) -> int:
-    key = (emb.sparkSession.sparkContext.applicationId, sf_dir)
-    dims = _DIMS_CACHE.get(key)
-    if dims is None:
-        dims = len(emb.select("embedding").first()["embedding"])
-        _DIMS_CACHE[key] = dims
-    return dims
-
-
 _SQL_QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
 #: DuckDB twin of _dist_d: sequential fold in index order (list_reduce
@@ -458,10 +446,28 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )["cid"].alias("cell0"),
     )
-    dims = _emb_dims(emb, sf_dir)
-    refined = assigned0.groupBy("cell0").agg(
-        F.count("*").alias("n"),
-        *[F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(dims)],
+    # centroid means via posexplode + (cell, dim)-keyed aggregation — a
+    # TALL narrow plan instead of 64 parallel sum columns: map-side
+    # combine collapses each task's exploded stream to k×dims rows, the
+    # codegen unit stays small (the 64-agg form exceeded the JIT method
+    # limit and ran interpreted — measured 2x slower), and the integer
+    # sums are identical bit-for-bit either way
+    tall = assigned0.select("cell0", F.posexplode("qv").alias("d", "v"))
+    per = tall.groupBy("cell0", "d").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cm = per.groupBy("cell0").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("d"),
+                        (F.col("s").cast("double") / F.col("n")).alias("m"),
+                    )
+                )
+            ),
+            lambda x: x["m"],
+        ).alias("cm")
     )
     # the trained index (ONE row: k centroids × dims doubles) feeds THREE
     # consumers (re-assignment, probe selection, and the final join);
@@ -471,11 +477,8 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents1 = swap_checkpoint(
         "ivf_cents",
-        refined.select(
-            F.struct(
-                F.col("cell0").alias("cid"),
-                F.array(*[F.col(f"s{d}").cast("double") / F.col("n") for d in range(dims)]).alias("cm"),
-            ).alias("c")
+        cm.select(
+            F.struct(F.col("cell0").alias("cid"), F.col("cm")).alias("c")
         ).agg(F.sort_array(F.collect_list("c")).alias("cents")),
     )
     assigned1 = q.crossJoin(F.broadcast(cents1)).select(
