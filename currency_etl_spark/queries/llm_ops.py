@@ -816,6 +816,18 @@ def _minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the converged cluster map is itself a family-shared relation:
+    # docs_dedup_survivors (and docs_curation_pipeline through it) elect
+    # survivors from the SAME components, so the propagation loop runs
+    # once per session per SF, not once per consumer
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    return memo_checkpoint(
+        "cc_map", sf_dir, lambda: _build_cluster_map(spark, sf_dir)
+    )
+
+
+def _build_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_candidate_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
