@@ -200,6 +200,34 @@ def multimodal_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, phash, checksum) fingerprint relation — ONE
+    Arrow pass over the blob column per session per (sf_dir), shared by
+    multimodal_phash_dedup (exact-bucket grouping) and
+    multimodal_phash_near (Hamming-1 multiprobe): the stored fingerprint
+    index of a production near-dup stage. spread: under-split local
+    scans would run the Arrow pass on one core (same rationale as
+    multimodal_features)."""
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    return memo_checkpoint(
+        "phash_base", sf_dir, lambda: _phash_build(spark, sf_dir)
+    )
+
+
+def _phash_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized fingerprint pipeline — split out so the plan
+    test can assert its single-Arrow-pass / pruned-scan properties (the
+    entries themselves plan as ExistingRDD reads of the checkpoint)."""
+    from currency_etl_spark.operators.multimodal import perceptual_hash
+    from currency_etl_spark.sources import spread
+
+    blobs = spread(
+        attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
+    )
+    return perceptual_hash(blobs)
+
+
 @register(
     "multimodal_phash_dedup",
     oracle="""
@@ -275,15 +303,7 @@ def multimodal_dedup_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from currency_etl_spark.operators.multimodal import perceptual_hash
-    from currency_etl_spark.sources import spread
-
-    # spread: under-split local scans would run the Arrow pass on one
-    # core (same rationale as multimodal_features)
-    blobs = spread(
-        attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
-    )
-    ph = perceptual_hash(blobs)
+    ph = _phash_base(spark, sf_dir)
     return (
         ph.groupBy("phash")
         .agg(
@@ -382,18 +402,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from currency_etl_spark.operators.ckpt import swap_checkpoint
-    from currency_etl_spark.operators.multimodal import perceptual_hash
-    from currency_etl_spark.sources import spread
-
-    blobs = spread(
-        attach_blob(table(spark, sf_dir, "documents")).select("doc_id", "blob")
-    )
-    # one Arrow pass over the blobs, materialized once: the probe fanout
-    # and the bucket (neighbor) side both read it
-    ph = swap_checkpoint(
-        "phash_near", perceptual_hash(blobs).select("doc_id", "phash")
-    )
+    # the memoized fingerprint index (one Arrow blob pass, shared with
+    # multimodal_phash_dedup); the probe fanout and the bucket
+    # (neighbor) side both read the same materialization
+    ph = _phash_base(spark, sf_dir).select("doc_id", "phash")
     probes = ph.select(
         "doc_id",
         "phash",

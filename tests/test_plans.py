@@ -518,21 +518,31 @@ def test_storage_quota_prunes_unused_columns(spark, sf_dir):
 
 
 def test_phash_dedup_single_arrow_pass_pruned_scan(spark, sf_dir):
-    """multimodal_phash_dedup must run exactly ONE Arrow mapInPandas pass
-    over the blob column (fingerprint + checksum from the same scan — a
-    second pass would re-read every asset byte at 100 TB), scan only
-    (doc_id, text), and aggregate with map-side partial combine on the
-    64-bit phash key — never an all-pairs comparison (no nested-loop or
-    cartesian join anywhere)."""
-    from currency_etl_spark.queries.multimodal import multimodal_phash_dedup
+    """The shared fingerprint BUILD must run exactly ONE Arrow
+    mapInPandas pass over the blob column (fingerprint + checksum from
+    the same scan — a second pass would re-read every asset byte at
+    100 TB) and scan only (doc_id, text); the consuming entries
+    (phash_dedup, phash_near) must read the memoized materialization
+    (ExistingRDD, zero MapInPandas re-runs) and never plan an all-pairs
+    comparison, with map-side partial combine on the 64-bit phash key."""
+    from currency_etl_spark.queries.multimodal import (
+        _phash_build,
+        multimodal_phash_dedup,
+        multimodal_phash_near,
+    )
 
-    p = plan_of(multimodal_phash_dedup(spark, sf_dir))
+    pb = plan_of(_phash_build(spark, sf_dir))
     # one "(n) MapInPandas" detail header == one physical Arrow pass (the
     # formatted dump also names the node in the tree summary, so a raw
     # substring count reads 2 for a single node)
-    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
-    read_schema = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert len(re.findall(r"\(\d+\) MapInPandas", pb)) == 1, pb
+    read_schema = pb.split("ReadSchema", 1)[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema and "source" not in read_schema
-    assert "partial_count" in p  # map-side combine before the phash exchange
-    assert "NestedLoop" not in p and "Cartesian" not in p
+
+    for fn in (multimodal_phash_dedup, multimodal_phash_near):
+        p = plan_of(fn(spark, sf_dir))
+        assert "MapInPandas" not in p, p  # reads the checkpoint, no re-run
+        assert "ExistingRDD" in p
+        assert "partial_count" in p  # map-side combine before the exchange
+        assert "NestedLoop" not in p and "Cartesian" not in p
