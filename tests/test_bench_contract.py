@@ -75,3 +75,20 @@ def test_subset_run_does_not_clobber_full_dump():
         f"{newest} holds only {n_before} queries — a subset bench run "
         "overwrote the full-catalog dump"
     )
+
+
+def test_bench_resets_shared_memos_between_passes():
+    """Measurement-honesty guard: each timed pass must rebuild every
+    memoized cross-entry checkpoint (the shared RFM / MinHash / phash /
+    cluster-map bases) inside a timed region. Losing the reset_memos()
+    call next to reset_stream_pool() would let pass 2 serve pass 1's
+    materializations and the per-query min would under-report the work."""
+    import inspect
+
+    src = inspect.getsource(bench_mod.main)
+    pool_at = src.find("reset_stream_pool()")
+    memo_at = src.find("reset_memos()")
+    assert pool_at != -1 and memo_at != -1, (
+        "bench.main must reset both the stream pool and the shared memos "
+        "at every pass boundary"
+    )
