@@ -157,6 +157,40 @@ def test_log_bucket_sql_matches_python_at_int64_edges(spark):
     assert nb is None
 
 
+def test_adaptive_rank_extreme_span_segmented_path(spark):
+    """Force the SEGMENTED path (cap smaller than a bucket's population)
+    on keys spanning both int64 extremes: refinement intervals nest
+    inside single log-buckets (same sign, bounded span), so the
+    `(key - lo) div w` split arithmetic can never overflow int64 even
+    though kmax - kmin would. Ranks must equal the plain ROW_NUMBER."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    lo, hi = -(2**63), 2**63 - 1
+    rows = [(lo, 0), (lo + 1, 1), (hi, 2), (hi - 1, 3), (0, 4), (-1, 5)]
+    # populate one bucket past the cap so refinement actually runs:
+    # bucket of [2^62, 2^63-1] gets 40 spread keys (cap=8 below)
+    rows += [(2**62 + i * (2**56), 100 + i) for i in range(40)]
+    # and a hot single key beyond the cap to cross tb-splitting with
+    # the extreme-span layout
+    rows += [(2**62, 1000 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, tb long").repartition(4)
+
+    got = sorted(
+        distributed_global_rank(df, "k", "tb", max_split_rows=8)
+        .select("k", "tb", "rank")
+        .collect()
+    )
+    want = sorted(
+        df.withColumn("rank", F.row_number().over(W.orderBy("k", "tb")).cast("long"))
+        .select("k", "tb", "rank")
+        .collect()
+    )
+    assert got == want
+
+
 def test_adaptive_rank_property_random_keys(spark):
     """Property: for arbitrary key multisets — negative keys, huge gaps,
     heavy ties — the adaptive path assigns exactly ROW_NUMBER() OVER
