@@ -38,11 +38,21 @@ _KEYS: dict = {}
 def swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
     prev = _LIVE.get(tag)
     if prev is not None:
-        prev.unpersist()
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # previous checkpoint's session stopped: nothing to free
     out = df.localCheckpoint(eager=True)
     _LIVE[tag] = out
     _KEYS.pop(tag, None)
     return out
+
+
+#: Entries that triggered a memo BUILD since the last drain — bench.py
+#: reads this to attribute each shared-base build cost to the entry that
+#: paid it (per-query times inside memoized families are otherwise
+#: iteration-order-dependent and round-over-round comparisons misread).
+_BUILT: list = []
 
 
 def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
@@ -54,12 +64,31 @@ def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
     customers_rfm_segments share one customers-sized RFM aggregate) pay
     its build once per session instead of once per entry, while a
     different sf_dir — the oracle tests hop between SFs — always
-    rebuilds. Same one-live-per-tag release discipline."""
+    rebuilds. Same one-live-per-tag release discipline.
+
+    The stored key additionally folds in the owning session's
+    applicationId: a checkpointed DataFrame is bound to its SparkSession,
+    so after a session restart a memo hit would otherwise hand back a
+    DataFrame of a dead session (round-7 advice)."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    app = sess.sparkContext.applicationId if sess is not None else None
     got = _LIVE.get(tag)
-    if got is not None and _KEYS.get(tag) == key:
+    if got is not None and _KEYS.get(tag) == (key, app):
         return got
     out = swap_checkpoint(tag, build())
-    _KEYS[tag] = key
+    _KEYS[tag] = (key, out.sparkSession.sparkContext.applicationId)
+    _BUILT.append(tag)
+    return out
+
+
+def drain_built_tags() -> list:
+    """Return and clear the list of memo tags BUILT (not served warm)
+    since the last drain — bench.py calls this after each entry to record
+    which entry paid each shared-base build."""
+    out = list(_BUILT)
+    _BUILT.clear()
     return out
 
 
@@ -67,9 +96,27 @@ def reset_memos() -> None:
     """Forget every memo key (bench pass boundary — the honesty guard
     mirroring reset_stream_pool): the next memo_checkpoint under each tag
     rebuilds inside its caller's timed region, and the swap releases the
-    previous pass's blocks. Already-handed-out checkpoints stay valid for
-    plans still holding them."""
+    previous pass's blocks. A handed-out checkpoint stays valid until its
+    tag is next checkpointed (the same one-live-per-tag contract: execute
+    plans holding it before re-invoking the tag's entry family)."""
     _KEYS.clear()
+
+
+def release_all() -> None:
+    """Release EVERY live checkpoint and forget all memo keys — the
+    long-session guard (round-7 verdict item 6): _LIVE/_KEYS are
+    process-global and otherwise grow one entry per tag for the life of
+    the process (notebook-style sessions). Callers must not hold
+    unexecuted plans over released checkpoints (same contract as
+    swap_checkpoint replacing a tag)."""
+    for df in _LIVE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session already stopped
+    _LIVE.clear()
+    _KEYS.clear()
+    _BUILT.clear()
 
 
 def chain_checkpoint(tag: str, df: DataFrame) -> DataFrame:

@@ -347,11 +347,8 @@ def _dist_d(qv: Column, cm: Column) -> Column:
     )
 
 
-#: (applicationId, sf_dir) → embedding dimensionality. A fixed corpus
-#: property, but derived from data (not hardcoded) so a regenerated
-#: corpus can't silently skew the per-dim mean arrays; the cache keeps
-#: the limit-1 probe to ONE tiny job per session instead of one per
-#: plan construction (tests/dump_plans build this entry repeatedly).
+#: DuckDB twin of quantize_vec (the shared Q_SCALE=1e6 convention from
+#: queries/training.py): float32 embedding → exact int64 lattice.
 _SQL_QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
 #: DuckDB twin of _dist_d: sequential fold in index order (list_reduce

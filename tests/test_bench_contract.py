@@ -92,3 +92,16 @@ def test_bench_resets_shared_memos_between_passes():
         "bench.main must reset both the stream pool and the shared memos "
         "at every pass boundary"
     )
+    # Position, not mere presence (round-7 advice): both resets must sit
+    # INSIDE the pass loop and BEFORE the pass timer starts — a refactor
+    # moving either outside the loop (pass 2 served warm bases) or after
+    # pass_t0 (reset cost mis-billed to the pass) must fail here.
+    loop_at = src.find("for _ in range(2):")
+    timer_at = src.find("pass_t0 = time.perf_counter()")
+    assert loop_at != -1 and timer_at != -1, "bench.main pass-loop landmarks moved"
+    assert loop_at < pool_at < timer_at, (
+        "reset_stream_pool() must run inside the pass loop, before pass_t0"
+    )
+    assert loop_at < memo_at < timer_at, (
+        "reset_memos() must run inside the pass loop, before pass_t0"
+    )
