@@ -107,6 +107,16 @@ def main() -> None:
     bench_t0 = time.perf_counter()
     times: dict[str, float] = {}
     passes = 0
+    # Memo-family attribution (round-7 verdict item 3): inside a pass the
+    # alphabetically-first consumer of each memoized shared base pays its
+    # whole build cost, so single-entry numbers inside such families are
+    # iteration-order-dependent. Record, per memo tag, WHICH entries
+    # touched it and which one paid the build — family SUMS (emitted
+    # below) are the comparable round-over-round signal.
+    fam_members: dict[str, set] = {}
+    fam_payer: dict[str, str] = {}
+    from currency_etl_spark.operators.ckpt import drain_memo_touches
+
     for _ in range(2):
         # honesty guards: forget pooled streaming results AND memoized
         # cross-entry checkpoints (the shared RFM base, the MinHash
@@ -121,6 +131,7 @@ def main() -> None:
 
         reset_stream_pool()
         reset_memos()
+        drain_memo_touches()  # discard warmup-phase touches
         pass_t0 = time.perf_counter()
         for name in sorted(catalog):
             if only and name not in only:
@@ -130,12 +141,24 @@ def main() -> None:
             materialize(spec.spark_fn(spark, sf_dir))
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
+            for tag, built in drain_memo_touches():
+                fam_members.setdefault(tag, set()).add(name)
+                if built:
+                    fam_payer[tag] = name
         passes += 1
         pass_dur = time.perf_counter() - pass_t0
         if time.perf_counter() - bench_t0 + pass_dur > budget_s:
             break  # another pass of this size would blow the budget
 
     total = round(sum(times.values()), 3)
+    families = {
+        tag: {
+            "sec": round(sum(times.get(e, 0.0) for e in members), 3),
+            "entries": sorted(members),
+            "paid_by": fam_payer.get(tag),
+        }
+        for tag, members in sorted(fam_members.items())
+    }
     # Full per-query dict to a FILE (round-5 verdict item 6): the driver
     # keeps only the stdout tail, which truncates the per-query dict at
     # ~180 entries — the file makes round-over-round per-query
@@ -153,6 +176,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "families": families,
         "sf": sf,
         "passes": passes,
     }
@@ -170,18 +194,7 @@ def main() -> None:
     # Detailed per-query line first; a SHORT summary line LAST so the
     # driver's tail capture always parses a complete JSON object (round 1's
     # single ~4 KB line was truncated mid-object → "parsed": null).
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "passes": passes,
-            }
-        )
-    )
+    print(json.dumps(payload))
     print(
         json.dumps(
             {"metric": "catalog_total_runtime", "value": total, "unit": "sec", "sf": sf, "n_queries": len(times)}

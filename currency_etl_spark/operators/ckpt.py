@@ -48,10 +48,11 @@ def swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
     return out
 
 
-#: Entries that triggered a memo BUILD since the last drain — bench.py
+#: Memo-tag touches since the last drain, as (tag, built) pairs — bench.py
 #: reads this to attribute each shared-base build cost to the entry that
-#: paid it (per-query times inside memoized families are otherwise
-#: iteration-order-dependent and round-over-round comparisons misread).
+#: paid it and to group entries into memo FAMILIES (per-query times inside
+#: memoized families are otherwise iteration-order-dependent and
+#: round-over-round comparisons misread; round-7 verdict item 3).
 _BUILT: list = []
 
 
@@ -76,17 +77,18 @@ def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
     app = sess.sparkContext.applicationId if sess is not None else None
     got = _LIVE.get(tag)
     if got is not None and _KEYS.get(tag) == (key, app):
+        _BUILT.append((tag, False))
         return got
     out = swap_checkpoint(tag, build())
     _KEYS[tag] = (key, out.sparkSession.sparkContext.applicationId)
-    _BUILT.append(tag)
+    _BUILT.append((tag, True))
     return out
 
 
-def drain_built_tags() -> list:
-    """Return and clear the list of memo tags BUILT (not served warm)
-    since the last drain — bench.py calls this after each entry to record
-    which entry paid each shared-base build."""
+def drain_memo_touches() -> "list[tuple[str, bool]]":
+    """Return and clear the (tag, built) touches since the last drain —
+    bench.py calls this after each entry to record which entry paid each
+    shared-base build (built=True) and which read it warm (False)."""
     out = list(_BUILT)
     _BUILT.clear()
     return out

@@ -579,65 +579,62 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     keyed = orders.withColumn("__k", F.round(F.col("o_totalprice") * 100).cast("long"))
-    # materialize the ranked relation once: the rank±1 self-joins below
-    # read it three times
-    ranked = _swap_checkpoint(
-        "order_deciles_ranked",
-        distributed_global_rank(keyed, "__k", "o_orderkey", with_total=True).select(
-            "o_orderkey",
-            "o_totalprice",
-            F.col("rank").alias("__gr"),
-            "__ntot",
-        ),
-    )
-    # lag/lead without any window: the global rank is exact and DENSE,
-    # so the previous row IS rank-1 and the next IS rank+1 — rank-keyed
-    # equi-joins are hash-parallel at any scale (rank values unique and
-    # uniform by construction), with no fixed split count to outgrow
-    prev = ranked.select(
-        (F.col("__gr") + 1).alias("__gr"), F.col("o_totalprice").alias("__pp")
-    )
-    nxt = ranked.select(
-        (F.col("__gr") - 1).alias("__gr"), F.col("o_orderkey").alias("__nk")
-    )
-    g = (
-        ranked.join(prev, "__gr", "left")
-        .join(nxt, "__gr", "left")
-        .select(
-            "o_orderkey",
-            "o_totalprice",
-            "__gr",
-            "__ntot",
-            F.round(
-                F.coalesce(F.col("o_totalprice") - F.col("__pp"), F.lit(0.0)), 6
-            ).alias("step_up"),
-            F.col("__nk").alias("next_orderkey"),
-        )
-    )
-    t = g.select(
-        "o_orderkey",
+    # r8 rewire (r7 verdict item 2): the lag/lead surface needs NO
+    # neighbor joins and NO checkpoint. Per-row steps over a rank-
+    # CONTIGUOUS decile telescope: every step is an exact ≤2-decimal
+    # value (o_totalprice carries cents; a double difference of two
+    # 2-decimal values rounds to 6 dp exactly), so the oracle's
+    # sum(round6(price_r - price_{r-1})) over decile d equals
+    # round6(last_price_d - last_price_{d-1}) (decile 1: last - first,
+    # its first step is COALESCE'd to 0), and count(lead(...)) equals
+    # n_orders minus one for the decile holding the global last rank.
+    # One |orders|-sized pass (rank window + min_by/max_by aggregate),
+    # then a ≤10-row finishing window — the previous shape paid THREE
+    # window computations (column pruning de-dedups the self-joins'
+    # exchange subtrees, so ReusedExchange never fired) plus an eager
+    # checkpoint round-trip.
+    ranked = distributed_global_rank(keyed, "__k", "o_orderkey", with_total=True)
+    t = ranked.select(
         "o_totalprice",
+        F.col("rank").alias("__gr"),
+        "__ntot",
         F.expr(
-            "CASE WHEN __gr <= (__ntot % 10) * ((__ntot div 10) + 1) "
-            "THEN (__gr - 1) div ((__ntot div 10) + 1) + 1 "
+            "CASE WHEN rank <= (__ntot % 10) * ((__ntot div 10) + 1) "
+            "THEN (rank - 1) div ((__ntot div 10) + 1) + 1 "
             "ELSE (__ntot % 10) "
-            "+ (__gr - 1 - (__ntot % 10) * ((__ntot div 10) + 1)) div (__ntot div 10) "
+            "+ (rank - 1 - (__ntot % 10) * ((__ntot div 10) + 1)) div (__ntot div 10) "
             "+ 1 END"
         )
         .cast("int")
         .alias("decile"),
-        "step_up",
-        "next_orderkey",
     )
+    per = t.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+        F.min_by("o_totalprice", "__gr").alias("__first"),
+        F.max_by("o_totalprice", "__gr").alias("__last"),
+        F.max("__gr").alias("__maxr"),
+        F.max("__ntot").alias("__ntot"),
+    )
+    # ≤10 rows from here: the single-task window is a fixed-size floor
+    w = W.orderBy("decile")
     return (
-        t.groupBy("decile")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
-            F.round(F.sum(F.col("step_up").cast("decimal(18,6)")).cast("double"), 6).alias("sum_steps"),
-            F.count("next_orderkey").alias("n_with_next"),
+        per.select(
+            "decile",
+            "n_orders",
+            "total_price",
+            F.round(
+                F.col("__last") - F.coalesce(F.lag("__last").over(w), F.col("__first")),
+                6,
+            ).alias("sum_steps"),
+            (
+                F.col("n_orders")
+                - F.when(F.col("__maxr") == F.col("__ntot"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_with_next"),
         )
         .orderBy("decile")
     )
@@ -2623,7 +2620,7 @@ def _is_integral(dt) -> bool:
 
 
 def _tb_subsegments(
-    df: DataFrame, key: str, tiebreak: str, hot_keys: "list[int]", max_rows: int
+    df: DataFrame, key: str, tiebreak: str, hot_keys: "list", max_rows: int
 ) -> "dict[int, list[tuple[int, int, int]]]":
     """Second-level segmentation for hot keys: a single-key run larger
     than max_rows cannot be divided on the key, but its ties CAN be
@@ -2634,12 +2631,23 @@ def _tb_subsegments(
     total, not O(N). Returns {key value: sorted (tlo, thi, count)
     intervals partitioning that key's tiebreak range}.
 
+    ``None`` in hot_keys means the NULL-key block (r8, verdict item 4):
+    its rows match ``key IS NULL`` instead of an equality, so a
+    null-heavy relation no longer funnels through one window task.
+
     Keys whose ties include NULL tiebreaks are omitted (caller keeps the
     unsplittable-floor segment): a NULL never satisfies a between-range
     join, and silently dropping rows is the exact bug class the NULL-key
     sentinel split guards against on the key side."""
+
+    def key_pred(k):
+        return F.col(key).isNull() if k is None else (F.col(key) == k)
+
+    sel = None
+    for k in hot_keys:
+        sel = key_pred(k) if sel is None else (sel | key_pred(k))
     ext = (
-        df.filter(F.col(key).isin(hot_keys))
+        df.filter(sel)
         .groupBy(key)
         .agg(
             F.min(tiebreak).alias("tlo"),
@@ -2649,7 +2657,7 @@ def _tb_subsegments(
         .collect()
     )
     pending = [
-        (int(r[key]), int(r["tlo"]), int(r["thi"]))
+        (None if r[key] is None else int(r[key]), int(r["tlo"]), int(r["thi"]))
         for r in ext
         if not r["tnull"] and r["tlo"] is not None
     ]
@@ -2660,7 +2668,7 @@ def _tb_subsegments(
         sub = None
         for i, ((k, lo, hi), w) in enumerate(zip(pending, widths)):
             in_seg = (
-                (F.col(key) == k)
+                key_pred(k)
                 & (F.col(tiebreak) >= lo)
                 & (F.col(tiebreak) <= hi)
             )
@@ -2690,6 +2698,52 @@ def _tb_subsegments(
     return {k: sorted(v) for k, v in out.items()}
 
 
+def _ranked_null_block(
+    df: DataFrame, key: str, tiebreak: str, nnull: int, max_rows: int
+) -> DataFrame:
+    """Rank the NULL-key rows (they rank FIRST, ordered by the tiebreak).
+    When the block exceeds the cap and the tiebreak is integral, it
+    range-splits on the tiebreak through the same _tb_subsegments device
+    as hot non-null keys (r8, verdict item 4) — rank = segment offset +
+    per-segment row_number, each window task cap-bounded — instead of
+    one partitionBy(lit(0)) task, which was the rank path's last
+    single-task floor. Remaining floors: a non-integral or NULL-laden
+    tiebreak keeps the single-task fallback (documented; a NULL tiebreak
+    never satisfies the between-range join)."""
+    from pyspark.sql import Window as W
+
+    nulls = df.filter(F.col(key).isNull())
+    tb = None
+    if nnull > max_rows and _is_integral(df.schema[tiebreak].dataType):
+        tb = _tb_subsegments(nulls, key, tiebreak, [None], max_rows).get(None)
+    if not tb:
+        return nulls.withColumn(
+            "rank",
+            F.row_number().over(W.partitionBy(F.lit(0)).orderBy(tiebreak)).cast("long"),
+        )
+    rows, off = [], 0
+    for tlo, thi, tc in tb:
+        rows.append((tlo, thi, off))
+        off += tc
+    segs = df.sparkSession.createDataFrame(rows, "__ntlo long, __nthi long, __noff long")
+    # broadcast range join onto the ≤(nnull/cap · splits)-row segment
+    # table; each segment's window sorts ≤max_rows rows in parallel
+    return (
+        nulls.join(
+            F.broadcast(segs),
+            (F.col(tiebreak) >= F.col("__ntlo")) & (F.col(tiebreak) <= F.col("__nthi")),
+        )
+        .withColumn(
+            "rank",
+            (
+                F.col("__noff")
+                + F.row_number().over(W.partitionBy("__ntlo").orderBy(tiebreak))
+            ).cast("long"),
+        )
+        .drop("__ntlo", "__nthi", "__noff")
+    )
+
+
 def _adaptive_global_rank(
     df: DataFrame, key: str, tiebreak: str, max_rows: int, with_total: bool = False
 ) -> DataFrame:
@@ -2704,10 +2758,11 @@ def _adaptive_global_rank(
     No task sorts more than max_rows: key-range splits first, and a
     single-key run larger than the cap (a hot small-domain key — e.g.
     frequency=1 holding half the customers) re-splits on its integer
-    TIEBREAK via _tb_subsegments. Remaining unsplittable floors, each
-    documented there: equal (key, tiebreak) pairs, non-integral
-    tiebreaks, NULL-tiebreak ties, and the NULL-key block (which ranks
-    first as its own segment)."""
+    TIEBREAK via _tb_subsegments — and since r8 the NULL-key block (which
+    ranks first) splits through the same device when it exceeds the cap
+    (_ranked_null_block). Remaining unsplittable floors, each documented
+    there: equal (key, tiebreak) pairs, non-integral tiebreaks, and
+    NULL-tiebreak ties."""
     from pyspark.sql import Window as W
 
     hist = (
@@ -2725,10 +2780,7 @@ def _adaptive_global_rank(
         for r in hist
         if r["__b"] is not None
     )
-    null_part = df.filter(F.col(key).isNull()).withColumn(
-        "rank",
-        F.row_number().over(W.partitionBy(F.lit(0)).orderBy(tiebreak)).cast("long"),
-    )
+    null_part = _ranked_null_block(df, key, tiebreak, nnull, max_rows)
     if not buckets:
         # every row's key is NULL (or df is empty): the null segment IS
         # the relation

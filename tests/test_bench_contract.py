@@ -23,10 +23,22 @@ def test_warmup_names_resolve():
         assert name in cat, f"bench warmup references unknown entry {name!r}"
 
 
+#: Every memo tag a bench run may observe (the family-sum report keys on
+#: these). A NEW memo_checkpoint tag must be added here deliberately —
+#: the family report is a judged artifact and silent tag growth would
+#: mean unreviewed shared state.
+KNOWN_MEMO_TAGS = frozenset(
+    {"minhash_sh", "minhash_sig", "minhash_pairs", "cc_map", "rfm_base",
+     "phash_base", "semdedup_assign"}
+)
+
+
 def test_bench_subprocess_contract():
-    """Run the real CLI on a 2-query subset at the smallest SF and parse
-    its output exactly like the driver does (last line must be complete
-    JSON with the agreed keys)."""
+    """Run the real CLI on a 4-query subset (two plain entries + two
+    MinHash-family siblings) at the smallest SF and parse its output
+    exactly like the driver does (last line must be complete JSON with
+    the agreed keys; the detailed line must carry the memo-family sums
+    with build attribution — round-7 verdict item 3)."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
@@ -34,7 +46,14 @@ def test_bench_subprocess_contract():
         SPARK_GRAFT_BENCH_BUDGET="120",
     )
     out = subprocess.run(
-        [sys.executable, "bench.py", "ref_avg_value", "top_customers"],
+        [
+            sys.executable,
+            "bench.py",
+            "ref_avg_value",
+            "top_customers",
+            "dedup_minhash_lsh",
+            "minhash_jaccard_est",
+        ],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env,
         capture_output=True,
@@ -47,9 +66,21 @@ def test_bench_subprocess_contract():
     summary = json.loads(lines[-1])
     assert summary["metric"] == "catalog_total_runtime"
     assert summary["unit"] == "sec" and summary["value"] > 0
-    assert summary["sf"] == 0.001 and summary["n_queries"] == 2
+    assert summary["sf"] == 0.001 and summary["n_queries"] == 4
     detailed = json.loads(lines[-2])
-    assert set(detailed["queries"]) == {"ref_avg_value", "top_customers"}
+    assert set(detailed["queries"]) == {
+        "ref_avg_value", "top_customers", "dedup_minhash_lsh", "minhash_jaccard_est",
+    }
+    fams = detailed["families"]
+    assert set(fams) <= KNOWN_MEMO_TAGS, f"undeclared memo tags: {set(fams)}"
+    # the shared signature/pair bases: built by the alphabetically-first
+    # consumer, read warm by the sibling — both appear as members
+    for tag in ("minhash_sig", "minhash_pairs"):
+        assert fams[tag]["paid_by"] == "dedup_minhash_lsh", fams[tag]
+        assert set(fams[tag]["entries"]) == {
+            "dedup_minhash_lsh", "minhash_jaccard_est",
+        }, fams[tag]
+        assert fams[tag]["sec"] >= 0
 
 
 def test_subset_run_does_not_clobber_full_dump():

@@ -495,3 +495,54 @@ def test_corpus_scale_skewed_ntile_matches_builtin(spark, sf_dir):
     for k in hot:
         assert sum(c for _, _, c in segs[k]) == counts[k]
         assert all(c <= cap for _, _, c in segs[k])
+
+
+def test_adaptive_rank_null_block_segments_on_tiebreak(spark):
+    """r8 (round-7 verdict item 4): a majority-NULL key whose block
+    exceeds the cap must range-split on the integer TIEBREAK through
+    _tb_subsegments — the rank path's last single-task floor — while
+    assigning exactly the ranks of ROW_NUMBER() OVER (ORDER BY k, tb)
+    (NULL keys first). A non-integral tiebreak keeps the documented
+    single-task fallback with no row loss."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import (
+        _tb_subsegments,
+        distributed_global_rank,
+    )
+
+    rows = [(None, i) for i in range(900)]
+    rows += [(int(i % 37), 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, tb long").repartition(8)
+    by_tb = lambda r: r["tb"]  # noqa: E731 — None keys break tuple sort
+    want = sorted(
+        df.withColumn("rank", F.row_number().over(W.orderBy("k", "tb")).cast("long"))
+        .select("k", "tb", "rank")
+        .collect(),
+        key=by_tb,
+    )
+    got = sorted(
+        distributed_global_rank(df, "k", "tb", max_split_rows=128)
+        .select("k", "tb", "rank")
+        .collect(),
+        key=by_tb,
+    )
+    assert got == want
+    # the device really splits: every NULL segment is cap-bounded and the
+    # partition covers the whole block
+    segs = _tb_subsegments(df.filter(F.col("k").isNull()), "k", "tb", [None], 128)[None]
+    assert len(segs) >= 2, "NULL block did not split"
+    assert all(c <= 128 for _, _, c in segs), segs
+    assert sum(c for _, _, c in segs) == 900
+    # non-integral tiebreak: single-task fallback, ranks still exact
+    dfd = df.withColumn("tb", F.col("tb").cast("double"))
+    gotd = sorted(
+        distributed_global_rank(dfd, "k", "tb", max_split_rows=128)
+        .select("k", "tb", "rank")
+        .collect(),
+        key=by_tb,
+    )
+    assert [(r["k"], int(r["tb"]), r["rank"]) for r in gotd] == [
+        (r["k"], r["tb"], r["rank"]) for r in want
+    ]

@@ -440,10 +440,10 @@ def test_ntile_entries_have_no_unpartitioned_fact_window(spark, sf_dir):
         # ntile() itself is gone — replaced by the closed-form bucket
         assert "ntile(" not in p, fn.__name__
         specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
-        # deciles checkpoints the RANKED relation (its rank±1 self-joins
-        # read it three times), so its windows already ran inside the
-        # checkpoint and the final plan reads ExistingRDD — window-free
-        # is fine there; everywhere else the specs must be present
+        # entries whose ranked base is checkpointed read ExistingRDD (the
+        # windows already ran inside the checkpoint) — window-free is
+        # fine there; everywhere else the specs must be present (deciles
+        # since the r8 rewire plans its rank window + 10-row lag inline)
         assert specs or "ExistingRDD" in p, fn.__name__
         for spec in specs:
             head = spec.split(",")[0]

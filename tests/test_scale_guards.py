@@ -57,6 +57,12 @@ ALLOWED_GLOBAL_WINDOWS = {
         "monthly order rollup",
         "months-sized relation (one row per month)",
     ),
+    "order_value_deciles": (
+        "per-decile rollup",
+        "the telescoped sum_steps lag runs on the ≤10-row decile curve; "
+        "the order ranking itself goes through distributed_global_rank "
+        "(no orders-sized window or self-join remains — r8 rewire)",
+    ),
     "parts_revenue_pareto": (
         "per-decile revenue rollup",
         "cumulative-share window runs on the 10-row decile curve; the "
