@@ -61,8 +61,86 @@ def register(name: str, oracle: Optional[str], tags: tuple = (), doc: str = ""):
 GRADING_WINDOW = 50
 
 PRIORITY_ORDER = [
-    # ROUND 7 WINDOW — grading debt to ZERO (round-6 verdict item 1; the
-    # plan this window executes was written in round 6's deferral note).
+    # ROUND 8 WINDOW — the standing staleness rotation (round-7 verdict
+    # item 1; the plan this window executes is the r8 note written in
+    # round 7's window comment). Composition: the 34 r4-stale standing
+    # greens lead (alphabetical, as planned), then the oldest 14 of the
+    # r5 block. The final 2 slots of the planned 16-entry r5 refresh
+    # (docs_weighted_sample, embedding_pq) are ceded to the round's NEW
+    # entries per the rotation note ("a NEW entry takes a slot from the
+    # r5 block's tail"): dedup_semantic and streaming_dedup_screen, which
+    # lead the window as first-row entries. After r8 the staleness
+    # ledger is: 50×r8, 50×r7, 50×r6, 36×r5 (the r5 block's ceded tail
+    # next-oldest) — no entry older than r5. All 50 are oracle-verified
+    # locally at sf0.001 on every pytest run (tests/test_oracle.py); the
+    # builder's logged driver simulation repeats the comparison at
+    # sf0.01.
+    #
+    # --- NEW this round (first driver rows) ---
+    "dedup_semantic",
+    "streaming_dedup_screen",
+    # --- the 34 r4-stale standing greens ---
+    "acctbal_dispersion",
+    "customer_rfm",
+    "customers_order_coverage",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "docs_ngram_counts",
+    "docs_pii_scrub",
+    "docs_repetition_score",
+    "docs_vocab_coverage",
+    "embedding_quantize",
+    "integrity_checks",
+    "knn_lsh_multiprobe",
+    "lineitem_price_histogram",
+    "minhash_jaccard_est",
+    "multimodal_features",
+    "order_rank_metrics",
+    "order_value_deciles",
+    "orders_monthly_growth",
+    "orders_snapshot_diff",
+    "part_brand_revenue",
+    "part_min_price_per_brand",
+    "profile_lineitem",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    # --- the oldest 14 of the r5 block ---
+    "approx_distinct_stats",
+    "asof_click_within_1h",
+    "asof_purchase_last_click",
+    "bpe_pair_merge",
+    "cust_name_parse",
+    "dedup_incremental",
+    "docs_curation_pipeline",
+    "docs_decontaminate",
+    "docs_dedup_survivors",
+    "docs_domain_cap",
+    "docs_mixture_report",
+    "docs_quality_filter",
+    "docs_sequence_pack",
+    "docs_subword_tokens",
+    # MUST LEAD round 9 (staleness after r8: 50×r8, 50×r7, 50×r6,
+    # 36×r5): the 36 remaining r5-stale standing greens, starting with
+    # the ceded tail — docs_weighted_sample, embedding_pq — then the
+    # rest of the r5 block in its original registration order; any NEW
+    # r9 entry takes a slot from that block's tail, exactly as this
+    # round's two did. The remaining ~14 slots go to the oldest r6 rows.
+]
+
+_ROUND7_WINDOW = [
+    # ROUND 7 WINDOW (kept for the rotation audit trail) — grading debt
+    # to ZERO (round-6 verdict item 1; the plan this window executed was
+    # written in round 6's deferral note).
     # Composition: the 7 never-graded entries lead (the 5 round-6
     # deferrals + the post-freeze multimodal_phash_dedup + the new
     # multimodal_phash_near, its Hamming-1 multiprobe sibling shipped

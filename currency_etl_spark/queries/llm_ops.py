@@ -628,6 +628,198 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(20)
 
 
+#: SemDeDup cluster-member budget and near-dup cosine threshold. The cap
+#: bounds intra-cluster pair generation to SEM_CAP²/2 per cluster (the
+#: scale guard — at 100 TB k grows ∝ N so the per-cluster budget holds);
+#: the threshold is calibrated to the synthetic corpus's similarity range
+#: (intra-cluster cosine p99 ≈ 0.32, max ≈ 0.49 — real SemDeDup deploys
+#: use ~0.95+ against corpora with planted near-dups).
+SEM_CAP = 256
+SEM_TAU = 0.35
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+            FROM embeddings
+        ),
+        cent AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 8),
+        va AS (SELECT vec_id, generate_subscripts(qv, 1) AS d, unnest(qv) AS v FROM q),
+        vc AS (SELECT cid, generate_subscripts(cq, 1) AS d, unnest(cq) AS v FROM cent),
+        dist AS (
+            SELECT va.vec_id, vc.cid, CAST(sum((va.v - vc.v) * (va.v - vc.v)) AS BIGINT) AS dist
+            FROM va JOIN vc ON va.d = vc.d
+            GROUP BY 1, 2
+        ),
+        best AS (
+            SELECT vec_id, cid, dist,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+            FROM dist
+        ),
+        asg AS (SELECT vec_id, cid AS centroid_id, dist FROM best WHERE rn = 1),
+        capped AS (
+            SELECT * FROM asg
+            QUALIFY row_number() OVER (PARTITION BY centroid_id ORDER BY dist, vec_id) <= {SEM_CAP}
+        ),
+        selfd AS (
+            SELECT vec_id,
+                   CAST(list_reduce(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i]), (x, y) -> x + y) AS BIGINT) AS s
+            FROM q
+        ),
+        pairs AS (
+            SELECT a.centroid_id, a.vec_id AS va_id, b.vec_id AS vb_id,
+                   a.dist AS da, b.dist AS db, qa.qv AS qa, qb.qv AS qb
+            FROM capped a JOIN capped b
+              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+            JOIN q qa ON qa.vec_id = a.vec_id
+            JOIN q qb ON qb.vec_id = b.vec_id
+        ),
+        cos AS (
+            SELECT centroid_id, va_id, vb_id, da, db,
+                   round(CAST(list_reduce(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb[i]), (x, y) -> x + y) AS DOUBLE)
+                         / (sqrt(CAST(sa.s AS DOUBLE)) * sqrt(CAST(sb.s AS DOUBLE))), 6) AS cos_sim
+            FROM pairs
+            JOIN selfd sa ON sa.vec_id = va_id
+            JOIN selfd sb ON sb.vec_id = vb_id
+        ),
+        pruned AS (
+            SELECT centroid_id,
+                   CASE WHEN da < db THEN va_id
+                        WHEN db < da THEN vb_id
+                        ELSE greatest(va_id, vb_id) END AS vec_id,
+                   cos_sim
+            FROM cos
+            WHERE cos_sim >= {SEM_TAU}
+        )
+        SELECT centroid_id, vec_id,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               max(cos_sim) AS max_cos
+        FROM pruned
+        GROUP BY centroid_id, vec_id
+        ORDER BY centroid_id, vec_id
+    """,
+    tags=("llm", "dedup", "vector", "clustering", "pandas-udf"),
+    doc=(
+        "SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 "
+        "— the MinHash→semantic bridge): cluster embeddings by k-means "
+        "assignment (the kmeans_assign_step convention — centroids seeded "
+        "from the first k vectors, exact int64 L2 argmin over quantized "
+        "vectors, ties to the lowest centroid id), then compare cosine "
+        "ONLY within a cluster and prune, from every pair above the "
+        "threshold, the member CLOSER to its centroid (the paper keeps "
+        "the least-typical example to preserve diversity; ties prune the "
+        "larger vec_id). Emits the pruned set with per-vector dup counts. "
+        "The intra-cluster comparison runs as the paper's own shape — a "
+        "cluster-local Gram matrix, here an Arrow grouped-map computing "
+        "EXACT int64 dot products over the quantized vectors (numpy "
+        "integer matmul; one interpreted fold per pair was measured 10× "
+        "slower) — so cos = dot/(√sa·√sb) is bit-deterministic on every "
+        "engine, and the final cosine/round/threshold stay in Spark SQL. "
+        "Scale shape: assignment is a map-side broadcast expression; "
+        f"membership per cluster is capped to the {SEM_CAP} closest-to-"
+        "centroid members, so each Gram tile is ≤ cap² — at 100 TB, k "
+        "grows with N, per-cluster work stays constant, and the all-pairs "
+        "cosine matrix never exists."
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.queries.training import (
+        KMEANS_K,
+        int_l2,
+        quantize_vec,
+        seed_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", quantize_vec().alias("qv"))
+    cents = seed_centroids(q, KMEANS_K)
+    assigned = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "qv",
+        F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    int_l2(F.col("qv"), c["cq"]).alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ).alias("b"),
+    ).select("vec_id", "qv", F.col("b.cid").alias("centroid_id"), F.col("b.dist").alias("dist"))
+    capped = (
+        assigned.withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("centroid_id").orderBy("dist", "vec_id")),
+        )
+        .filter(F.col("__rn") <= SEM_CAP)
+        .drop("__rn")
+    )
+
+    # defined inside the entry so cloudpickle ships it by value (workers
+    # never re-import this module for the UDF — the streaming_scd2 lesson)
+    def gram(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = pdf["vec_id"].to_numpy().argsort()
+        ids = pdf["vec_id"].to_numpy()[order]
+        dist = pdf["dist"].to_numpy()[order]
+        mat = np.stack(pdf["qv"].to_numpy()[order]).astype(np.int64)
+        g = mat @ mat.T  # exact: |qv| ≤ ~2e6 → dot ≤ 64·4e12 << 2^63
+        s = np.diag(g)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {
+                "centroid_id": np.full(len(iu), pdf["centroid_id"].iloc[0], dtype=np.int64),
+                "va_id": ids[iu],
+                "vb_id": ids[ju],
+                "da": dist[iu],
+                "db": dist[ju],
+                "dot": g[iu, ju],
+                "sa": s[iu],
+                "sb": s[ju],
+            }
+        )
+
+    pairs = capped.groupBy("centroid_id").applyInPandas(
+        gram,
+        "centroid_id long, va_id long, vb_id long, da long, db long, "
+        "dot long, sa long, sb long",
+    )
+    # cosine, rounding, and the threshold stay in Spark SQL: the UDF only
+    # emits exact integers, so engine rounding conventions never mix
+    cos = pairs.select(
+        "centroid_id",
+        "va_id",
+        "vb_id",
+        "da",
+        "db",
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("sa").cast("double")) * F.sqrt(F.col("sb").cast("double"))),
+            6,
+        ).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= SEM_TAU)
+    pruned = cos.select(
+        "centroid_id",
+        F.when(F.col("da") < F.col("db"), F.col("va_id"))
+        .when(F.col("db") < F.col("da"), F.col("vb_id"))
+        .otherwise(F.greatest("va_id", "vb_id"))
+        .alias("vec_id"),
+        "cos_sim",
+    )
+    return (
+        pruned.groupBy("centroid_id", "vec_id")
+        .agg(F.count("*").alias("n_dups"), F.max("cos_sim").alias("max_cos"))
+        .orderBy("centroid_id", "vec_id")
+    )
+
+
 @register(
     "tfidf_top_terms",
     oracle="""

@@ -827,3 +827,193 @@ def _late_drop_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table (explicit schema from
+    one cached footer read) — the 'new ingest' side of the streaming
+    dedup screen. Same stable-symlink landing-dir convention as
+    _events_stream."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, "documents")
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    stream_dir = os.path.join(
+        "/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "documents"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if os.path.islink(link) and os.readlink(link) != path:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(path, link)
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+@register(
+    "streaming_dedup_screen",
+    oracle=None,  # composed below from the MinHash family's SQL fragments
+    tags=("streaming", "dedup", "incremental", "llm"),
+    doc=(
+        "Streaming twin of dedup_incremental — the continuously-ingesting "
+        "form of the LSH screen: the NEW slice (doc_id % 10 = 7) arrives "
+        "as a document stream; each micro-batch is screened against the "
+        "STORED corpus index (the memoized MinHash signature/band "
+        "relations of the old slice — exactly the persistent LSH index a "
+        "production pipeline keeps) via two stateless stream-static "
+        "joins: md5 digest against the old digest set (exact layer) and "
+        "per-row MinHash band keys against the old band index (near "
+        "layer). MinHash on the stream side is computed PER ROW "
+        "(array_min over the transformed distinct-shingle hashes — min "
+        "is duplicate-insensitive, so it is bit-identical to the batch "
+        "explode + groupBy-min) because a stateless screen cannot "
+        "aggregate. The sink holds (doc_id, exact_hit, candidate) match "
+        "rows; the per-doc rollup and triage verdict are batch "
+        "post-processing. Scale shape: state-free stream (no watermark, "
+        "no state store — the only state is the broadcast/static index), "
+        "batch×corpus candidate work bounded by the index's DF_CAP hub "
+        "cap, new×new pairs never generated."
+    ),
+)
+def streaming_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = pooled_sink(spark, sf_dir, "streaming_dedup_screen")
+    agg = sink.groupBy("doc_id").agg(
+        F.coalesce(F.max("exact_hit"), F.lit(False)).alias("exact_dup"),
+        F.countDistinct("dup_of").cast("long").alias("n_candidates"),
+    )
+    return agg.select(
+        "doc_id",
+        "exact_dup",
+        "n_candidates",
+        F.when(F.col("exact_dup"), "exact")
+        .when(F.col("n_candidates") > 0, "near_candidate")
+        .otherwise("unique")
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+@_stream_job("streaming_dedup_screen", "streaming_dedup_screen_out", mode="append")
+def _dedup_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.llm_ops import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_BANDS,
+        MINHASH_P,
+        _bands,
+        _cap_groups,
+        _shingles,
+        _sig_base,
+        _with_tokens,
+    )
+    from currency_etl_spark.sources import table
+
+    new = _documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
+    # per-row MinHash signature: x = 28-bit md5 prefix of each distinct
+    # shingle, h_i = min over the row's shingle array — bit-identical to
+    # the batch _signatures (min ignores duplicates), no aggregation
+    xs = F.transform(
+        F.array_distinct(_shingles(F.col("t"))),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+    hs = [
+        F.array_min(
+            F.transform(F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sig = (
+        _with_tokens(new, "text")
+        .select("doc_id", F.md5("text").alias("dig"), xs.alias("xs"))
+        .select("doc_id", "dig", *hs)
+    )
+    # the STORED index: old-slice digests + df-capped old-slice band keys
+    # (cap over the corpus side only — the index drops hub buckets at
+    # build time; an arriving doc's own bands are never capped)
+    docs = table(spark, sf_dir, "documents")
+    old_digs = (
+        docs.filter(F.col("doc_id") % 10 != 7)
+        .select(F.md5("text").alias("dig"))
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    old_bands = _cap_groups(
+        _bands(_sig_base(spark, sf_dir)).filter(F.col("doc_id") % 10 != 7),
+        ["band_idx", "band_key"],
+    ).select("band_idx", "band_key", F.col("doc_id").alias("dup_of"))
+    band_keys = F.array(
+        *[
+            F.concat_ws("-", *[f"h{band * 4 + j}" for j in range(4)])
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    per_doc = sig.join(old_digs, "dig", "left")
+    banded = per_doc.select(
+        "doc_id", "exact_hit", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    return banded.join(old_bands, ["band_idx", "band_key"], "left").select(
+        "doc_id", "exact_hit", "dup_of"
+    )
+
+
+def _screen_oracle() -> str:
+    from currency_etl_spark.queries.llm_ops import (
+        DF_CAP,
+        MINHASH_BANDS,
+        _SQL_SHINGLES,
+        _band_key_sql,
+        _minhash_sig_sql,
+    )
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_idx, {_band_key_sql(band)} AS band_key FROM sig"
+        for band in range(MINHASH_BANDS)
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(unnest(list_distinct({_SQL_SHINGLES.format(t='t')}))), 1, 7)) AS BIGINT) AS x
+            FROM toks
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sig_sql()}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS ({bands_union}),
+        old_capped AS (
+            SELECT * FROM bands WHERE doc_id % 10 <> 7
+            QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {DF_CAP}
+        ),
+        cand AS (
+            SELECT n.doc_id, count(DISTINCT o.doc_id) AS n_candidates
+            FROM (SELECT * FROM bands WHERE doc_id % 10 = 7) n
+            JOIN old_capped o
+              ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+            GROUP BY n.doc_id
+        ),
+        dig AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        exact AS (
+            SELECT d.doc_id, TRUE AS hit FROM dig d
+            WHERE d.doc_id % 10 = 7
+              AND d.dg IN (SELECT dg FROM dig WHERE doc_id % 10 <> 7)
+        )
+        SELECT d.doc_id,
+               coalesce(e.hit, FALSE) AS exact_dup,
+               CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+               CASE WHEN coalesce(e.hit, FALSE) THEN 'exact'
+                    WHEN coalesce(c.n_candidates, 0) > 0 THEN 'near_candidate'
+                    ELSE 'unique' END AS verdict
+        FROM documents d
+        LEFT JOIN exact e ON e.doc_id = d.doc_id
+        LEFT JOIN cand c ON c.doc_id = d.doc_id
+        WHERE d.doc_id % 10 = 7
+        ORDER BY d.doc_id
+    """
+
+
+from currency_etl_spark.catalog import CATALOG as _CATALOG  # noqa: E402
+
+_CATALOG["streaming_dedup_screen"].oracle = _screen_oracle()

@@ -29,7 +29,7 @@ def test_warmup_names_resolve():
 #: mean unreviewed shared state.
 KNOWN_MEMO_TAGS = frozenset(
     {"minhash_sh", "minhash_sig", "minhash_pairs", "cc_map", "rfm_base",
-     "phash_base", "semdedup_assign"}
+     "phash_base"}
 )
 
 

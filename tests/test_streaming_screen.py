@@ -1,0 +1,103 @@
+"""streaming_dedup_screen invariants.
+
+The load-bearing claim is that the stream side's PER-ROW MinHash
+(array_min over transformed distinct-shingle hashes — no aggregation, so
+it can run stateless on a stream) is bit-identical to the batch
+explode + groupBy-min signatures the stored index was built from: min is
+duplicate-insensitive and both sides hash the same distinct shingle set.
+Pin that equivalence on a batch frame, plus a pandas re-derivation of the
+exact layer and screen/batch-twin consistency."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_per_row_minhash_matches_aggregated_signatures(spark):
+    """Evaluate the stream builder's per-row h0..h15 expressions in BATCH
+    mode over the whole corpus and compare against _signatures(_sh_base)
+    — every (doc_id, h0..h15) must agree exactly; docs the aggregated
+    form omits (zero shingles) must be exactly the NULL-signature rows of
+    the per-row form."""
+    from currency_etl_spark.queries.llm_ops import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        _sh_base,
+        _shingles,
+        _signatures,
+        _with_tokens,
+    )
+    from currency_etl_spark.sources import table
+
+    docs = table(spark, SF, "documents")
+    xs = F.transform(
+        F.array_distinct(_shingles(F.col("t"))),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long"),
+    )
+    hs = [
+        F.array_min(
+            F.transform(F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    per_row = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(16))
+        for r in _with_tokens(docs).select("doc_id", xs.alias("xs")).select("doc_id", *hs).collect()
+    }
+    agg = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(16))
+        for r in _signatures(_sh_base(spark, SF)).collect()
+    }
+    assert agg, "empty corpus?"
+    for doc_id, sig in agg.items():
+        assert per_row[doc_id] == sig, doc_id
+    for doc_id in set(per_row) - set(agg):
+        assert per_row[doc_id] == (None,) * 16, doc_id
+
+
+def test_screen_exact_layer_matches_pandas(spark):
+    """Exact layer re-derived in pandas: a new-slice doc is exact_dup iff
+    its md5(text) appears in the old slice; the verdict triage follows."""
+    from currency_etl_spark.streaming.jobs import streaming_dedup_screen
+
+    got = {r["doc_id"]: r for r in streaming_dedup_screen(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    docs["dig"] = docs["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    new = docs[docs.doc_id % 10 == 7]
+    old_digs = set(docs[docs.doc_id % 10 != 7]["dig"])
+    assert set(got) == set(new.doc_id), "screen must cover exactly the new slice"
+    for _, row in new.iterrows():
+        r = got[row.doc_id]
+        assert r["exact_dup"] == (row.dig in old_digs), row.doc_id
+        if r["exact_dup"]:
+            assert r["verdict"] == "exact"
+        elif r["n_candidates"] > 0:
+            assert r["verdict"] == "near_candidate"
+        else:
+            assert r["verdict"] == "unique"
+        assert r["n_candidates"] >= 0
+
+
+def test_screen_candidates_subset_of_batch_incremental(spark):
+    """The stored index the screen joins is capped on the OLD side only,
+    while dedup_incremental caps over the combined corpus — so every
+    group the combined cap keeps, the old-only cap also keeps (old count
+    ≤ combined count), and the screen's candidate set must be a SUPERSET
+    of the batch twin's per-doc counts... but never miss a doc: both
+    cover exactly the new slice, and verdict escalation is monotone."""
+    from currency_etl_spark.queries.llm_ops import dedup_incremental
+    from currency_etl_spark.streaming.jobs import streaming_dedup_screen
+
+    screen = {r["doc_id"]: r for r in streaming_dedup_screen(spark, SF).collect()}
+    batch = {r["doc_id"]: r for r in dedup_incremental(spark, SF).collect()}
+    assert set(screen) == set(batch)
+    for d, b in batch.items():
+        s = screen[d]
+        assert s["exact_dup"] == b["exact_dup"], d
+        assert s["n_candidates"] >= b["n_candidates"], d
