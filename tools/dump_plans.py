@@ -271,12 +271,29 @@ HEADLINERS = {
         "broadcastable)."
     ),
     "order_value_deciles": (
-        "Distributed ntile/lag/lead. Check: ZERO Window operators in the "
-        "final plan — the skew-bounded global rank ran inside the "
-        "checkpointed relation (Scan ExistingRDD), ntile() is absent "
-        "(closed-form bucket from the rank), and lag/lead are rank±1 "
-        "equi-joins on the checkpoint (SortMergeJoin/ShuffledHashJoin on "
-        "__gr — hash-parallel, correctly NOT broadcastable at scale)."
+        "Distributed ntile with TELESCOPED lag/lead (r8). Check: ntile() "
+        "absent (closed-form bucket from the rank); exactly ONE "
+        "orders-sized Window — the skew-bounded rank, partitioned on "
+        "__rank_bucket — feeding a min_by/max_by decile aggregate; the "
+        "only other window is the 10-row finishing lag ordered by "
+        "decile; NO self-joins and NO checkpoint (per-row steps over a "
+        "rank-contiguous decile telescope to boundary differences)."
+    ),
+    "dedup_semantic": (
+        "SemDeDup semantic rung. Check: assignment is a map-side "
+        "expression over a 1-row BroadcastExchange (the seeded centroid "
+        "codebook) — no N×k explosion; the cluster cap's row_number "
+        "Window partitions on centroid_id; the Gram tile runs as ONE "
+        "FlatMapGroupsInPandas (Arrow) per cluster over ≤SEM_CAP "
+        "members — exact int64 dots, no BatchEvalPython; cosine/round/"
+        "threshold are JVM-side expressions above it."
+    ),
+    "streaming_dedup_screen": (
+        "Streaming LSH ingest screen (batch post-processing of the "
+        "pooled memory sink). Check: the sink rollup is one "
+        "doc_id-keyed HashAggregate (max flag + distinct candidates); "
+        "the stream side (not in this plan) is stateless — two "
+        "stream-static joins against the stored index, no state store."
     ),
     "customers_spend_gini": (
         "Closed-form Gini over the distributed rank (skew-adaptive "
