@@ -159,6 +159,17 @@ def main() -> None:
         }
         for tag, members in sorted(fam_members.items())
     }
+    # same attribution story for the pooled streams: the entry that
+    # started the pool paid the whole family's stream startup
+    from currency_etl_spark.streaming import jobs as _sj
+
+    if _sj._POOL_STARTER is not None:
+        stream_entries = sorted(n for n in _sj.STREAM_JOBS if n in times)
+        families["stream_pool"] = {
+            "sec": round(sum(times[e] for e in stream_entries), 3),
+            "entries": stream_entries,
+            "paid_by": _sj._POOL_STARTER,
+        }
     # Full per-query dict to a FILE (round-5 verdict item 6): the driver
     # keeps only the stdout tail, which truncates the per-query dict at
     # ~180 entries — the file makes round-over-round per-query

@@ -139,6 +139,12 @@ def _stream_job(name: str, sink: str, mode: str = "complete", nodata: bool = Fal
 _POOL_KEY = None
 _POOL: dict = {}
 
+#: Entry that last STARTED the pool (paid the whole family's stream
+#: startup inside its own timed region) — bench.py reports it next to the
+#: memo-family attribution, for the same reason: the alphabetically-first
+#: streaming entry's per-query time carries a family-wide fixed cost.
+_POOL_STARTER = None
+
 
 def _drain_pool() -> None:
     for n, q in _POOL.items():
@@ -173,11 +179,12 @@ def pooled_sink(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     deterministic, so concurrency cannot reorder them). A job whose
     START fails (e.g. a fixture dir without the enrich dimension) stores
     its exception and raises it only when its own entry is invoked."""
-    global _POOL_KEY
+    global _POOL_KEY, _POOL_STARTER
     key = (spark.sparkContext.applicationId, sf_dir)
     if _POOL_KEY != key:
         _drain_pool()
         _POOL_KEY = key
+        _POOL_STARTER = name
         for jname, job in STREAM_JOBS.items():
             try:
                 _POOL[jname] = _start_query(

@@ -26,10 +26,11 @@ def test_warmup_names_resolve():
 #: Every memo tag a bench run may observe (the family-sum report keys on
 #: these). A NEW memo_checkpoint tag must be added here deliberately —
 #: the family report is a judged artifact and silent tag growth would
-#: mean unreviewed shared state.
+#: mean unreviewed shared state. "stream_pool" is the pooled-stream
+#: analog: the entry that starts the pool pays the family's startup.
 KNOWN_MEMO_TAGS = frozenset(
     {"minhash_sh", "minhash_sig", "minhash_pairs", "cc_map", "rfm_base",
-     "phash_base"}
+     "phash_base", "stream_pool"}
 )
 
 
