@@ -2663,6 +2663,21 @@ def _tb_subsegments(
     ]
     out: dict = {}
     while pending:
+        # overflow armor (r8): the per-row split expression below computes
+        # `tiebreak - lo` in int64 — an interval spanning both int64 ends
+        # (hi - lo ≥ 2^63) would overflow it. Halve such intervals at the
+        # sign boundary driver-side first: each half's span then fits, and
+        # every recursion sub-interval keeps its half's sign. (The KEY side
+        # needs no such armor — its refinement intervals nest inside one
+        # log-bucket, same sign by construction.)
+        safe = []
+        for k, lo, hi in pending:
+            if hi - lo >= 2**63:
+                safe.append((k, lo, -1))
+                safe.append((k, 0, hi))
+            else:
+                safe.append((k, lo, hi))
+        pending = safe
         widths = [((hi - lo) // ZORDER_RANGE_SPLITS) + 1 for _, lo, hi in pending]
         seg = None
         sub = None

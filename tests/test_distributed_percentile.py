@@ -546,3 +546,39 @@ def test_adaptive_rank_null_block_segments_on_tiebreak(spark):
     assert [(r["k"], int(r["tb"]), r["rank"]) for r in gotd] == [
         (r["k"], r["tb"], r["rank"]) for r in want
     ]
+
+
+def test_tb_subsegments_extreme_tiebreak_span(spark):
+    """r8 overflow armor: a hot key (and the NULL-key block) whose
+    TIEBREAK values span both int64 ends must still split and rank
+    exactly — `tb - lo` in the split expression would overflow int64
+    without the driver-side sign-halving of oversized intervals."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import distributed_global_rank
+
+    lo, hi = -(2**63), 2**63 - 1
+    # hot key 5: 24 ties spread across the whole int64 tiebreak domain
+    rows = [(5, lo + i * (hi // 12)) for i in range(24)]
+    rows += [(5, hi - i) for i in range(4)]
+    # NULL-key block: 20 rows, tiebreaks at both extremes
+    rows += [(None, lo + i * (hi // 9)) for i in range(18)]
+    rows += [(None, hi), (None, hi - 7)]
+    # background keys so buckets exist
+    rows += [(i, 10**6 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, tb long").repartition(4)
+    by_tb = lambda r: (r["tb"], r["rank"])  # noqa: E731
+    got = sorted(
+        distributed_global_rank(df, "k", "tb", max_split_rows=8)
+        .select("k", "tb", "rank")
+        .collect(),
+        key=by_tb,
+    )
+    want = sorted(
+        df.withColumn("rank", F.row_number().over(W.orderBy("k", "tb")).cast("long"))
+        .select("k", "tb", "rank")
+        .collect(),
+        key=by_tb,
+    )
+    assert got == want
