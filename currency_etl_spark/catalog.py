@@ -64,21 +64,22 @@ PRIORITY_ORDER = [
     # ROUND 8 WINDOW — the standing staleness rotation (round-7 verdict
     # item 1; the plan this window executes is the r8 note written in
     # round 7's window comment). Composition: the 34 r4-stale standing
-    # greens lead (alphabetical, as planned), then the oldest 14 of the
-    # r5 block. The final 2 slots of the planned 16-entry r5 refresh
-    # (docs_weighted_sample, embedding_pq) are ceded to the round's NEW
-    # entries per the rotation note ("a NEW entry takes a slot from the
-    # r5 block's tail"): dedup_semantic and streaming_dedup_screen, which
-    # lead the window as first-row entries. After r8 the staleness
-    # ledger is: 50×r8, 50×r7, 50×r6, 36×r5 (the r5 block's ceded tail
-    # next-oldest) — no entry older than r5. All 50 are oracle-verified
-    # locally at sf0.001 on every pytest run (tests/test_oracle.py); the
-    # builder's logged driver simulation repeats the comparison at
-    # sf0.01.
+    # greens lead (alphabetical, as planned), then the oldest 13 of the
+    # r5 block. The final 3 slots of the planned 16-entry r5 refresh
+    # (docs_subword_tokens, docs_weighted_sample, embedding_pq) are
+    # ceded to the round's NEW entries per the rotation note ("a NEW
+    # entry takes a slot from the r5 block's tail"): dedup_semantic,
+    # streaming_dedup_screen, and docs_dup_span_coverage, which lead the
+    # window as first-row entries. After r8 the staleness ledger is:
+    # 50×r8, 50×r7, 50×r6, 37×r5 (the r5 block's ceded tail next-oldest)
+    # — no entry older than r5. All 50 are oracle-verified locally at
+    # sf0.001 on every pytest run (tests/test_oracle.py); the builder's
+    # logged driver simulation repeats the comparison at sf0.01.
     #
     # --- NEW this round (first driver rows) ---
     "dedup_semantic",
     "streaming_dedup_screen",
+    "docs_dup_span_coverage",
     # --- the 34 r4-stale standing greens ---
     "acctbal_dispersion",
     "customer_rfm",
@@ -128,13 +129,13 @@ PRIORITY_ORDER = [
     "docs_mixture_report",
     "docs_quality_filter",
     "docs_sequence_pack",
-    "docs_subword_tokens",
     # MUST LEAD round 9 (staleness after r8: 50×r8, 50×r7, 50×r6,
-    # 36×r5): the 36 remaining r5-stale standing greens, starting with
-    # the ceded tail — docs_weighted_sample, embedding_pq — then the
-    # rest of the r5 block in its original registration order; any NEW
-    # r9 entry takes a slot from that block's tail, exactly as this
-    # round's two did. The remaining ~14 slots go to the oldest r6 rows.
+    # 37×r5): the 37 remaining r5-stale standing greens, starting with
+    # the ceded tail — docs_subword_tokens, docs_weighted_sample,
+    # embedding_pq — then the rest of the r5 block in its original
+    # registration order; any NEW r9 entry takes a slot from that
+    # block's tail, exactly as this round's three did. The remaining
+    # ~13 slots go to the oldest r6 rows.
 ]
 
 _ROUND7_WINDOW = [

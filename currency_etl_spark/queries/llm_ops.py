@@ -628,6 +628,110 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(F.desc("cos_sim"), "vec_a", "vec_b").limit(20)
 
 
+#: Exact-substring dedup run length (Lee et al. 2022 use 50 tokens; the
+#: synthetic docs average ~56 tokens, so 16 is the proportionate grain —
+#: at sf0.001 it flags ~8% of docs, measured before fixing the constant).
+DUP_RUN_L = 16
+
+
+@register(
+    "docs_dup_span_coverage",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   CAST(('0x' || substring(md5(array_to_string(list_slice(t, i, i + {DUP_RUN_L} - 1), ' ')), 1, 15)) AS BIGINT) AS g
+            FROM (
+                SELECT doc_id, t, unnest(generate_series(1, len(t) - {DUP_RUN_L} + 1)) AS i
+                FROM toks WHERE len(t) >= {DUP_RUN_L}
+            )
+        ),
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        hit AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        cov AS (
+            SELECT doc_id,
+                   least(coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, {DUP_RUN_L}), {DUP_RUN_L}) AS cv
+            FROM hit
+        ),
+        per AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+                   CAST(sum(cv) AS BIGINT) AS covered_tokens
+            FROM cov GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+               CAST(coalesce(p.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+               round(CAST(coalesce(p.covered_tokens, 0) AS DOUBLE) / len(string_split(d.text, ' ')), 6) AS dup_coverage
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+    doc=(
+        "Exact-substring duplicate-SPAN coverage (Lee et al. 2022, "
+        "arXiv:2107.06499 — the suffix-array half of the canonical dedup "
+        "toolbox, complementing MinHash): per document, the fraction of "
+        f"tokens inside a {DUP_RUN_L}-token run that occurs more than "
+        "once in the corpus — the signal ExactSubstr dedup CUTS on. "
+        "Rolling window grams are hashed to 60-bit md5 prefixes (the "
+        "shingle-key convention), duplicated grams found by one "
+        "group-count, and coverage is the union of [pos, pos+L) intervals "
+        "per doc — a lead() window partitioned by doc (bounded by doc "
+        "length) closed-forms the interval union, min(next-pos, L). Scale "
+        "shape: NO pair generation anywhere — a hub gram costs one "
+        "group-count row and a semi-join probe, so no DF_CAP is even "
+        "needed; the duplicated-gram relation is dedup-rate-proportional "
+        "and joins as a plain semi-join (AQE broadcasts when it fits; no "
+        "forced hint, per the round-6 broadcast discipline)."
+    ),
+)
+def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    L = DUP_RUN_L
+    grams = (
+        docs.filter(F.size("t") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {L} + 1), i -> "
+                    f"struct(i AS pos, CAST(conv(substring(md5(concat_ws(' ', slice(t, i, {L}))), 1, 15), 16, 10) AS BIGINT) AS g))"
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("g")
+    hit = grams.join(dup, "g", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    cov = hit.select(
+        "doc_id",
+        F.least(
+            F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(L)), F.lit(L)
+        ).alias("cv"),
+    )
+    per = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams"),
+        F.sum("cv").cast("long").alias("covered_tokens"),
+    )
+    base = docs.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return (
+        base.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: SemDeDup cluster-member budget and near-dup cosine threshold. The cap
 #: bounds intra-cluster pair generation to SEM_CAP²/2 per cluster (the
 #: scale guard — at 100 TB k grows ∝ N so the per-cluster budget holds);
