@@ -582,3 +582,54 @@ def test_tb_subsegments_extreme_tiebreak_span(spark):
         key=by_tb,
     )
     assert got == want
+
+
+def test_deciles_telescoping_matches_per_row_lag(spark):
+    """r8 telescoping claim, pinned independently of the DuckDB oracle:
+    on random 2-decimal prices (including exact ties and a tiny relation)
+    the telescoped order_value_deciles result must equal a literal
+    per-row ntile/lag/lead computation in Spark itself."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(8)
+    for n in (1, 7, 400):
+        prices = [round(rnd.uniform(1.0, 600000.0), 2) for _ in range(n)]
+        # force tie runs: every 5th price repeats the previous one
+        for i in range(5, n, 5):
+            prices[i] = prices[i - 1]
+        rows = [(i + 1, p) for i, p in enumerate(prices)]
+        df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+        import tempfile, os
+
+        d = tempfile.mkdtemp(prefix="deciles_prop_")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+        from currency_etl_spark.queries.extras import order_value_deciles
+
+        got = sorted(map(tuple, order_value_deciles(spark, d).collect()))
+        w = W.orderBy("o_totalprice", "o_orderkey")
+        t = df.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.ntile(10).over(w).alias("decile"),
+            F.round(
+                F.coalesce(F.col("o_totalprice") - F.lag("o_totalprice").over(w), F.lit(0.0)), 6
+            ).alias("step_up"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        want = sorted(
+            map(
+                tuple,
+                t.groupBy("decile")
+                .agg(
+                    F.count("*").alias("n_orders"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+                    F.round(F.sum(F.col("step_up").cast("decimal(18,6)")).cast("double"), 6).alias("sum_steps"),
+                    F.count("next_orderkey").alias("n_with_next"),
+                )
+                .collect(),
+            )
+        )
+        assert got == want, (n, got[:3], want[:3])
