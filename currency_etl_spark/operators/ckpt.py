@@ -100,8 +100,12 @@ def reset_memos() -> None:
     rebuilds inside its caller's timed region, and the swap releases the
     previous pass's blocks. A handed-out checkpoint stays valid until its
     tag is next checkpointed (the same one-live-per-tag contract: execute
-    plans holding it before re-invoking the tag's entry family)."""
+    plans holding it before re-invoking the tag's entry family). Also
+    drops undrained touch records — they describe the measurement epoch
+    being reset, and a session that never drains must not accumulate
+    them."""
     _KEYS.clear()
+    _BUILT.clear()
 
 
 def release_all() -> None:
