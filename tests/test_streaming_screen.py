@@ -101,3 +101,33 @@ def test_screen_candidates_subset_of_batch_incremental(spark):
         s = screen[d]
         assert s["exact_dup"] == b["exact_dup"], d
         assert s["n_candidates"] >= b["n_candidates"], d
+
+
+def test_documents_stream_symlink_retargets_across_dirs(spark, tmp_path):
+    """The landing dir is keyed by the sf_dir BASENAME, which repeats
+    across distinct absolute paths (pytest tmp dirs reuse basenames per
+    run). The symlink must retarget when the target differs — silently
+    streaming a previous run's file is the round-4-class corpus bug the
+    events stream already guards against; pin the documents twin."""
+    import os
+
+    import pandas as pd
+
+    from currency_etl_spark.streaming.jobs import _documents_stream
+
+    def mk(root):
+        d = root / "sfX"
+        d.mkdir(parents=True)
+        pd.DataFrame(
+            {"doc_id": [1], "text": ["a b c"], "lang": ["en"], "source": ["s"], "n_chars": [5]}
+        ).to_parquet(d / "documents.parquet")
+        return str(d)
+
+    a = mk(tmp_path / "runA")
+    b = mk(tmp_path / "runB")
+    _documents_stream(spark, a)
+    link = os.path.join("/tmp", "ces_stream", "sfX", "documents", "documents.parquet")
+    assert os.path.islink(link)
+    assert os.readlink(link) == os.path.join(a, "documents.parquet")
+    _documents_stream(spark, b)  # same basename, different absolute path
+    assert os.readlink(link) == os.path.join(b, "documents.parquet")
