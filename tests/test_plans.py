@@ -546,3 +546,36 @@ def test_phash_dedup_single_arrow_pass_pruned_scan(spark, sf_dir):
         assert "ExistingRDD" in p
         assert "partial_count" in p  # map-side combine before the exchange
         assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_dedup_semantic_plan_shape(spark, sf_dir):
+    """SemDeDup entry: the centroid codebook rides ONE broadcast (no N×k
+    row explosion, no shuffled join anywhere before the Gram stage), the
+    Gram tile is a single Arrow grouped-map (FlatMapGroupsInPandas, never
+    BatchEvalPython), and the cap window partitions on centroid_id."""
+    from currency_etl_spark.queries.llm_ops import dedup_semantic
+
+    p = plan_of(dedup_semantic(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].startswith("centroid_id"), spec
+
+
+def test_dup_span_coverage_plan_shape(spark, sf_dir):
+    """Exact-substring coverage: duplicated grams reach the gram relation
+    as a LEFT-SEMI join (no pair generation, no collect_list), and the
+    only window partitions on doc_id (bounded by doc length)."""
+    from currency_etl_spark.queries.llm_ops import docs_dup_span_coverage
+
+    p = plan_of(docs_dup_span_coverage(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "collect_list" not in p
+    assert "CartesianProduct" not in p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, "coverage lead() window missing"
+    for spec in specs:
+        assert spec.split(",")[0].startswith("doc_id"), spec
