@@ -115,7 +115,14 @@ def main() -> None:
     # below) are the comparable round-over-round signal.
     fam_members: dict[str, set] = {}
     fam_payer: dict[str, str] = {}
+    # Shared-base costs reported as their OWN lines and subtracted from
+    # the paying entry (round-8 verdict item 3): per-entry times are now
+    # stable whether or not the entry happens to be its family's
+    # alphabetical payer. Keys: "memo_build:<tag>" / "stream_pool_startup",
+    # min across passes (same min-of-2 semantics as the entry times).
+    overheads: dict[str, float] = {}
     from currency_etl_spark.operators.ckpt import drain_memo_touches
+    from currency_etl_spark.streaming.jobs import drain_pool_start
 
     for _ in range(2):
         # honesty guards: forget pooled streaming results AND memoized
@@ -132,6 +139,7 @@ def main() -> None:
         reset_stream_pool()
         reset_memos()
         drain_memo_touches()  # discard warmup-phase touches
+        drain_pool_start()  # discard the warmup pool's startup record
         pass_t0 = time.perf_counter()
         for name in sorted(catalog):
             if only and name not in only:
@@ -139,34 +147,51 @@ def main() -> None:
             spec = catalog[name]
             t0 = time.perf_counter()
             materialize(spec.spark_fn(spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, dt), dt)
-            for tag, built in drain_memo_touches():
+            dt = time.perf_counter() - t0
+            for tag, built, bsec in drain_memo_touches():
                 fam_members.setdefault(tag, set()).add(name)
                 if built:
                     fam_payer[tag] = name
+                    dt -= bsec
+                    k = f"memo_build:{tag}"
+                    overheads[k] = min(overheads.get(k, bsec), bsec)
+            ps = drain_pool_start()
+            if ps is not None and ps[0] == name:
+                dt -= ps[1]
+                overheads["stream_pool_startup"] = min(
+                    overheads.get("stream_pool_startup", ps[1]), ps[1]
+                )
+            dt = round(max(dt, 0.0), 3)
+            times[name] = min(times.get(name, dt), dt)
         passes += 1
         pass_dur = time.perf_counter() - pass_t0
         if time.perf_counter() - bench_t0 + pass_dur > budget_s:
             break  # another pass of this size would blow the budget
 
-    total = round(sum(times.values()), 3)
+    # value = per-entry work + the separately-reported shared-base costs,
+    # so round-over-round TOTALS stay comparable with r8-and-earlier dumps
+    # (where the builds sat inside the paying entries' times).
+    overhead_sec = round(sum(overheads.values()), 3)
+    total = round(sum(times.values()) + overhead_sec, 3)
     families = {
         tag: {
             "sec": round(sum(times.get(e, 0.0) for e in members), 3),
+            "build_sec": overheads.get(f"memo_build:{tag}", 0.0),
             "entries": sorted(members),
             "paid_by": fam_payer.get(tag),
         }
         for tag, members in sorted(fam_members.items())
     }
     # same attribution story for the pooled streams: the entry that
-    # started the pool paid the whole family's stream startup
+    # started the pool paid the family's stream startup (now reported
+    # here, not inside that entry's time)
     from currency_etl_spark.streaming import jobs as _sj
 
     if _sj._POOL_STARTER is not None:
         stream_entries = sorted(n for n in _sj.STREAM_JOBS if n in times)
         families["stream_pool"] = {
             "sec": round(sum(times[e] for e in stream_entries), 3),
+            "startup_sec": overheads.get("stream_pool_startup", 0.0),
             "entries": stream_entries,
             "paid_by": _sj._POOL_STARTER,
         }
@@ -188,6 +213,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "families": families,
+        "overheads": overheads,
+        "overhead_sec": overhead_sec,
         "sf": sf,
         "passes": passes,
     }
@@ -211,6 +238,12 @@ def main() -> None:
             {"metric": "catalog_total_runtime", "value": total, "unit": "sec", "sf": sf, "n_queries": len(times)}
         )
     )
+    # Long-session hygiene (round-8 verdict item 7): free every live
+    # checkpoint block before the session ends — bench is the repo's
+    # canonical long multi-entry session and must model the discipline.
+    from currency_etl_spark.operators.ckpt import release_all
+
+    release_all()
 
 
 if __name__ == "__main__":

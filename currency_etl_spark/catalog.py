@@ -61,22 +61,98 @@ def register(name: str, oracle: Optional[str], tags: tuple = (), doc: str = ""):
 GRADING_WINDOW = 50
 
 PRIORITY_ORDER = [
-    # ROUND 8 WINDOW — the standing staleness rotation (round-7 verdict
-    # item 1; the plan this window executes is the r8 note written in
-    # round 7's window comment). Composition: the 34 r4-stale standing
-    # greens lead (alphabetical, as planned), then the oldest 13 of the
-    # r5 block. The final 3 slots of the planned 16-entry r5 refresh
-    # (docs_subword_tokens, docs_weighted_sample, embedding_pq) are
-    # ceded to the round's NEW entries per the rotation note ("a NEW
-    # entry takes a slot from the r5 block's tail"): dedup_semantic,
-    # streaming_dedup_screen, and docs_dup_span_coverage, which lead the
-    # window as first-row entries. After r8 the staleness ledger is:
-    # 50×r8, 50×r7, 50×r6, 37×r5 (the r5 block's ceded tail next-oldest)
-    # — no entry older than r5. All 50 are oracle-verified locally at
-    # sf0.001 on every pytest run (tests/test_oracle.py); the builder's
-    # logged driver simulation repeats the comparison at sf0.01.
+    # ROUND 9 WINDOW — the standing staleness rotation (round-8 verdict
+    # item 1; this window executes the r9 plan written in round 8's
+    # window comment, verbatim). Composition: the round's NEW entries
+    # lead as first-row entries (taking slots from the r6 block's tail
+    # per the rotation note), then the 37 remaining r5-stale standing
+    # greens — starting with the ceded tail (docs_subword_tokens,
+    # docs_weighted_sample, embedding_pq), then the rest of the r5
+    # block in its original r5-window registration order — then the
+    # oldest rows of the r6 block (its leading entries in r6-window
+    # order) fill the remaining slots. 2 + 37 + 11 = 50. After r9 the
+    # staleness ledger is: 50×r9, 50×r8, 50×r7, 39×r6 — no entry older
+    # than r6. All 50 are oracle-verified locally at sf0.001 on every
+    # pytest run (tests/test_oracle.py); the builder's logged driver
+    # simulation repeats the comparison at sf0.01.
     #
     # --- NEW this round (first driver rows) ---
+    "docs_bm25_search",
+    "docs_dup_span_removal",
+    # --- the 37 remaining r5-stale standing greens (ceded tail first) ---
+    "docs_subword_tokens",
+    "docs_weighted_sample",
+    "embedding_pq",
+    "streaming_hourly",
+    "streaming_sliding",
+    "streaming_sessions",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "events_user_totals_salted",
+    "events_scd2_history",
+    "sessions_concurrency_daily",
+    "events_value_percentiles",
+    "events_props_stats",
+    "events_daily_gapfill",
+    "events_rolling_24h",
+    "events_funnel",
+    "events_unpivot",
+    "events_trend",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "events_cohort_retention",
+    "grouping_sets_custom",
+    "streaming_enrich",
+    "events_scd2_fact_version",
+    "events_sliding_wau",
+    "orders_benford",
+    "kmeans_assign_step",
+    "multimodal_dedup_assets",
+    "knn_ivf_kmeans",
+    "events_mv_incremental",
+    "streaming_running_totals",
+    "knn_recall_report",
+    "graph_pagerank_bipartite",
+    "lang_id_confusion",
+    "events_sketch_rollup",
+    "events_anomaly_mad",
+    "streaming_scd2",
+    # --- the oldest 11 rows of the r6 block (r6-window order) ---
+    "docs_shard_manifest",
+    "docs_split_leakage",
+    "docs_importance_weights",
+    "docs_source_token_divergence",
+    "docs_shingle_novelty",
+    "docs_lang_source_chi2",
+    "customers_pseudonymize_audit",
+    "multimodal_storage_quota",
+    "docs_inverted_index",
+    "docs_skipgram_pairs",
+    "docs_bigram_surprisal",
+    # MUST LEAD round 10 (staleness after r9: 50×r9, 50×r8, 50×r7,
+    # 39×r6): the 39 remaining r6-stale standing greens, in their
+    # original r6-window order (embeddings_dim_stats first); any NEW
+    # r10 entry takes a slot from the r7 block's head, which fills the
+    # remaining ~11 slots (oldest r7 rows first), exactly as this
+    # round's two did from the r6 tail.
+]
+
+_ROUND8_WINDOW = [
+    # ROUND 8 WINDOW (kept for the rotation audit trail) — the standing
+    # staleness rotation (round-7 verdict item 1; the plan this window
+    # executed is the r8 note written in round 7's window comment).
+    # Composition: the 34 r4-stale standing greens lead (alphabetical,
+    # as planned), then the oldest 13 of the r5 block. The final 3
+    # slots of the planned 16-entry r5 refresh (docs_subword_tokens,
+    # docs_weighted_sample, embedding_pq) were ceded to the round's NEW
+    # entries per the rotation note ("a NEW entry takes a slot from the
+    # r5 block's tail"): dedup_semantic, streaming_dedup_screen, and
+    # docs_dup_span_coverage, which led the window as first-row
+    # entries. After r8 the staleness ledger was: 50×r8, 50×r7, 50×r6,
+    # 37×r5 (the r5 block's ceded tail next-oldest) — no entry older
+    # than r5.
+    #
+    # --- NEW in r8 (first driver rows) ---
     "dedup_semantic",
     "streaming_dedup_screen",
     "docs_dup_span_coverage",
@@ -115,7 +191,7 @@ PRIORITY_ORDER = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    # --- the oldest 14 of the r5 block ---
+    # --- the oldest 13 of the r5 block ---
     "approx_distinct_stats",
     "asof_click_within_1h",
     "asof_purchase_last_click",
@@ -129,13 +205,10 @@ PRIORITY_ORDER = [
     "docs_mixture_report",
     "docs_quality_filter",
     "docs_sequence_pack",
-    # MUST LEAD round 9 (staleness after r8: 50×r8, 50×r7, 50×r6,
-    # 37×r5): the 37 remaining r5-stale standing greens, starting with
-    # the ceded tail — docs_subword_tokens, docs_weighted_sample,
-    # embedding_pq — then the rest of the r5 block in its original
-    # registration order; any NEW r9 entry takes a slot from that
-    # block's tail, exactly as this round's three did. The remaining
-    # ~13 slots go to the oldest r6 rows.
+    # (The r9 plan this window's trailing note carried was executed by
+    # PRIORITY_ORDER above — see that block's header. Correction per r8
+    # advice: the r8 refresh took the oldest 13, not 14, of the r5
+    # block: 3 new + 34 r4-stale + 13 r5 = 50.)
 ]
 
 _ROUND7_WINDOW = [

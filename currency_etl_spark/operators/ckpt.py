@@ -27,6 +27,8 @@ session race benignly only because they compute identical data.
 
 from __future__ import annotations
 
+import time
+from collections import deque
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -48,12 +50,16 @@ def swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
     return out
 
 
-#: Memo-tag touches since the last drain, as (tag, built) pairs — bench.py
-#: reads this to attribute each shared-base build cost to the entry that
-#: paid it and to group entries into memo FAMILIES (per-query times inside
-#: memoized families are otherwise iteration-order-dependent and
-#: round-over-round comparisons misread; round-7 verdict item 3).
-_BUILT: list = []
+#: Memo-tag touches since the last drain, as (tag, built, build_sec)
+#: triples — bench.py reads this to SUBTRACT each shared-base build cost
+#: from the paying entry's time and report it as its own line (per-query
+#: times inside memoized families were otherwise iteration-order-dependent
+#: and round-over-round comparisons misread; round-7 verdict item 3,
+#: subtraction per round-8 item 3). Bounded (round-8 advice): a long-lived
+#: non-bench session that never drains must not grow it without limit —
+#: far beyond any bench pass's touch count, so a drain inside a pass never
+#: loses records.
+_BUILT: deque = deque(maxlen=4096)
 
 
 def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
@@ -77,18 +83,21 @@ def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
     app = sess.sparkContext.applicationId if sess is not None else None
     got = _LIVE.get(tag)
     if got is not None and _KEYS.get(tag) == (key, app):
-        _BUILT.append((tag, False))
+        _BUILT.append((tag, False, 0.0))
         return got
+    t0 = time.perf_counter()
     out = swap_checkpoint(tag, build())
     _KEYS[tag] = (key, out.sparkSession.sparkContext.applicationId)
-    _BUILT.append((tag, True))
+    _BUILT.append((tag, True, round(time.perf_counter() - t0, 3)))
     return out
 
 
-def drain_memo_touches() -> "list[tuple[str, bool]]":
-    """Return and clear the (tag, built) touches since the last drain —
-    bench.py calls this after each entry to record which entry paid each
-    shared-base build (built=True) and which read it warm (False)."""
+def drain_memo_touches() -> "list[tuple[str, bool, float]]":
+    """Return and clear the (tag, built, build_sec) touches since the
+    last drain — bench.py calls this after each entry to subtract each
+    shared-base build cost (built=True, build_sec = the eager
+    materialization's wall time) from the paying entry's number and
+    report it as its own line; warm reads record (tag, False, 0.0)."""
     out = list(_BUILT)
     _BUILT.clear()
     return out

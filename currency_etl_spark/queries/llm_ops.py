@@ -634,10 +634,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_RUN_L = 16
 
 
-@register(
-    "docs_dup_span_coverage",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _dup_span_hits(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every DUP_RUN_L-token rolling gram that occurs
+    more than once in the corpus — the shared detection half of the
+    ExactSubstr pair (`docs_dup_span_coverage` measures it,
+    `docs_dup_span_removal` cuts on it). Rolling 60-bit md5-prefix gram
+    hashes, one group-count for the duplicated-gram relation, and a
+    left-semi probe back onto the gram stream. No pair generation at any
+    scale; the dup relation is dedup-rate-proportional and AQE broadcasts
+    it when it fits (no forced hint)."""
+    L = DUP_RUN_L
+    grams = (
+        docs.filter(F.size("t") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {L} + 1), i -> "
+                    f"struct(i AS pos, CAST(conv(substring(md5(concat_ws(' ', slice(t, i, {L}))), 1, 15), 16, 10) AS BIGINT) AS g))"
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("g")
+    return grams.join(dup, "g", "left_semi").select("doc_id", "pos")
+
+
+#: DuckDB twin of _dup_span_hits (CTE text shared verbatim by both
+#: ExactSubstr oracles).
+_DUP_HITS_SQL = f"""
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         grams AS (
             SELECT doc_id, i AS pos,
                    CAST(('0x' || substring(md5(array_to_string(list_slice(t, i, i + {DUP_RUN_L} - 1), ' ')), 1, 15)) AS BIGINT) AS g
@@ -647,7 +674,14 @@ DUP_RUN_L = 16
             )
         ),
         dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
-        hit AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+        hit AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup))
+"""
+
+
+@register(
+    "docs_dup_span_coverage",
+    oracle=f"""
+        WITH {_DUP_HITS_SQL},
         cov AS (
             SELECT doc_id,
                    least(coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, {DUP_RUN_L}), {DUP_RUN_L}) AS cv
@@ -690,21 +724,7 @@ def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
     L = DUP_RUN_L
-    grams = (
-        docs.filter(F.size("t") >= L)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(t) - {L} + 1), i -> "
-                    f"struct(i AS pos, CAST(conv(substring(md5(concat_ws(' ', slice(t, i, {L}))), 1, 15), 16, 10) AS BIGINT) AS g))"
-                )
-            ).alias("pg"),
-        )
-        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
-    )
-    dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("g")
-    hit = grams.join(dup, "g", "left_semi")
+    hit = _dup_span_hits(docs)
     w = W.partitionBy("doc_id").orderBy("pos")
     cov = hit.select(
         "doc_id",
@@ -727,6 +747,123 @@ def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.coalesce("covered_tokens", F.lit(0)).cast("double") / F.col("n_tokens"), 6
             ).alias("dup_coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_dup_span_removal",
+    oracle=f"""
+        WITH {_DUP_HITS_SQL},
+        brk AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {DUP_RUN_L}
+                        THEN 1 ELSE 0 END AS brk
+            FROM hit
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, isl, min(pos) AS lo, max(pos) + {DUP_RUN_L} - 1 AS hi
+            FROM isl GROUP BY doc_id, isl
+        ),
+        ivs AS (
+            SELECT doc_id,
+                   list(struct_pack(lo := CAST(lo AS INT), hi := CAST(hi AS INT)) ORDER BY lo) AS ivs,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(hi - lo + 1) AS BIGINT) AS removed_tokens
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               coalesce(v.n_spans, 0) AS n_spans,
+               coalesce(v.removed_tokens, 0) AS removed_tokens,
+               CAST(len(t.t) AS BIGINT) - coalesce(v.removed_tokens, 0) AS kept_tokens,
+               CASE WHEN v.doc_id IS NULL THEN d.text
+                    -- array_to_string([]) is NULL in DuckDB but concat_ws
+                    -- of an empty array is '' in Spark: coalesce aligns
+                    -- the fully-excised-document case
+                    ELSE coalesce(array_to_string(
+                        list_transform(
+                            list_filter(generate_series(1, len(t.t)),
+                                        i -> len(list_filter(v.ivs, sp -> i >= sp.lo AND i <= sp.hi)) = 0),
+                            i -> t.t[i]), ' '), '')
+               END AS clean_text
+        FROM documents d
+        JOIN toks t USING (doc_id)
+        LEFT JOIN ivs v USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+    doc=(
+        "Exact-substring duplicate-span REMOVAL — the cut step of Lee et "
+        "al. 2022 (arXiv:2107.06499, ExactSubstr), completing the toolbox "
+        "whose measurement half is `docs_dup_span_coverage`: every token "
+        f"inside a duplicated {DUP_RUN_L}-token run is excised and the "
+        "document re-emitted as clean_text, plus span/token accounting "
+        "(removed_tokens equals the coverage entry's covered_tokens by "
+        "construction — pinned by a cross-entry test). Shares the gram "
+        "detection relation (_dup_span_hits / _DUP_HITS_SQL) verbatim "
+        "with the coverage entry. The interval union is gaps-and-islands: "
+        "a lag() break flag and a running sum assign island ids (both "
+        "windows bounded by doc length), islands aggregate to disjoint "
+        "[lo, hi] spans, and the per-doc span list (at most "
+        f"len/{DUP_RUN_L} entries after merging) joins back to the corpus "
+        "where a row-local higher-order filter drops covered positions — "
+        "the corpus itself is never exploded to token rows for the cut. "
+        "Scale shape: the only shuffles are the gram group-count, the "
+        "hit semi-join, and one doc_id-keyed join of a dup-rate-"
+        "proportional span relation; clean-text assembly is embarrassingly "
+        "row-parallel."
+    ),
+)
+def docs_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")), "text")
+    L = DUP_RUN_L
+    hit = _dup_span_hits(docs)
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    brk = hit.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(wo) > L, 1).otherwise(0).alias("brk"),
+    )
+    isl = brk.select("doc_id", "pos", F.sum("brk").over(wo).alias("isl"))
+    spans = isl.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("lo"), (F.max("pos") + L - 1).alias("hi")
+    )
+    ivs = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("lo").cast("int").alias("lo"), F.col("hi").cast("int").alias("hi"))
+            )
+        ).alias("ivs"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("hi") - F.col("lo") + 1).cast("long").alias("removed_tokens"),
+    )
+    out = docs.join(ivs, "doc_id", "left")
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: ~F.exists("ivs", lambda sp: (i >= sp["lo"]) & (i <= sp["hi"])),
+    )
+    clean = F.when(F.col("ivs").isNull(), F.col("text")).otherwise(
+        F.concat_ws(" ", F.transform(kept_idx, lambda i: F.element_at("t", i)))
+    )
+    return (
+        out.select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("removed_tokens", F.lit(0)).cast("long").alias("removed_tokens"),
+            (F.size("t").cast("long") - F.coalesce("removed_tokens", F.lit(0))).alias(
+                "kept_tokens"
+            ),
+            clean.alias("clean_text"),
         )
         .orderBy("doc_id")
     )
@@ -2460,6 +2597,136 @@ def docs_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf2",
         (F.col("tf1") + F.col("tf2")).alias("score"),
     ).orderBy("doc_id")
+
+
+#: BM25 ranking parameters (the Robertson defaults k1=1.2, b=0.75 — written
+#: as the literals 2.2/1.2/0.25/0.75 in the shared formula text) and query
+#: shape: the BM25_QUERY_K highest-df "content" terms (df*2 <= N, so
+#: stopword-grade terms with idf ≈ 0 don't mask the ranking), disjunctive
+#: (OR) retrieval, top BM25_TOP_N docs. Per-term scores quantize to 1e-6
+#: int64 BEFORE the per-doc sum, so the sum is associativity-proof and the
+#: final ordering is integer-backed in both engines; the only float op is
+#: the per-term idf*saturation product, rounded like tfidf_top_terms.
+BM25_QUERY_K = 3
+BM25_TOP_N = 20
+
+
+@register(
+    "docs_bm25_search",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        stats AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS s_tokens FROM dls),
+        tf AS (
+            SELECT doc_id, term, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qterms AS (
+            SELECT term, df FROM dfreq CROSS JOIN stats
+            WHERE df * 2 <= nd
+            ORDER BY df DESC, term
+            LIMIT {BM25_QUERY_K}
+        ),
+        scored AS (
+            SELECT tf.doc_id, d.dl,
+                   CAST(round(
+                       ln(1.0 + (CAST(nd AS DOUBLE) - q.df + 0.5) / (q.df + 0.5))
+                       * (tf.cnt * 2.2 / (tf.cnt + 1.2 * (0.25 + 0.75 * CAST(d.dl * nd AS DOUBLE) / s_tokens)))
+                       * 1000000) AS BIGINT) AS score_q
+            FROM tf JOIN qterms q USING (term) JOIN dls d USING (doc_id) CROSS JOIN stats
+        )
+        SELECT doc_id, dl,
+               CAST(count(*) AS BIGINT) AS n_hit_terms,
+               CAST(sum(score_q) AS DOUBLE) / 1000000 AS bm25
+        FROM scored
+        GROUP BY doc_id, dl
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOP_N}
+    """,
+    tags=("llm", "text", "index", "search"),
+    doc=(
+        "BM25 ranked retrieval through the inverted index (Robertson & "
+        "Zaragoza 2009 defaults k1=1.2, b=0.75) — the scoring layer the "
+        "decontamination and eval-retrieval stories sit on, one expression "
+        "deeper than docs_index_lookup's boolean AND: the query is the "
+        f"{BM25_QUERY_K} highest-df content terms (df*2 <= N filters "
+        "stopword-grade terms whose idf ≈ 0), each posting row scores "
+        "idf(df) * tf-saturation(cnt, dl/avgdl), and documents rank by the "
+        "summed score. Determinism across engines: the per-term double "
+        "product quantizes to 1e-6 int64 BEFORE the per-doc sum (integer "
+        "associativity replaces float-sum order), avgdl enters as the "
+        "exact rational dl*N/S evaluated in one double division, and the "
+        "shared formula text keeps both engines' IEEE op sequence "
+        "identical — only ln() crosses libm, behind the same 1e-6 "
+        "quantization tfidf_top_terms already rides. Scale shape: tf and "
+        "df are the standing index relations (one shuffle each); the "
+        "query-term relation is top-K-bounded and broadcast; scoring is "
+        "one doc_id-keyed join of the |postings_of_query|-sized hit list "
+        "against doc lengths plus a 1-row stats broadcast — at 100 TB "
+        "with a stored index this reads K posting ranges, never the "
+        "corpus."
+    ),
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    dls = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("dl").cast("long").alias("s_tokens")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # top-K-first over the vocab relation (TakeOrderedAndProject), the
+    # 1-row stats relation rides a broadcast cross join
+    qterms = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .filter(F.col("df") * 2 <= F.col("nd"))
+        .orderBy(F.desc("df"), "term")
+        .limit(BM25_QUERY_K)
+        .select("term", "df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("nd").cast("double") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("cnt") * F.lit(2.2)) / (
+        F.col("cnt")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75) * (F.col("dl") * F.col("nd")).cast("double") / F.col("s_tokens")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            F.round(idf * sat * F.lit(1000000), 0).cast("long").alias("score_q"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.sum("score_q").alias("sq"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "n_hit_terms",
+            (F.col("sq").cast("double") / F.lit(1000000)).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_N)
+    )
 
 
 @register(

@@ -75,13 +75,44 @@ def test_bench_subprocess_contract():
     fams = detailed["families"]
     assert set(fams) <= KNOWN_MEMO_TAGS, f"undeclared memo tags: {set(fams)}"
     # the shared signature/pair bases: built by the alphabetically-first
-    # consumer, read warm by the sibling — both appear as members
+    # consumer, read warm by the sibling — both appear as members, and
+    # since round 9 the build cost is its OWN line (subtracted from the
+    # payer's per-entry time, round-8 verdict item 3)
     for tag in ("minhash_sig", "minhash_pairs"):
         assert fams[tag]["paid_by"] == "dedup_minhash_lsh", fams[tag]
         assert set(fams[tag]["entries"]) == {
             "dedup_minhash_lsh", "minhash_jaccard_est",
         }, fams[tag]
         assert fams[tag]["sec"] >= 0
+        assert fams[tag]["build_sec"] > 0, fams[tag]
+        assert f"memo_build:{tag}" in detailed["overheads"]
+    # total = per-entry work + separately-reported shared-base costs
+    assert detailed["overhead_sec"] == round(sum(detailed["overheads"].values()), 3)
+    assert (
+        abs(
+            detailed["value"]
+            - (sum(detailed["queries"].values()) + detailed["overhead_sec"])
+        )
+        < 0.05
+    )
+
+
+def test_bench_subtracts_shared_base_costs():
+    """Source pin for the round-8 item-3 contract: bench.main must
+    subtract each memo build's wall time and the stream-pool startup from
+    the paying entry's dt BEFORE the min-of-passes fold, so per-entry
+    numbers are stable whether or not the entry is its family's
+    alphabetical payer."""
+    import inspect
+
+    src = inspect.getsource(bench_mod.main)
+    assert "dt -= bsec" in src, "memo build cost no longer subtracted"
+    assert "dt -= ps[1]" in src, "stream-pool startup no longer subtracted"
+    fold_at = src.find("times[name] = min(")
+    assert fold_at != -1
+    assert src.find("dt -= bsec") < fold_at and src.find("dt -= ps[1]") < fold_at, (
+        "subtraction must happen before the min-of-passes fold"
+    )
 
 
 def test_subset_run_does_not_clobber_full_dump():

@@ -1,0 +1,93 @@
+"""docs_bm25_search invariants: an independent pandas/math re-derivation
+of the full BM25 pipeline — content-term query selection, idf, length-
+normalized tf saturation, 1e-6 quantization — must reproduce the Spark
+top-N exactly (third engine beside the DuckDB oracle), and the ranking
+must behave like BM25 (rarer query terms out-score commoner ones at
+equal tf; longer docs score below shorter ones at equal tf).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+
+from currency_etl_spark.queries.llm_ops import (
+    BM25_QUERY_K,
+    BM25_TOP_N,
+    docs_bm25_search,
+)
+
+SF = "/root/testdata/sf0.001"
+
+K1, B = 1.2, 0.75
+
+
+def _idf(nd: int, df: int) -> float:
+    return math.log(1.0 + (float(nd) - df + 0.5) / (df + 0.5))
+
+
+def _sat(cnt: int, dl: int, nd: int, s_tokens: int) -> float:
+    return cnt * 2.2 / (cnt + 1.2 * (0.25 + 0.75 * float(dl * nd) / s_tokens))
+
+
+def _pandas_bm25():
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    dl = {d: len(t) for d, t in toks.items()}
+    nd, s_tokens = len(dl), sum(dl.values())
+    tf = {d: Counter(t) for d, t in toks.items()}
+    df: Counter = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+    qterms = sorted(
+        (t for t, f in df.items() if f * 2 <= nd),
+        key=lambda t: (-df[t], t),
+    )[:BM25_QUERY_K]
+    scores = {}
+    for d, c in tf.items():
+        sq, hits = 0, 0
+        for t in qterms:
+            if c[t]:
+                hits += 1
+                x = _idf(nd, df[t]) * _sat(c[t], dl[d], nd, s_tokens) * 1000000
+                sq += math.floor(x + 0.5)  # HALF_UP, matching both engines
+        if hits:
+            scores[d] = (dl[d], hits, sq)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1][2], kv[0]))[:BM25_TOP_N]
+    return [(d, v[0], v[1], v[2] / 1000000) for d, v in top]
+
+
+def test_bm25_matches_pandas(spark):
+    got = [
+        (r["doc_id"], r["dl"], r["n_hit_terms"], r["bm25"])
+        for r in docs_bm25_search(spark, SF).collect()
+    ]
+    want = _pandas_bm25()
+    assert len(got) == len(want) == BM25_TOP_N
+    assert [g[0] for g in got] == [w[0] for w in want], (got[:5], want[:5])
+    for g, w in zip(got, want):
+        assert g[1] == w[1] and g[2] == w[2], (g, w)
+        # quantized per-term scores: any libm ln() ulp gap is ±1e-6/term
+        assert abs(g[3] - w[3]) <= BM25_QUERY_K * 1e-6 + 1e-12, (g, w)
+
+
+def test_bm25_ranking_behavior(spark):
+    """Monotonicity spot-checks of the scoring surface itself (pure math,
+    no Spark): idf decreases with df, saturation decreases with dl and
+    increases (sublinearly, bounded by k1+1) with tf."""
+    assert _idf(1000, 10) > _idf(1000, 100) > _idf(1000, 500) > 0
+    assert _sat(3, 40, 1000, 56000) > _sat(3, 80, 1000, 56000)
+    s1, s2, s3 = (_sat(c, 56, 1000, 56000) for c in (1, 2, 3))
+    assert s1 < s2 < s3 < K1 + 1
+    assert s2 - s1 > s3 - s2  # concave per-step gains: saturating, not linear
+
+
+def test_bm25_result_shape(spark):
+    rows = docs_bm25_search(spark, SF).collect()
+    assert len(rows) == BM25_TOP_N
+    assert all(1 <= r["n_hit_terms"] <= BM25_QUERY_K for r in rows)
+    assert all(r["bm25"] > 0 for r in rows)
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

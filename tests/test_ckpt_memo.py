@@ -184,3 +184,28 @@ def test_checkpoint_tags_are_bounded_source_literals():
     assert not offenders, f"dynamic checkpoint tags found: {offenders}"
     assert literals, "scan found no checkpoint call sites — regex drifted?"
     assert len(literals) < 64, "tag family set unexpectedly large"
+
+
+def test_memo_touches_carry_build_time(spark):
+    """drain_memo_touches records (tag, built, build_sec): a cold build
+    carries its positive materialization wall time, the warm re-read
+    carries 0.0 — the numbers bench.py subtracts from the paying entry
+    (round-8 verdict item 3)."""
+    from currency_etl_spark.operators import ckpt
+
+    ckpt.reset_memos()
+    ckpt.memo_checkpoint("t_timed", "k", lambda: spark.range(10))
+    ckpt.memo_checkpoint("t_timed", "k", lambda: spark.range(10))
+    touches = ckpt.drain_memo_touches()
+    assert [(t[0], t[1]) for t in touches] == [("t_timed", True), ("t_timed", False)]
+    assert touches[0][2] > 0.0 and touches[1][2] == 0.0
+    assert ckpt.drain_memo_touches() == []  # drained
+
+
+def test_built_ledger_is_bounded():
+    """_BUILT must not grow without bound in a long-lived session that
+    never drains (round-8 advice): it is a deque with a maxlen far above
+    any bench pass's touch count."""
+    from currency_etl_spark.operators import ckpt
+
+    assert ckpt._BUILT.maxlen is not None and ckpt._BUILT.maxlen >= 1024

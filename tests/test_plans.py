@@ -579,3 +579,39 @@ def test_dup_span_coverage_plan_shape(spark, sf_dir):
     assert specs, "coverage lead() window missing"
     for spec in specs:
         assert spec.split(",")[0].startswith("doc_id"), spec
+
+
+def test_dup_span_removal_plan_shape(spark, sf_dir):
+    """ExactSubstr cut step: shares the coverage entry's detection shape
+    (LEFT-SEMI dup probe, doc_id-partitioned windows only), the span list
+    re-enters on a doc_id equi-join — never a cross join — and clean-text
+    assembly is a row-local projection (no corpus re-explosion: exactly
+    one explode, the gram generator)."""
+    from currency_etl_spark.queries.llm_ops import docs_dup_span_removal
+
+    p = plan_of(docs_dup_span_removal(spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert spec.split(",")[0].startswith("doc_id"), spec
+    # exactly the two sides of the dup semi-join re-run the gram
+    # generator (detect + probe — the standard recompute-vs-checkpoint
+    # trade, same as the coverage twin); the corpus is never exploded to
+    # token rows for the cut itself
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 2
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """BM25 retrieval: the query-term relation is top-K-bounded and enters
+    the posting scan as a BROADCAST join, the 1-row stats relation rides
+    broadcast nested-loop cross joins, the top-N is TakeOrderedAndProject
+    (never a global sort), and no window function appears anywhere."""
+    from currency_etl_spark.queries.llm_ops import docs_bm25_search
+
+    p = plan_of(docs_bm25_search(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "windowspecdefinition" not in p
