@@ -2619,17 +2619,54 @@ def _is_integral(dt) -> bool:
     return isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
 
 
+def _tb_order_expr(df: DataFrame, tiebreak: str) -> "str | None":
+    """SQL expression producing an int64 MONOTONE in the tiebreak's sort
+    order — the range-splittable image _tb_subsegments divides on.
+    Integral tiebreaks split on themselves. STRING tiebreaks (r9, round-8
+    verdict item 6 — previously a documented single-task floor) split on
+    their 60-bit byte-prefix value: the first 15 hex digits of the UTF-8
+    encoding, RIGHT-PADDED to 15 before conv — padding is what keeps the
+    mapping order-preserving for short strings ('az' must stay below 'b':
+    0x617A00… < 0x620000…; unpadded, 0x617A > 0x62). Spark compares
+    strings bytewise, so byte-prefix order IS string order; ties ON the
+    prefix (strings sharing 7.5 leading bytes) simply land in one
+    segment, where the in-segment window orders by the real column. NULL
+    maps to NULL (hex/encode propagate), so the NULL-tiebreak guard in
+    _tb_subsegments is unaffected. Returns None for any other type — the
+    documented fallback floor, now only non-integral-non-string."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[tiebreak].dataType
+    if _is_integral(dt):
+        return tiebreak
+    if isinstance(dt, T.StringType):
+        return (
+            f"CAST(conv(rpad(substring(hex(encode({tiebreak}, 'UTF-8')), 1, 15),"
+            f" 15, '0'), 16, 10) AS BIGINT)"
+        )
+    return None
+
+
 def _tb_subsegments(
-    df: DataFrame, key: str, tiebreak: str, hot_keys: "list", max_rows: int
+    df: DataFrame,
+    key: str,
+    tiebreak: str,
+    hot_keys: "list",
+    max_rows: int,
+    order_expr: "str | None" = None,
 ) -> "dict[int, list[tuple[int, int, int]]]":
     """Second-level segmentation for hot keys: a single-key run larger
     than max_rows cannot be divided on the key, but its ties CAN be
-    range-split on the integer tiebreak (a row id — unique, so always
-    splittable down to the cap). Same batched recursion as
-    _adaptive_rank_segments: one counting job per level covers every hot
-    key's pending tiebreak intervals, so N hot keys cost O(log) jobs
-    total, not O(N). Returns {key value: sorted (tlo, thi, count)
-    intervals partitioning that key's tiebreak range}.
+    range-split on the tiebreak's int64 ORDER IMAGE (``order_expr``,
+    default the tiebreak itself — an integer row id is unique, so always
+    splittable down to the cap; a string tiebreak passes its 60-bit
+    byte-prefix from _tb_order_expr, where prefix-sharing runs may stay
+    oversized in one segment — the same accepted floor as equal integer
+    tiebreaks). Same batched recursion as _adaptive_rank_segments: one
+    counting job per level covers every hot key's pending tiebreak
+    intervals, so N hot keys cost O(log) jobs total, not O(N). Returns
+    {key value: sorted (tlo, thi, count) intervals partitioning that
+    key's order-image range}.
 
     ``None`` in hot_keys means the NULL-key block (r8, verdict item 4):
     its rows match ``key IS NULL`` instead of an equality, so a
@@ -2639,6 +2676,8 @@ def _tb_subsegments(
     unsplittable-floor segment): a NULL never satisfies a between-range
     join, and silently dropping rows is the exact bug class the NULL-key
     sentinel split guards against on the key side."""
+
+    tbx = order_expr or tiebreak
 
     def key_pred(k):
         return F.col(key).isNull() if k is None else (F.col(key) == k)
@@ -2650,8 +2689,8 @@ def _tb_subsegments(
         df.filter(sel)
         .groupBy(key)
         .agg(
-            F.min(tiebreak).alias("tlo"),
-            F.max(tiebreak).alias("thi"),
+            F.min(F.expr(tbx)).alias("tlo"),
+            F.max(F.expr(tbx)).alias("thi"),
             F.count(F.when(F.col(tiebreak).isNull(), F.lit(1))).alias("tnull"),
         )
         .collect()
@@ -2684,11 +2723,11 @@ def _tb_subsegments(
         for i, ((k, lo, hi), w) in enumerate(zip(pending, widths)):
             in_seg = (
                 key_pred(k)
-                & (F.col(tiebreak) >= lo)
-                & (F.col(tiebreak) <= hi)
+                & (F.expr(tbx) >= lo)
+                & (F.expr(tbx) <= hi)
             )
             seg = F.when(in_seg, i) if seg is None else seg.when(in_seg, i)
-            s = F.expr(f"({tiebreak} - {lo}) div {w}")
+            s = F.expr(f"(({tbx}) - ({lo})) div {w}")
             sub = F.when(in_seg, s) if sub is None else sub.when(in_seg, s)
         counts = (
             df.select(seg.alias("__seg"), sub.alias("__sub"))
@@ -2717,20 +2756,26 @@ def _ranked_null_block(
     df: DataFrame, key: str, tiebreak: str, nnull: int, max_rows: int
 ) -> DataFrame:
     """Rank the NULL-key rows (they rank FIRST, ordered by the tiebreak).
-    When the block exceeds the cap and the tiebreak is integral, it
-    range-splits on the tiebreak through the same _tb_subsegments device
-    as hot non-null keys (r8, verdict item 4) — rank = segment offset +
-    per-segment row_number, each window task cap-bounded — instead of
-    one partitionBy(lit(0)) task, which was the rank path's last
-    single-task floor. Remaining floors: a non-integral or NULL-laden
-    tiebreak keeps the single-task fallback (documented; a NULL tiebreak
-    never satisfies the between-range join)."""
+    When the block exceeds the cap and the tiebreak is splittable
+    (integral, or — since r9 — string via its 60-bit byte-prefix order
+    image), it range-splits on the tiebreak through the same
+    _tb_subsegments device as hot non-null keys (r8, verdict item 4) —
+    rank = segment offset + per-segment row_number, each window task
+    cap-bounded — instead of one partitionBy(lit(0)) task, which was the
+    rank path's last single-task floor. Remaining floors: a NULL-laden
+    or non-integral-non-string tiebreak keeps the single-task fallback
+    (documented; a NULL tiebreak never satisfies the between-range
+    join), and >cap rows sharing one 7.5-byte string prefix stay in one
+    segment (the string analog of equal integer tiebreaks)."""
     from pyspark.sql import Window as W
 
     nulls = df.filter(F.col(key).isNull())
     tb = None
-    if nnull > max_rows and _is_integral(df.schema[tiebreak].dataType):
-        tb = _tb_subsegments(nulls, key, tiebreak, [None], max_rows).get(None)
+    tbx = _tb_order_expr(df, tiebreak)
+    if nnull > max_rows and tbx is not None:
+        tb = _tb_subsegments(nulls, key, tiebreak, [None], max_rows, order_expr=tbx).get(
+            None
+        )
     if not tb:
         return nulls.withColumn(
             "rank",
@@ -2746,7 +2791,7 @@ def _ranked_null_block(
     return (
         nulls.join(
             F.broadcast(segs),
-            (F.col(tiebreak) >= F.col("__ntlo")) & (F.col(tiebreak) <= F.col("__nthi")),
+            (F.expr(tbx) >= F.col("__ntlo")) & (F.expr(tbx) <= F.col("__nthi")),
         )
         .withColumn(
             "rank",
@@ -2772,12 +2817,14 @@ def _adaptive_global_rank(
     the tiny segment relation plus the same parallel per-segment window.
     No task sorts more than max_rows: key-range splits first, and a
     single-key run larger than the cap (a hot small-domain key — e.g.
-    frequency=1 holding half the customers) re-splits on its integer
-    TIEBREAK via _tb_subsegments — and since r8 the NULL-key block (which
-    ranks first) splits through the same device when it exceeds the cap
+    frequency=1 holding half the customers) re-splits on its TIEBREAK's
+    int64 order image via _tb_subsegments (the integer tiebreak itself,
+    or — since r9, round-8 verdict item 6 — a string tiebreak's 60-bit
+    byte-prefix) — and since r8 the NULL-key block (which ranks first)
+    splits through the same device when it exceeds the cap
     (_ranked_null_block). Remaining unsplittable floors, each documented
-    there: equal (key, tiebreak) pairs, non-integral tiebreaks, and
-    NULL-tiebreak ties."""
+    there: equal (key, tiebreak) pairs, shared 7.5-byte string prefixes,
+    non-integral-non-string tiebreaks, and NULL-tiebreak ties."""
     from pyspark.sql import Window as W
 
     hist = (
@@ -2848,8 +2895,9 @@ def _adaptive_global_rank(
     segs = _refine_segments(nonnull, key, oversized, ok, max_rows)
     hot = [lo for lo, hi, c in segs if lo == hi and c > max_rows]
     tbsegs: dict = {}
-    if hot and _is_integral(nonnull.schema[tiebreak].dataType):
-        tbsegs = _tb_subsegments(nonnull, key, tiebreak, hot, max_rows)
+    tbx = _tb_order_expr(nonnull, tiebreak)
+    if hot and tbx is not None:
+        tbsegs = _tb_subsegments(nonnull, key, tiebreak, hot, max_rows, order_expr=tbx)
     # refinement only ever SUBDIVIDES level-0 buckets, so every segment
     # nests inside exactly one bucket — the bucket id is a pure
     # arithmetic function of the key on both sides, which turns the
@@ -2888,14 +2936,15 @@ def _adaptive_global_rank(
         # the tiebreak restriction applies only to tb-split segments:
         # gating on the sentinel bounds keeps NULL-tiebreak rows (NULL
         # never passes a between-range predicate) flowing into their
-        # ordinary segment. Built only when tb-splits exist — the
-        # tiebreak is integral then (_is_integral gate), so the bound
-        # comparisons never need a cross-type coercion
+        # ordinary segment. Built only when tb-splits exist — the order
+        # image (tbx) is BIGINT then (_tb_order_expr gate: the tiebreak
+        # itself when integral, the 60-bit byte-prefix when string), so
+        # the bound comparisons never need a cross-type coercion
         cond = cond & (
             ((F.col("__tlo") == _TB_MIN) & (F.col("__thi") == _TB_MAX))
             | (
-                (F.col(tiebreak) >= F.col("__tlo"))
-                & (F.col(tiebreak) <= F.col("__thi"))
+                (F.expr(tbx) >= F.col("__tlo"))
+                & (F.expr(tbx) <= F.col("__thi"))
             )
         )
     d = keyed.join(F.broadcast(segs_df), cond).drop("__pid0")

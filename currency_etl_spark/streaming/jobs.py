@@ -37,6 +37,20 @@ STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"
 _SCHEMA_CACHE: dict = {}
 
 
+def _landing_key(sf_dir: str) -> str:
+    """Landing-dir key for a corpus dir: basename (readability) plus a
+    12-hex digest of the ABSOLUTE path (r8 advice — basenames repeat
+    across pytest tmp dirs, and a same-basename collision would swap the
+    landing file under another run's live readStream; the hash makes
+    landing dirs collision-free across runs)."""
+    import hashlib
+
+    ap = os.path.abspath(sf_dir.rstrip("/"))
+    return (
+        os.path.basename(ap) + "-" + hashlib.md5(ap.encode()).hexdigest()[:12]
+    )
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (explicit schema — streams
     never infer). events.ts is normalized to session-zone TIMESTAMP via
@@ -50,13 +64,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if schema is None:
         schema = read_events_raw(spark, path).schema
         _SCHEMA_CACHE[key] = schema
-    stream_dir = os.path.join("/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "events")
+    stream_dir = os.path.join("/tmp", "ces_stream", _landing_key(sf_dir), "events")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    # the landing dir is keyed by sf_dir BASENAME, which can repeat across
-    # distinct absolute paths (pytest tmp dirs reuse basenames per run) —
-    # retarget a symlink whose target differs or dangles, instead of
-    # silently streaming a previous run's file / crashing on a dead link
+    # collision-free landing key (r8 advice) makes a differing target
+    # near-impossible; the retarget stays as armor for a dangling link
+    # (deleted tmp dir) or a regenerated corpus at the same path
     if os.path.islink(link) and os.readlink(link) != path:
         os.unlink(link)
     if not os.path.lexists(link):
@@ -869,11 +882,12 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if schema is None:
         schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[key] = schema
-    stream_dir = os.path.join(
-        "/tmp", "ces_stream", os.path.basename(sf_dir.rstrip("/")), "documents"
-    )
+    stream_dir = os.path.join("/tmp", "ces_stream", _landing_key(sf_dir), "documents")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "documents.parquet")
+    # retarget armor for dangling links / regenerated corpora; the
+    # hash-keyed landing dir (r8 advice) already prevents cross-run
+    # same-basename collisions
     if os.path.islink(link) and os.readlink(link) != path:
         os.unlink(link)
     if not os.path.lexists(link):

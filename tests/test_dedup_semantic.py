@@ -79,3 +79,20 @@ def test_dedup_semantic_matches_numpy(spark):
     # the threshold actually bites: some vectors pruned, most kept
     n_total = pd.read_parquet(f"{SF}/embeddings.parquet").shape[0]
     assert 0 < len(got) < n_total
+
+
+def test_dedup_semantic_parameters_act(spark):
+    """cap/tau are real keyword parameters (round-8 verdict item 4), not
+    dead defaults: an impossible threshold empties the result, a tighter
+    threshold can only shrink it, and a smaller membership cap bounds the
+    candidate surface (never grows it)."""
+    from currency_etl_spark.queries.llm_ops import SEM_TAU, dedup_semantic
+
+    base = dedup_semantic(spark, SF).collect()
+    assert dedup_semantic(spark, SF, tau=1.01).count() == 0
+    tighter = dedup_semantic(spark, SF, tau=min(SEM_TAU + 0.05, 1.0)).collect()
+    assert len(tighter) <= len(base)
+    base_keys = {(r["centroid_id"], r["vec_id"]) for r in base}
+    assert {(r["centroid_id"], r["vec_id"]) for r in tighter} <= base_keys
+    smaller_cap = dedup_semantic(spark, SF, cap=16).collect()
+    assert len(smaller_cap) <= len(base)

@@ -633,3 +633,78 @@ def test_deciles_telescoping_matches_per_row_lag(spark):
             )
         )
         assert got == want, (n, got[:3], want[:3])
+
+
+def test_string_tiebreak_prefix_is_order_preserving(spark):
+    """The 60-bit byte-prefix order image (_tb_order_expr) must be
+    MONOTONE in Spark's bytewise string order — including the short-
+    string pad case ('az' < 'b' must survive the mapping) and multibyte
+    UTF-8 — since segment boundaries in the image must never split a
+    string-ordered run out of order."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import _tb_order_expr
+
+    vals = ["", "a", "az", "b", "ba", "zzzzzzzzzzzzzzzz", "zzzzzzzzzzzzzzzz!",
+            "Ω", "é", "~", "0", "00", "0a", "aaaaaaaa", "aaaaaaab"]
+    df = spark.createDataFrame([(v,) for v in vals], "tb string")
+    tbx = _tb_order_expr(df, "tb")
+    rows = df.select("tb", F.expr(tbx).alias("p")).collect()
+    by_str = [r["p"] for r in sorted(rows, key=lambda r: r["tb"].encode("utf-8"))]
+    assert by_str == sorted(by_str), list(zip(sorted(v.encode() for v in vals), by_str))
+    # non-splittable types still return None (the documented floor)
+    dfd = df.select(F.lit(1.5).alias("tb"))
+    assert _tb_order_expr(dfd, "tb") is None
+
+
+def test_adaptive_rank_string_tiebreak_splits(spark):
+    """r9 (round-8 verdict item 6): a majority-NULL key with a STRING
+    tiebreak under the cap must range-split on the tiebreak's byte-prefix
+    order image — no partitionBy(lit(0)) single-task fallback — while
+    assigning exactly ROW_NUMBER() OVER (ORDER BY k, tb)'s ranks; the
+    same applies to a hot non-null key with string ties."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.extras import (
+        _tb_order_expr,
+        _tb_subsegments,
+        distributed_global_rank,
+    )
+
+    # majority-NULL key block (900 rows) + a hot non-null key (500 rows
+    # of key 7) + cold keys, all with unique string tiebreaks
+    rows = [(None, f"n{i:05d}x") for i in range(900)]
+    rows += [(7, f"h{i:05d}") for i in range(500)]
+    rows += [(int(i % 11) + 100, f"c{i:04d}") for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, tb string").repartition(8)
+    by_tb = lambda r: r["tb"]  # noqa: E731 — None keys break tuple sort
+    want = sorted(
+        df.withColumn("rank", F.row_number().over(W.orderBy("k", "tb")).cast("long"))
+        .select("k", "tb", "rank")
+        .collect(),
+        key=by_tb,
+    )
+    got = sorted(
+        distributed_global_rank(df, "k", "tb", max_split_rows=128)
+        .select("k", "tb", "rank")
+        .collect(),
+        key=by_tb,
+    )
+    assert got == want
+    # both the NULL block and the hot key really split, cap-bounded
+    tbx = _tb_order_expr(df, "tb")
+    nsegs = _tb_subsegments(
+        df.filter(F.col("k").isNull()), "k", "tb", [None], 128, order_expr=tbx
+    )[None]
+    hsegs = _tb_subsegments(df, "k", "tb", [7], 128, order_expr=tbx)[7]
+    for segs, n in ((nsegs, 900), (hsegs, 500)):
+        assert len(segs) >= 2, "string tiebreak block did not split"
+        assert all(c <= 128 for _, _, c in segs), segs
+        assert sum(c for _, _, c in segs) == n
+    # NULL-tiebreak ties keep the fallback with no row loss
+    df2 = spark.createDataFrame(
+        [(None, None), (None, "a"), (1, "b")], "k long, tb string"
+    )
+    got2 = distributed_global_rank(df2, "k", "tb", max_split_rows=1).collect()
+    assert sorted(r["rank"] for r in got2) == [1, 2, 3]

@@ -103,17 +103,20 @@ def test_screen_candidates_subset_of_batch_incremental(spark):
         assert s["n_candidates"] >= b["n_candidates"], d
 
 
-def test_documents_stream_symlink_retargets_across_dirs(spark, tmp_path):
-    """The landing dir is keyed by the sf_dir BASENAME, which repeats
-    across distinct absolute paths (pytest tmp dirs reuse basenames per
-    run). The symlink must retarget when the target differs — silently
-    streaming a previous run's file is the round-4-class corpus bug the
-    events stream already guards against; pin the documents twin."""
+def test_documents_stream_landing_dirs_are_collision_free(spark, tmp_path):
+    """r9 (r8 advice): the landing dir is keyed by basename PLUS a hash
+    of the absolute sf_dir, so two same-basename corpus dirs get
+    DISTINCT landing dirs — the second run can no longer swap the
+    landing file under the first run's live readStream (the old
+    basename-only key retargeted a shared symlink). Each link must
+    point at its own corpus; the first link must survive the second
+    call untouched. The retarget armor stays for a regenerated corpus
+    at the SAME path (pin that too)."""
     import os
 
     import pandas as pd
 
-    from currency_etl_spark.streaming.jobs import _documents_stream
+    from currency_etl_spark.streaming.jobs import _documents_stream, _landing_key
 
     def mk(root):
         d = root / "sfX"
@@ -125,9 +128,21 @@ def test_documents_stream_symlink_retargets_across_dirs(spark, tmp_path):
 
     a = mk(tmp_path / "runA")
     b = mk(tmp_path / "runB")
+    assert _landing_key(a) != _landing_key(b)  # same basename, distinct keys
+    assert _landing_key(a).startswith("sfX-")
     _documents_stream(spark, a)
-    link = os.path.join("/tmp", "ces_stream", "sfX", "documents", "documents.parquet")
-    assert os.path.islink(link)
-    assert os.readlink(link) == os.path.join(a, "documents.parquet")
+    link_a = os.path.join("/tmp", "ces_stream", _landing_key(a), "documents", "documents.parquet")
+    assert os.path.islink(link_a)
+    assert os.readlink(link_a) == os.path.join(a, "documents.parquet")
     _documents_stream(spark, b)  # same basename, different absolute path
-    assert os.readlink(link) == os.path.join(b, "documents.parquet")
+    link_b = os.path.join("/tmp", "ces_stream", _landing_key(b), "documents", "documents.parquet")
+    assert os.readlink(link_b) == os.path.join(b, "documents.parquet")
+    # the first run's landing file is untouched by the second run
+    assert os.readlink(link_a) == os.path.join(a, "documents.parquet")
+    # retarget armor: a dangling link at the SAME landing key (corpus dir
+    # deleted and re-created elsewhere is impossible under the hash key,
+    # but a swapped symlink target at the same path isn't) is re-pointed
+    os.unlink(link_a)
+    os.symlink("/nonexistent/documents.parquet", link_a)
+    _documents_stream(spark, a)
+    assert os.readlink(link_a) == os.path.join(a, "documents.parquet")
