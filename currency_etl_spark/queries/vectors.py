@@ -779,6 +779,196 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ADC result width and the Q_SCALE² divisor that converts an exact
+#: integer squared-L2 on the 1e6 lattice back to original units.
+ADC_TOP_N = 10
+_Q2 = "1000000000000.0"
+
+
+@register(
+    "knn_pq_adc",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings),
+        cents AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < {N_CENTROIDS}),
+        ad AS (
+            SELECT v.vec_id, c.cid,
+                   {_SQL_DIST_Q.format(a='v.qv', b='c.cq')} AS d
+            FROM q v, cents c
+        ),
+        asg AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM ad
+        ),
+        cells AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+        qcells AS (SELECT cid FROM asg WHERE vec_id = 0 AND rn <= {IVF_NPROBE}),
+        cb AS (
+            SELECT list(qv ORDER BY vec_id) AS cb FROM q WHERE vec_id < {PQ_K}
+        ),
+        coded AS (
+            SELECT v.vec_id, v.label, v.qv,
+                   list_transform(range(0, {PQ_M}), m ->
+                       list_transform(cb, cent ->
+                           CAST(list_reduce(list_transform(range(1, {PQ_DSUB} + 1), i ->
+                               (v.qv[m * {PQ_DSUB} + i] - cent[m * {PQ_DSUB} + i])
+                               * (v.qv[m * {PQ_DSUB} + i] - cent[m * {PQ_DSUB} + i])),
+                               (x, y) -> x + y) AS BIGINT))) AS dm
+            FROM q v, cb
+        ),
+        qside AS (SELECT dm AS dtab, qv AS tqv FROM coded WHERE vec_id = 0),
+        cand AS (
+            SELECT c.vec_id, c.label, c.qv, c.dm, cells.cid
+            FROM coded c JOIN cells USING (vec_id)
+            WHERE cells.cid IN (SELECT cid FROM qcells) AND c.vec_id <> 0
+        ),
+        scored AS (
+            SELECT vec_id, label, CAST(cid AS BIGINT) AS cid,
+                   CAST(list_reduce(list_transform(range(0, {PQ_M}), m ->
+                       dtab[m + 1][list_position(dm[m + 1], list_min(dm[m + 1]))]),
+                       (x, y) -> x + y) AS BIGINT) AS adc_q,
+                   {_SQL_DIST_Q.format(a='qv', b='tqv')} AS td_q
+            FROM cand, qside
+        )
+        SELECT vec_id, label, cid,
+               round(CAST(adc_q AS DOUBLE) / {_Q2}, 6) AS adc_dist,
+               round(CAST(td_q AS DOUBLE) / {_Q2}, 6) AS true_dist,
+               round(CAST(adc_q - td_q AS DOUBLE) / {_Q2}, 6) AS adc_err
+        FROM scored
+        ORDER BY adc_q, vec_id
+        LIMIT {ADC_TOP_N}
+    """,
+    tags=("llm", "vector", "ann", "quantization"),
+    doc=(
+        "IVF-PQ search with asymmetric distance computation (Jégou et al. "
+        "2011) — the production ANN shape that composes this module's two "
+        "index halves: the coarse IVF assignment restricts candidates to "
+        f"the query's {IVF_NPROBE} nearest cells, and within them each "
+        "vector is scored WITHOUT touching its full embedding — its "
+        f"{PQ_M} PQ codes index the query's precomputed per-subspace "
+        "distance table (ADC: adc(v) = Σ_m dtab[m][code_m(v)]), alongside "
+        "the exact distance so the output doubles as an ADC-error audit. "
+        "Every distance lives on the shared 1e6 int64 lattice "
+        "(quantize_vec/int_l2), so codes, table entries, the ADC sum, and "
+        "the final ordering are all integer-exact in both engines — no "
+        "float fold anywhere. Scale shape: coarse centroids, PQ codebook, "
+        "query cells, and the 8×4 distance table are four broadcast "
+        "relations; assignment and coding are narrow map-side array "
+        "expressions (array_min over a transformed struct list — no N×k "
+        "row explosion, no window); candidate scoring reads ONLY (codes, "
+        "cell) — at 100 TB the probe scans the code column of "
+        f"{IVF_NPROBE}/{N_CENTROIDS} of the corpus, ~64× narrower than "
+        "the embeddings themselves, exactly FAISS IVFPQ's layout. "
+        "Residual (query − centroid) coding is the standard refinement; "
+        "raw-vector coding keeps the oracle one CTE shorter with the "
+        "same plan shape."
+    ),
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", _q_longs().alias("qv"))
+    cents = seed_centroids(q, N_CENTROIDS)
+
+    # coarse assignment: min (dist, cid) over the broadcast codebook —
+    # map-side, no per-centroid row explosion, no window
+    def best_cell(n: int):
+        return F.array_min(
+            F.transform(
+                F.slice("cents", 1, n),
+                lambda c: F.struct(_dist_q(F.col("qv"), c["cq"]).alias("d"), c["cid"].alias("cid")),
+            )
+        )
+
+    withc = q.crossJoin(F.broadcast(cents))
+    cells = withc.select("vec_id", best_cell(N_CENTROIDS)["cid"].alias("cid"))
+    # the query's IVF_NPROBE nearest cells: sort the same struct list
+    # in-row, slice, explode → a ≤2-row broadcast relation
+    qcells = (
+        withc.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cents",
+                            lambda c: F.struct(
+                                _dist_q(F.col("qv"), c["cq"]).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("s")
+        )
+        .select(F.col("s.cid").alias("qcid"))
+    )
+
+    # PQ codebook (1 broadcast row of PQ_K quantized vectors) and the
+    # per-vector, per-subspace distance lists — integer-exact folds
+    cb = (
+        q.filter(F.col("vec_id") < PQ_K)
+        .select(F.struct("vec_id", "qv").alias("s"))
+        .agg(F.transform(F.array_sort(F.collect_list("s")), lambda s: s["qv"]).alias("cb"))
+    )
+
+    def sub_dist(m: Column, cent: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(PQ_DSUB)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + (F.element_at(F.col("qv"), m * PQ_DSUB + i) - F.element_at(cent, m * PQ_DSUB + i))
+            * (F.element_at(F.col("qv"), m * PQ_DSUB + i) - F.element_at(cent, m * PQ_DSUB + i)),
+        )
+
+    dm = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(F.col("cb"), lambda cent: sub_dist(m, cent)),
+    )
+    coded = q.crossJoin(F.broadcast(cb)).select("vec_id", "label", "qv", dm.alias("dm"))
+    qside = coded.filter(F.col("vec_id") == 0).select(
+        F.col("dm").alias("dtab"), F.col("qv").alias("tqv")
+    )
+
+    cand = (
+        coded.join(cells, "vec_id")
+        .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        .filter(F.col("vec_id") != 0)
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at("dtab", (m + 1).cast("int")),
+            F.array_position(
+                F.element_at("dm", (m + 1).cast("int")),
+                F.array_min(F.element_at("dm", (m + 1).cast("int"))),
+            ).cast("int"),
+        ),
+    )
+    q2 = F.lit(float(_Q2))
+    scored = cand.crossJoin(F.broadcast(qside)).select(
+        "vec_id",
+        "label",
+        F.col("cid").cast("long").alias("cid"),
+        adc.alias("adc_q"),
+        _dist_q(F.col("qv"), F.col("tqv")).alias("td_q"),
+    )
+    return (
+        scored.orderBy("adc_q", "vec_id")
+        .limit(ADC_TOP_N)
+        .select(
+            "vec_id",
+            "label",
+            "cid",
+            F.round(F.col("adc_q").cast("double") / q2, 6).alias("adc_dist"),
+            F.round(F.col("td_q").cast("double") / q2, 6).alias("true_dist"),
+            F.round((F.col("adc_q") - F.col("td_q")).cast("double") / q2, 6).alias("adc_err"),
+        )
+    )
+
+
 @register(
     "embeddings_dim_stats",
     oracle="""

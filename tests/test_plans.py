@@ -615,3 +615,20 @@ def test_bm25_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "windowspecdefinition" not in p
+
+
+def test_pq_adc_plan_shape(spark, sf_dir):
+    """IVF-PQ/ADC search: coarse assignment and PQ coding are map-side
+    array expressions over broadcast codebooks — NO window function
+    anywhere in the Spark plan (the oracle's ROW_NUMBER is DuckDB-side
+    only), the cell probe is a broadcast equi-join, the top-N is
+    TakeOrderedAndProject, and nothing cartesian."""
+    from currency_etl_spark.queries.vectors import knn_pq_adc
+
+    p = plan_of(knn_pq_adc(spark, sf_dir))
+    assert "windowspecdefinition" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
