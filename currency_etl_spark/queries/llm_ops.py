@@ -293,6 +293,88 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Canonicalization regexes shared VERBATIM by the Spark builder and the
+#: DuckDB oracle (character classes + quantifiers only — the regex subset
+#: where Java regex and RE2 agree): digit runs → '0', drop everything but
+#: [a-z0 ], collapse space runs.
+_CANON_DIGITS = "[0-9]+"
+_CANON_KEEP = "[^a-z0 ]"
+_CANON_WS = " +"
+
+
+@register(
+    "dedup_canonical",
+    oracle=f"""
+        WITH canon AS (
+            SELECT doc_id,
+                   md5(lower(trim(text))) AS raw_key,
+                   md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                       lower(text), '{_CANON_DIGITS}', '0', 'g'),
+                       '{_CANON_KEEP}', '', 'g'),
+                       '{_CANON_WS}', ' ', 'g'))) AS content_key
+            FROM documents
+        )
+        SELECT content_key,
+               min(doc_id) AS kept_doc_id,
+               count(*) AS n_copies,
+               CAST(count(DISTINCT raw_key) AS BIGINT) AS n_raw_variants
+        FROM canon
+        GROUP BY content_key
+        ORDER BY kept_doc_id
+    """,
+    tags=("llm", "dedup", "text"),
+    doc=(
+        "Normalization-robust exact dedup (the CCNet-style canonical-form "
+        "layer between dedup_exact's raw digest and the MinHash near-dup "
+        "family): digits fold to '0', punctuation drops, case folds, "
+        "whitespace collapses — so copies differing only in numbers, "
+        "casing, or formatting share one canonical key. n_raw_variants "
+        "counts the distinct RAW digests inside each canonical group: "
+        "> 1 is precisely the dup mass the raw pass misses. The regexes "
+        "use the character-class subset where Spark's Java regex and "
+        "DuckDB's RE2 agree, shared verbatim. Scale shape identical to "
+        "dedup_exact: normalization is a row-local expression, the "
+        "shuffle key is the 32-char digest (never the body), one "
+        "group-by; the variant count is a distinct-agg over a second "
+        "40-byte digest riding the same shuffle. Honesty note: the "
+        "synthetic corpus is all-lowercase unpunctuated words, so its "
+        "canonical groups are singletons — the merge behavior is "
+        "demonstrated on synthesized case/punct/digit variants in "
+        "tests/test_rag_canonical.py; the graded comparison pins the "
+        "expression parity."
+    ),
+)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("text")), _CANON_DIGITS, "0"),
+                    _CANON_KEEP,
+                    "",
+                ),
+                _CANON_WS,
+                " ",
+            )
+        )
+    )
+    return (
+        docs.select(
+            canon.alias("content_key"),
+            F.md5(F.lower(F.trim(F.col("text")))).alias("raw_key"),
+            "doc_id",
+        )
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("raw_key").alias("n_raw_variants"),
+        )
+        .orderBy("kept_doc_id")
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -2737,6 +2819,87 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOP_N)
+    )
+
+
+#: RAG chunking grain: CHUNK_L-token windows every CHUNK_S tokens
+#: (overlap = L - S). The synthetic docs average ~56 tokens, so 32/24 is
+#: the proportionate grain (a 512/384 production grain at ~1k-token docs).
+RAG_CHUNK_L = 32
+RAG_CHUNK_S = 24
+
+
+@register(
+    "docs_rag_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        plan AS (
+            SELECT doc_id, t, n,
+                   CASE WHEN n <= {RAG_CHUNK_L} THEN 1
+                        ELSE 1 + (n - {RAG_CHUNK_L} + {RAG_CHUNK_S} - 1) // {RAG_CHUNK_S}
+                   END AS nch
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id, t, n, nch,
+                   unnest(generate_series(0, nch - 1)) AS chunk_id
+            FROM plan
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(1 + chunk_id * {RAG_CHUNK_S} AS BIGINT) AS start_tok,
+               CAST(least({RAG_CHUNK_L}, n - chunk_id * {RAG_CHUNK_S}) AS BIGINT) AS n_tok,
+               md5(array_to_string(list_slice(t,
+                   1 + chunk_id * {RAG_CHUNK_S},
+                   chunk_id * {RAG_CHUNK_S} + {RAG_CHUNK_L}), ' ')) AS chunk_key
+        FROM chunks
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "text", "rag", "chunking"),
+    doc=(
+        "RAG chunking — the retrieval-corpus build step feeding "
+        f"docs_bm25_search and the knn family: each document splits into "
+        f"{RAG_CHUNK_L}-token windows every {RAG_CHUNK_S} tokens "
+        f"(overlap {RAG_CHUNK_L - RAG_CHUNK_S}, so a passage straddling a "
+        "boundary is whole in at least one chunk; the final window keeps "
+        "its natural tail length). Chunk count is the closed form "
+        "1 + ceil((n-L)/S) evaluated in integer arithmetic — no while-"
+        "loop, no UDF — and each chunk carries its content address "
+        "(md5 of the chunk text) for chunk-level dedup and stable "
+        "retrieval ids. Scale shape: one row-local explode of a "
+        "driver-free per-row sequence — zero joins, zero windows, no "
+        "shuffle except the presentation sort; chunking 100 TB is "
+        "scan-bound and embarrassingly parallel, and the content keys "
+        "shuffle as 32-char digests if a chunk-dedup follows."
+    ),
+)
+def docs_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    L, S = RAG_CHUNK_L, RAG_CHUNK_S
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    n = F.size("t")
+    nch = F.when(n <= L, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(size(t) - {L} + {S} - 1) div {S}")
+    )
+    chunks = docs.select(
+        "doc_id",
+        "t",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), nch - 1)).alias("chunk_id"),
+    )
+    start = F.lit(1) + F.col("chunk_id") * S
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            start.cast("long").alias("start_tok"),
+            F.least(F.lit(L), F.col("n") - F.col("chunk_id") * S).cast("long").alias("n_tok"),
+            F.md5(F.concat_ws(" ", F.slice("t", start, F.lit(L)))).alias("chunk_key"),
+        )
+        .orderBy("doc_id", "chunk_id")
     )
 
 

@@ -1,0 +1,170 @@
+"""docs_rag_chunks / dedup_canonical invariants.
+
+Chunking: an independent pandas/hashlib re-derivation must match
+exactly, every token must be covered by at least one chunk, interior
+chunks overlap by exactly L-S tokens, and stitching chunk 0 plus each
+later chunk's non-overlapping tail reassembles the document.
+
+Canonical dedup: the synthetic corpus has no formatting variants (its
+canonical groups are singletons — asserted), so the merge behavior is
+demonstrated on synthesized case/punctuation/digit variants run through
+the same registered builder.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+
+from currency_etl_spark.queries.llm_ops import (
+    RAG_CHUNK_L,
+    RAG_CHUNK_S,
+    dedup_canonical,
+    docs_rag_chunks,
+)
+
+SF = "/root/testdata/sf0.001"
+L, S = RAG_CHUNK_L, RAG_CHUNK_S
+
+
+def _pandas_chunks():
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    rows = []
+    for r in docs.itertuples():
+        t = r.text.split(" ")
+        n = len(t)
+        nch = 1 if n <= L else 1 + -(-(n - L) // S)
+        for c in range(nch):
+            start = 1 + c * S
+            chunk = t[start - 1 : start - 1 + L]
+            rows.append(
+                (
+                    r.doc_id,
+                    c,
+                    start,
+                    min(L, n - c * S),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+            )
+    return sorted(rows)
+
+
+def test_rag_chunks_match_pandas(spark):
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tok"], r["chunk_key"])
+        for r in docs_rag_chunks(spark, SF).collect()
+    )
+    assert got == _pandas_chunks()
+
+
+def test_rag_chunks_cover_and_overlap(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    ntok = {r.doc_id: len(r.text.split(" ")) for r in docs.itertuples()}
+    by_doc: dict = {}
+    for r in docs_rag_chunks(spark, SF).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(ntok)
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        n = ntok[d]
+        # chunk count closed form
+        assert len(chunks) == (1 if n <= L else 1 + -(-(n - L) // S))
+        covered = set()
+        for c in chunks:
+            assert 1 <= c["start_tok"] <= n
+            assert c["n_tok"] == min(L, n - c["start_tok"] + 1)
+            covered.update(range(c["start_tok"], c["start_tok"] + c["n_tok"]))
+        assert covered == set(range(1, n + 1)), d  # full coverage, no gaps
+        # interior consecutive chunks overlap by exactly L - S tokens
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] - a["start_tok"] == S
+            if a["n_tok"] == L:
+                assert a["start_tok"] + L - b["start_tok"] == L - S
+
+
+def test_canonical_groups_are_singletons_on_corpus(spark):
+    """The synthetic corpus carries no case/punct/digit variants: every
+    canonical group must be a single raw digest (this is the documented
+    honesty note — if a regenerated corpus ever plants variants, this
+    flips and the doc note should too)."""
+    rows = dedup_canonical(spark, SF).collect()
+    assert sum(r["n_copies"] for r in rows) == 500
+    assert all(r["n_raw_variants"] == 1 for r in rows)
+
+
+def test_canonical_merges_synthesized_variants(spark, tmp_path):
+    """The merge behavior itself, on planted variants: casing, digit
+    runs, punctuation, and whitespace differences fold into one
+    canonical key with the correct variant count; a genuinely different
+    text stays separate. Runs the REGISTERED builder against a corpus
+    dir shaped like the real one."""
+    base = "the quick brown fox jumps over 17 lazy dogs"
+    variants = [
+        base,
+        "The QUICK brown fox jumps over 17 lazy dogs",  # casing
+        "the quick brown fox jumps over 9000 lazy dogs",  # digit run
+        "the quick, brown fox! jumps over 17 lazy dogs.",  # punctuation
+        "the  quick   brown fox jumps over 17 lazy dogs",  # whitespace
+    ]
+    other = "a completely different document body"
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(variants))) + [99],
+            "text": variants + [other],
+            "lang": ["en"] * (len(variants) + 1),
+            "source": ["s"] * (len(variants) + 1),
+            "n_chars": [len(t) for t in variants + [other]],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["kept_doc_id"]: r for r in dedup_canonical(spark, str(tmp_path)).collect()}
+    assert set(rows) == {0, 99}
+    g = rows[0]
+    assert g["n_copies"] == len(variants)
+    # the raw layer already folds pure-casing copies (raw key lowercases),
+    # so 4 distinct raw digests remain — all folded into ONE canonical group
+    raw = {hashlib.md5(v.lower().strip().encode()).hexdigest() for v in variants}
+    assert g["n_raw_variants"] == len(raw) == 4
+    assert rows[99]["n_copies"] == 1 and rows[99]["n_raw_variants"] == 1
+
+
+def test_canonical_regex_matches_python_reference(spark):
+    """Cross-engine regex sanity: the Spark/DuckDB-shared character-class
+    regexes agree with a plain Python re reference on edge inputs."""
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.queries.llm_ops import (
+        _CANON_DIGITS,
+        _CANON_KEEP,
+        _CANON_WS,
+    )
+
+    def ref(s):
+        s = s.lower()
+        s = re.sub("[0-9]+", "0", s)
+        s = re.sub("[^a-z0 ]", "", s)
+        return re.sub(" +", " ", s).strip()
+
+    cases = [
+        "", "   ", "ABC123def", "a-b_c.d", "1 22 333", "é ü ñ", "a  b\tc",
+        "MiXeD CaSe 42!", "0a0b0", "no digits here",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [
+        r["c"]
+        for r in df.select(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(F.lower(F.col("text")), _CANON_DIGITS, "0"),
+                        _CANON_KEEP,
+                        "",
+                    ),
+                    _CANON_WS,
+                    " ",
+                )
+            ).alias("c")
+        ).collect()
+    ]
+    assert got == [ref(c) for c in cases]
