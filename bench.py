@@ -187,8 +187,10 @@ def main() -> None:
     # here, not inside that entry's time)
     from currency_etl_spark.streaming import jobs as _sj
 
-    if _sj._POOL_STARTER is not None:
-        stream_entries = sorted(n for n in _sj.STREAM_JOBS if n in times)
+    stream_entries = sorted(n for n in _sj.STREAM_JOBS if n in times)
+    # skip the row entirely when no streaming entry was timed (a subset
+    # run's warmup leaves _POOL_STARTER set — an empty row would be noise)
+    if _sj._POOL_STARTER is not None and stream_entries:
         families["stream_pool"] = {
             "sec": round(sum(times[e] for e in stream_entries), 3),
             "startup_sec": overheads.get("stream_pool_startup", 0.0),

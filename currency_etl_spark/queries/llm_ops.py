@@ -2822,87 +2822,6 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: RAG chunking grain: CHUNK_L-token windows every CHUNK_S tokens
-#: (overlap = L - S). The synthetic docs average ~56 tokens, so 32/24 is
-#: the proportionate grain (a 512/384 production grain at ~1k-token docs).
-RAG_CHUNK_L = 32
-RAG_CHUNK_S = 24
-
-
-@register(
-    "docs_rag_chunks",
-    oracle=f"""
-        WITH toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t,
-                   len(string_split(text, ' ')) AS n
-            FROM documents
-        ),
-        plan AS (
-            SELECT doc_id, t, n,
-                   CASE WHEN n <= {RAG_CHUNK_L} THEN 1
-                        ELSE 1 + (n - {RAG_CHUNK_L} + {RAG_CHUNK_S} - 1) // {RAG_CHUNK_S}
-                   END AS nch
-            FROM toks
-        ),
-        chunks AS (
-            SELECT doc_id, t, n, nch,
-                   unnest(generate_series(0, nch - 1)) AS chunk_id
-            FROM plan
-        )
-        SELECT doc_id,
-               CAST(chunk_id AS BIGINT) AS chunk_id,
-               CAST(1 + chunk_id * {RAG_CHUNK_S} AS BIGINT) AS start_tok,
-               CAST(least({RAG_CHUNK_L}, n - chunk_id * {RAG_CHUNK_S}) AS BIGINT) AS n_tok,
-               md5(array_to_string(list_slice(t,
-                   1 + chunk_id * {RAG_CHUNK_S},
-                   chunk_id * {RAG_CHUNK_S} + {RAG_CHUNK_L}), ' ')) AS chunk_key
-        FROM chunks
-        ORDER BY doc_id, chunk_id
-    """,
-    tags=("llm", "text", "rag", "chunking"),
-    doc=(
-        "RAG chunking — the retrieval-corpus build step feeding "
-        f"docs_bm25_search and the knn family: each document splits into "
-        f"{RAG_CHUNK_L}-token windows every {RAG_CHUNK_S} tokens "
-        f"(overlap {RAG_CHUNK_L - RAG_CHUNK_S}, so a passage straddling a "
-        "boundary is whole in at least one chunk; the final window keeps "
-        "its natural tail length). Chunk count is the closed form "
-        "1 + ceil((n-L)/S) evaluated in integer arithmetic — no while-"
-        "loop, no UDF — and each chunk carries its content address "
-        "(md5 of the chunk text) for chunk-level dedup and stable "
-        "retrieval ids. Scale shape: one row-local explode of a "
-        "driver-free per-row sequence — zero joins, zero windows, no "
-        "shuffle except the presentation sort; chunking 100 TB is "
-        "scan-bound and embarrassingly parallel, and the content keys "
-        "shuffle as 32-char digests if a chunk-dedup follows."
-    ),
-)
-def docs_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    L, S = RAG_CHUNK_L, RAG_CHUNK_S
-    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
-    n = F.size("t")
-    nch = F.when(n <= L, F.lit(1)).otherwise(
-        F.lit(1) + F.expr(f"(size(t) - {L} + {S} - 1) div {S}")
-    )
-    chunks = docs.select(
-        "doc_id",
-        "t",
-        n.alias("n"),
-        F.explode(F.sequence(F.lit(0), nch - 1)).alias("chunk_id"),
-    )
-    start = F.lit(1) + F.col("chunk_id") * S
-    return (
-        chunks.select(
-            "doc_id",
-            F.col("chunk_id").cast("long").alias("chunk_id"),
-            start.cast("long").alias("start_tok"),
-            F.least(F.lit(L), F.col("n") - F.col("chunk_id") * S).cast("long").alias("n_tok"),
-            F.md5(F.concat_ws(" ", F.slice("t", start, F.lit(L)))).alias("chunk_key"),
-        )
-        .orderBy("doc_id", "chunk_id")
-    )
-
-
 @register(
     "docs_skipgram_pairs",
     oracle="""

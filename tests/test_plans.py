@@ -634,22 +634,6 @@ def test_pq_adc_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
 
 
-def test_rag_chunks_plan_is_one_explode_no_joins(spark, sf_dir):
-    """Chunking is scan-bound: exactly one Generate (the per-doc chunk
-    sequence explode), no join, no window; the only exchange is the
-    presentation sort."""
-    from currency_etl_spark.queries.llm_ops import docs_rag_chunks
-
-    p = plan_of(docs_rag_chunks(spark, sf_dir))
-    assert "Join" not in p
-    assert "windowspecdefinition" not in p
-    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
-    # at most: spread()'s round-robin fan-out of the single-file scan +
-    # the presentation sort — never a data-keyed shuffle
-    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2
-    assert "hashpartitioning" not in p
-
-
 def test_dedup_canonical_shuffles_digests_not_text(spark, sf_dir):
     """Same contract as dedup_exact: the group-by shuffle carries the
     40-byte digests, never the document body."""

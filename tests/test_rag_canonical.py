@@ -1,15 +1,8 @@
-"""docs_rag_chunks / dedup_canonical invariants.
-
-Chunking: an independent pandas/hashlib re-derivation must match
-exactly, every token must be covered by at least one chunk, interior
-chunks overlap by exactly L-S tokens, and stitching chunk 0 plus each
-later chunk's non-overlapping tail reassembles the document.
-
-Canonical dedup: the synthetic corpus has no formatting variants (its
-canonical groups are singletons — asserted), so the merge behavior is
-demonstrated on synthesized case/punctuation/digit variants run through
-the same registered builder.
-"""
+"""dedup_canonical invariants: the synthetic corpus has no formatting
+variants (its canonical groups are singletons — asserted), so the merge
+behavior is demonstrated on synthesized case/punctuation/digit variants
+run through the same registered builder, plus a Spark-vs-Python regex
+parity check on edge inputs."""
 
 from __future__ import annotations
 
@@ -18,70 +11,9 @@ import re
 
 import pandas as pd
 
-from currency_etl_spark.queries.llm_ops import (
-    RAG_CHUNK_L,
-    RAG_CHUNK_S,
-    dedup_canonical,
-    docs_rag_chunks,
-)
+from currency_etl_spark.queries.llm_ops import dedup_canonical
 
 SF = "/root/testdata/sf0.001"
-L, S = RAG_CHUNK_L, RAG_CHUNK_S
-
-
-def _pandas_chunks():
-    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
-    rows = []
-    for r in docs.itertuples():
-        t = r.text.split(" ")
-        n = len(t)
-        nch = 1 if n <= L else 1 + -(-(n - L) // S)
-        for c in range(nch):
-            start = 1 + c * S
-            chunk = t[start - 1 : start - 1 + L]
-            rows.append(
-                (
-                    r.doc_id,
-                    c,
-                    start,
-                    min(L, n - c * S),
-                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
-                )
-            )
-    return sorted(rows)
-
-
-def test_rag_chunks_match_pandas(spark):
-    got = sorted(
-        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tok"], r["chunk_key"])
-        for r in docs_rag_chunks(spark, SF).collect()
-    )
-    assert got == _pandas_chunks()
-
-
-def test_rag_chunks_cover_and_overlap(spark):
-    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
-    ntok = {r.doc_id: len(r.text.split(" ")) for r in docs.itertuples()}
-    by_doc: dict = {}
-    for r in docs_rag_chunks(spark, SF).collect():
-        by_doc.setdefault(r["doc_id"], []).append(r)
-    assert set(by_doc) == set(ntok)
-    for d, chunks in by_doc.items():
-        chunks.sort(key=lambda r: r["chunk_id"])
-        n = ntok[d]
-        # chunk count closed form
-        assert len(chunks) == (1 if n <= L else 1 + -(-(n - L) // S))
-        covered = set()
-        for c in chunks:
-            assert 1 <= c["start_tok"] <= n
-            assert c["n_tok"] == min(L, n - c["start_tok"] + 1)
-            covered.update(range(c["start_tok"], c["start_tok"] + c["n_tok"]))
-        assert covered == set(range(1, n + 1)), d  # full coverage, no gaps
-        # interior consecutive chunks overlap by exactly L - S tokens
-        for a, b in zip(chunks, chunks[1:]):
-            assert b["start_tok"] - a["start_tok"] == S
-            if a["n_tok"] == L:
-                assert a["start_tok"] + L - b["start_tok"] == L - S
 
 
 def test_canonical_groups_are_singletons_on_corpus(spark):
