@@ -565,14 +565,32 @@ def test_dedup_semantic_plan_shape(spark, sf_dir):
         assert spec.split(",")[0].startswith("centroid_id"), spec
 
 
+def test_dup_span_hits_builder_shape(spark, sf_dir):
+    """The shared ExactSubstr detection relation (memoized since r9):
+    duplicated grams reach the gram stream as a LEFT-SEMI join — no pair
+    generation, no collect_list — and exactly the two sides of the semi
+    join re-run the gram generator (detect + probe, the standard
+    recompute-vs-checkpoint trade INSIDE the one memoized build)."""
+    from currency_etl_spark.queries.llm_ops import _dup_span_hits, _with_tokens
+    from currency_etl_spark.sources import spread, table
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    p = plan_of(_dup_span_hits(docs))
+    assert "LeftSemi" in p
+    assert "collect_list" not in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 2
+
+
 def test_dup_span_coverage_plan_shape(spark, sf_dir):
-    """Exact-substring coverage: duplicated grams reach the gram relation
-    as a LEFT-SEMI join (no pair generation, no collect_list), and the
-    only window partitions on doc_id (bounded by doc length)."""
+    """Exact-substring coverage: the hits relation is read from the
+    memoized checkpoint (one detection build per session per SF, shared
+    with the removal twin), and the only window partitions on doc_id
+    (bounded by doc length)."""
     from currency_etl_spark.queries.llm_ops import docs_dup_span_coverage
 
     p = plan_of(docs_dup_span_coverage(spark, sf_dir))
-    assert "LeftSemi" in p
+    assert "Scan ExistingRDD" in p  # the memoized hits checkpoint
     assert "collect_list" not in p
     assert "CartesianProduct" not in p
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
@@ -582,24 +600,20 @@ def test_dup_span_coverage_plan_shape(spark, sf_dir):
 
 
 def test_dup_span_removal_plan_shape(spark, sf_dir):
-    """ExactSubstr cut step: shares the coverage entry's detection shape
-    (LEFT-SEMI dup probe, doc_id-partitioned windows only), the span list
-    re-enters on a doc_id equi-join — never a cross join — and clean-text
-    assembly is a row-local projection (no corpus re-explosion: exactly
-    one explode, the gram generator)."""
+    """ExactSubstr cut step: reads the memoized hits checkpoint (shared
+    with the coverage twin), all windows partition on doc_id, the span
+    list re-enters on a doc_id equi-join — never a cross join — and
+    clean-text assembly is a row-local projection: ZERO Generate nodes
+    (the corpus is never exploded to token rows for the cut)."""
     from currency_etl_spark.queries.llm_ops import docs_dup_span_removal
 
     p = plan_of(docs_dup_span_removal(spark, sf_dir))
-    assert "LeftSemi" in p
+    assert "Scan ExistingRDD" in p  # the memoized hits checkpoint
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert spec.split(",")[0].startswith("doc_id"), spec
-    # exactly the two sides of the dup semi-join re-run the gram
-    # generator (detect + probe — the standard recompute-vs-checkpoint
-    # trade, same as the coverage twin); the corpus is never exploded to
-    # token rows for the cut itself
-    assert len(re.findall(r"\(\d+\) Generate", p)) == 2
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 0
 
 
 def test_bm25_plan_shape(spark, sf_dir):
