@@ -594,10 +594,10 @@ def _band_pairs(bands: DataFrame) -> DataFrame:
 # screen, leakage report) reads it; these helpers model exactly that.
 # memo_checkpoint keys on sf_dir (different SFs never cross-pollinate)
 # and bench.py resets memos between timed passes so the build cost is
-# always paid inside a timed region. Eight catalog entries ride these:
+# always paid inside a timed region. Nine catalog entries ride these:
 # dedup_minhash_lsh, minhash_jaccard_est, dedup_incremental,
 # docs_split_leakage, dedup_clusters, docs_dedup_survivors,
-# docs_curation_pipeline, dedup_graph_degree_stats.
+# docs_curation_pipeline, dedup_graph_degree_stats, dedup_lsh_recall.
 
 
 def _sh_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1673,6 +1673,118 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out  # unordered: the correctness compare is order-insensitive
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   md5(unnest(list_distinct({_SQL_SHINGLES.format(t='t')}))) AS m
+            FROM toks
+        ),
+        shx AS (
+            SELECT doc_id, CAST(('0x' || substring(m, 1, 7)) AS BIGINT) AS x
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_minhash_sig_sql()}
+            FROM shx GROUP BY doc_id
+        ),
+        bands AS (
+            {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_idx, {_band_key_sql(band)} AS band_key FROM sig" for band in range(MINHASH_BANDS))}
+        ),
+        bands_capped AS (
+            SELECT * FROM bands
+            QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {DF_CAP}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands_capped a JOIN bands_capped b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        cnt AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        shc AS (
+            SELECT doc_id, CAST(('0x' || substring(m, 1, 15)) AS BIGINT) AS sx
+            FROM sh
+            QUALIFY count(*) OVER (PARTITION BY sx) <= {DF_CAP}
+        ),
+        truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM shc a JOIN shc b ON a.sx = b.sx AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        binned AS (
+            SELECT (10 * t.n_common) // (ca.nsh + cb.nsh - t.n_common) AS j_bin,
+                   CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS hit
+            FROM truth t
+            JOIN cnt ca ON ca.doc_id = t.doc_a
+            JOIN cnt cb ON cb.doc_id = t.doc_b
+            LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        )
+        SELECT CAST(j_bin AS BIGINT) AS j_bin,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(hit) AS BIGINT) AS n_caught,
+               round(CAST(count(hit) AS DOUBLE) / count(*), 6) AS recall
+        FROM binned
+        GROUP BY j_bin
+        ORDER BY j_bin
+    """,
+    tags=("llm", "dedup", "minhash", "evaluation"),
+    doc=(
+        "The dedup family's recall-calibration loop (the analog of "
+        "knn_recall_report for near-dup detection): empirical LSH catch "
+        "rate per true-Jaccard decile. Ground truth is every pair sharing "
+        "at least one DF_CAP-capped shingle, with exact capped Jaccard "
+        "binned by INTEGER division ((10·n_common) div union — no float "
+        "boundary can disagree between engines); each truth pair is "
+        "checked for membership in the banded candidate set. This is how "
+        "a deployment tunes bands×rows against the theoretical S-curve "
+        "P(caught|j) = 1-(1-j^4)^4 before committing a 100 TB pass — the "
+        "per-decile empirical recall should straddle the curve's value at "
+        "the bin midpoint (pinned in tests at the high/low ends). Scale "
+        "shape: reads the family's memoized shingle/signature/pair bases "
+        "(one build per session per SF); truth-pair generation is the "
+        "same join-free capped posting-list explode as the verify stage "
+        "(dup-rate-proportional, never all-pairs); the final rollup is "
+        "an 11-group aggregate."
+    ),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _sh_base(spark, sf_dir).select("doc_id", "sx")
+    sig = _sig_base(spark, sf_dir).select("doc_id", "nsh")
+    truth = (
+        _cap_groups(sh, ["sx"])
+        .groupBy("sx")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
+    nb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
+    cand = _pairs_base(spark, sf_dir).withColumn("hit", F.lit(1))
+    binned = (
+        truth.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "j_bin",
+            F.expr("(10 * n_common) div (nsh_a + nsh_b - n_common)").cast("long"),
+        )
+        .join(cand, ["doc_a", "doc_b"], "left")
+    )
+    return (
+        binned.groupBy("j_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count("hit").cast("long").alias("n_caught"),
+            F.round(F.count("hit").cast("double") / F.count(F.lit(1)), 6).alias("recall"),
+        )
+        .orderBy("j_bin")
+    )
 
 
 #: Chunking geometry: 32-token windows advancing 24 tokens (8-token

@@ -659,3 +659,17 @@ def test_dedup_canonical_shuffles_digests_not_text(spark, sf_dir):
     shuffled = m.group(1)
     assert "content_key" in shuffled
     assert "text#" not in shuffled
+
+
+def test_lsh_recall_reads_memoized_bases(spark, sf_dir):
+    """The recall report consumes the family's materialized index — no
+    parquet rescan of the corpus anywhere in the final plan — and its
+    truth-pair generation stays the join-free capped posting-list shape
+    (windows only on the sx cap; no cartesian anything)."""
+    from currency_etl_spark.queries.llm_ops import dedup_lsh_recall
+
+    p = plan_of(dedup_lsh_recall(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
