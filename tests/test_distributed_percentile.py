@@ -708,3 +708,32 @@ def test_adaptive_rank_string_tiebreak_splits(spark):
     )
     got2 = distributed_global_rank(df2, "k", "tb", max_split_rows=1).collect()
     assert sorted(r["rank"] for r in got2) == [1, 2, 3]
+
+
+def test_string_prefix_monotone_property(spark):
+    """Hypothesis sweep of the r9 byte-prefix mapping: for ANY pair of
+    strings, Spark-order(s1, s2) must never contradict prefix-order —
+    the mapping is monotone (ties allowed when 7.5-byte prefixes agree).
+    Checked in pure Python against the exact same arithmetic the SQL
+    performs (hex, rpad to 15, base-16), which the engine-parity test
+    above already ties to the Spark expression."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def prefix60(s: str) -> int:
+        h = s.encode("utf-8").hex().upper()[:15]
+        return int(h.ljust(15, "0"), 16)
+
+    @given(st.text(max_size=24), st.text(max_size=24))
+    @settings(max_examples=300, deadline=None)
+    def check(s1, s2):
+        b1, b2 = s1.encode("utf-8"), s2.encode("utf-8")
+        p1, p2 = prefix60(s1), prefix60(s2)
+        if b1 < b2:
+            assert p1 <= p2, (s1, s2)
+        elif b1 > b2:
+            assert p1 >= p2, (s1, s2)
+        else:
+            assert p1 == p2
+
+    check()

@@ -100,3 +100,43 @@ def test_canonical_regex_matches_python_reference(spark):
         ).collect()
     ]
     assert got == [ref(c) for c in cases]
+
+
+def test_canonical_partition_coarsens_raw_partition(spark):
+    """Cross-entry consistency with dedup_exact: canonicalization can
+    only MERGE raw groups, never split one — every raw content key must
+    map into exactly one canonical group, and the canonical copy counts
+    must be the sums of their raw groups' counts."""
+    from collections import defaultdict
+
+    from currency_etl_spark.queries.llm_ops import dedup_exact
+
+    raw = {r["content_key"]: r for r in dedup_exact(spark, SF).collect()}
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    # map every doc to its raw and canonical keys via the same digests
+    import re as _re
+
+    def canon_key(s):
+        s = s.lower()
+        s = _re.sub("[0-9]+", "0", s)
+        s = _re.sub("[^a-z0 ]", "", s)
+        s = _re.sub(" +", " ", s).strip()
+        return hashlib.md5(s.encode()).hexdigest()
+
+    raw_to_canon = defaultdict(set)
+    canon_copies = defaultdict(int)
+    for r in docs.itertuples():
+        rk = hashlib.md5(r.text.lower().strip().encode()).hexdigest()
+        ck = canon_key(r.text)
+        raw_to_canon[rk].add(ck)
+        canon_copies[ck] += 1
+    assert all(len(cs) == 1 for cs in raw_to_canon.values())  # coarsening
+    from currency_etl_spark.queries.llm_ops import dedup_canonical
+
+    got = {r["content_key"]: r for r in dedup_canonical(spark, SF).collect()}
+    assert set(got) == set(canon_copies)
+    for ck, n in canon_copies.items():
+        assert got[ck]["n_copies"] == n, ck
+    assert sum(r["n_copies"] for r in raw.values()) == sum(
+        r["n_copies"] for r in got.values()
+    )
