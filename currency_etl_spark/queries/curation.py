@@ -487,3 +487,76 @@ def docs_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: k-anonymity threshold: quasi-identifier groups smaller than this are
+#: re-identification risks (the conventional k=5 release bar).
+K_ANON_MIN = 5
+
+
+@register(
+    "customers_k_anonymity",
+    oracle=f"""
+        WITH qi AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+            FROM customer
+        ),
+        grp AS (
+            SELECT c_nationkey, c_mktsegment, bal_band,
+                   count(*) AS group_size
+            FROM qi GROUP BY 1, 2, 3
+        )
+        SELECT CAST(group_size AS BIGINT) AS group_size,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(group_size) AS BIGINT) AS n_customers,
+               CAST(CASE WHEN group_size < {K_ANON_MIN} THEN 1 ELSE 0 END AS BIGINT)
+                   AS at_risk
+        FROM grp
+        GROUP BY group_size
+        ORDER BY group_size
+    """,
+    tags=("governance", "privacy", "audit"),
+    doc=(
+        "k-anonymity audit over the customer dimension — the release-"
+        "governance counterpart of docs_pii_scrub (cell-level redaction) "
+        "and customers_pseudonymize_audit (identifier hashing): how many "
+        "people share each quasi-identifier combination (nation × market "
+        "segment × $1000 balance band)? Rows in groups smaller than "
+        f"k={K_ANON_MIN} are re-identification risks the release process "
+        "must suppress or generalize, and this histogram is what a "
+        "privacy review reads to pick the generalization grain. Shape at "
+        "100 TB: one shuffle on the narrow QI tuple, then an 11-ish-group "
+        "rollup on the group size — no row-level data ever leaves the "
+        "executors, and the band expression (floor(bal/1000), identical "
+        "IEEE op in both engines) is the only derived column."
+    ),
+)
+def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    grp = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+    )
+    return (
+        grp.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_customers"),
+        )
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            "n_groups",
+            "n_customers",
+            F.when(F.col("group_size") < K_ANON_MIN, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("at_risk"),
+        )
+        .orderBy("group_size")
+    )
