@@ -70,8 +70,8 @@ PRIORITY_ORDER = [
     # docs_weighted_sample, embedding_pq), then the rest of the r5
     # block in its original r5-window registration order — then the
     # oldest rows of the r6 block (its leading entries in r6-window
-    # order) fill the remaining slots. 6 + 37 + 7 = 50. After r9 the
-    # staleness ledger is: 50×r9, 50×r8, 50×r7, 43×r6 — no entry older
+    # order) fill the remaining slots. 7 + 37 + 6 = 50. After r9 the
+    # staleness ledger is: 50×r9, 50×r8, 50×r7, 44×r6 — no entry older
     # than r6. All 50 are oracle-verified locally at sf0.001 on every
     # pytest run (tests/test_oracle.py); the builder's logged driver
     # simulation repeats the comparison at sf0.01.
@@ -83,6 +83,7 @@ PRIORITY_ORDER = [
     "dedup_canonical",
     "dedup_lsh_recall",
     "customers_k_anonymity",
+    "docs_cdc_chunks",
     # --- the 37 remaining r5-stale standing greens (ceded tail first) ---
     "docs_subword_tokens",
     "docs_weighted_sample",
@@ -121,22 +122,21 @@ PRIORITY_ORDER = [
     "events_sketch_rollup",
     "events_anomaly_mad",
     "streaming_scd2",
-    # --- the oldest 7 rows of the r6 block (r6-window order) ---
+    # --- the oldest 6 rows of the r6 block (r6-window order) ---
     "docs_shard_manifest",
     "docs_split_leakage",
     "docs_importance_weights",
     "docs_source_token_divergence",
     "docs_shingle_novelty",
     "docs_lang_source_chi2",
-    "customers_pseudonymize_audit",
     # MUST LEAD round 10 (staleness after r9: 50×r9, 50×r8, 50×r7,
-    # 43×r6): the 43 remaining r6-stale standing greens, in their
-    # original r6-window order (multimodal_storage_quota first, then
-    # docs_inverted_index, docs_skipgram_pairs, docs_bigram_surprisal,
-    # embeddings_dim_stats and the rest); any NEW r10 entry takes a
-    # slot from the r7 block's head, which fills the remaining ~7 slots
-    # (oldest r7 rows first), exactly as this round's six did from the
-    # r6 tail.
+    # 44×r6): the 44 remaining r6-stale standing greens, in their
+    # original r6-window order (customers_pseudonymize_audit first,
+    # then multimodal_storage_quota, docs_inverted_index,
+    # docs_skipgram_pairs, docs_bigram_surprisal, embeddings_dim_stats
+    # and the rest); any NEW r10 entry takes a slot from the r7 block's
+    # head, which fills the remaining ~6 slots (oldest r7 rows first),
+    # exactly as this round's seven did from the r6 tail.
 ]
 
 _ROUND8_WINDOW = [

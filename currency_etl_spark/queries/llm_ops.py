@@ -3185,3 +3185,105 @@ def docs_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("mean_importance"), "doc_id")
         .limit(25)
     )
+
+
+#: Content-defined chunking: 8-token rolling window, boundary when the
+#: window hash ≡ 0 (mod 32) → ~32-token average chunks on top of the
+#: 8-token window (FastCDC's min/max clamps omitted — documented
+#: simplification; the boundary rule is the load-bearing part).
+CDC_W = 8
+CDC_DIVISOR = 32
+
+
+@register(
+    "docs_cdc_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        cutlists AS (
+            SELECT doc_id, t, n,
+                   list_filter(
+                       list_transform(
+                           list_filter(generate_series(1, n - {CDC_W} + 1),
+                               i -> CAST(('0x' || substring(md5(array_to_string(list_slice(t, i, i + {CDC_W} - 1), ' ')), 1, 15)) AS BIGINT)
+                                    % {CDC_DIVISOR} = 0),
+                           i -> i + {CDC_W} - 1),
+                       c -> c < n) AS cuts
+            FROM toks
+        ),
+        z AS (
+            SELECT doc_id, t,
+                   list_concat([1], list_transform(cuts, c -> c + 1)) AS starts,
+                   list_concat(cuts, [n]) AS ends
+            FROM cutlists
+        ),
+        ch AS (
+            SELECT doc_id, t, starts, ends,
+                   unnest(generate_series(1, len(starts))) AS k
+            FROM z
+        )
+        SELECT doc_id,
+               CAST(k - 1 AS BIGINT) AS chunk_id,
+               CAST(starts[k] AS BIGINT) AS start_tok,
+               CAST(ends[k] - starts[k] + 1 AS BIGINT) AS n_tok,
+               md5(array_to_string(list_slice(t, starts[k], ends[k]), ' ')) AS chunk_key
+        FROM ch
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("llm", "text", "chunking", "dedup"),
+    doc=(
+        "Content-DEFINED chunking (the FastCDC/rsync family), the "
+        "insertion-resilient counterpart of docs_chunk_tokens' fixed "
+        f"windows: a chunk ends wherever the {CDC_W}-token rolling window "
+        f"hash ≡ 0 (mod {CDC_DIVISOR}) — boundaries are functions of "
+        "CONTENT, not position, so prepending a paragraph shifts only the "
+        "chunks before the first surviving boundary and every later "
+        "chunk_key is preserved (pinned by test) — the property that makes "
+        "chunk-level dedup and delta storage work under edits, where "
+        "fixed windows re-key the entire document. Rolling hashes reuse "
+        "the module's 60-bit md5-prefix gram convention; boundary "
+        "selection, cut-list assembly, and per-chunk keys are row-local "
+        "higher-order functions (one explode, no shuffle but the "
+        "presentation sort). FastCDC's min/max chunk clamps are omitted "
+        "(documented simplification; avg chunk = window + divisor). At "
+        "100 TB: scan-bound and embarrassingly parallel; chunk_keys "
+        "shuffle as 32-char digests if a chunk-dedup follows."
+    ),
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, D = CDC_W, CDC_DIVISOR
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    n = F.size("t")
+    gram_hash_ok = (
+        f"CAST(conv(substring(md5(concat_ws(' ', slice(t, i, {W}))), 1, 15), 16, 10) AS BIGINT) % {D} = 0"
+    )
+    cuts = F.expr(
+        f"filter(transform(filter(sequence(1, size(t) - {W} + 1), i -> {gram_hash_ok}), "
+        f"i -> i + {W} - 1), c -> c < size(t))"
+    )
+    z = docs.filter(n >= 1).select(
+        "doc_id",
+        "t",
+        F.concat(F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1)).alias("starts"),
+        F.concat(cuts, F.array(n)).alias("ends"),
+    )
+    ch = z.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.arrays_zip("starts", "ends")).alias("chunk_id", "se"),
+    )
+    start = F.col("se.starts")
+    end = F.col("se.ends")
+    return (
+        ch.select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            start.cast("long").alias("start_tok"),
+            (end - start + 1).cast("long").alias("n_tok"),
+            F.md5(F.concat_ws(" ", F.slice("t", start, end - start + 1))).alias("chunk_key"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

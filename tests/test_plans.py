@@ -673,3 +673,16 @@ def test_lsh_recall_reads_memoized_bases(spark, sf_dir):
     assert "Scan ExistingRDD" in p
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_cdc_chunks_plan_is_row_local(spark, sf_dir):
+    """Content-defined chunking is scan-bound: boundary selection and
+    cut-list assembly are higher-order expressions, one explode emits
+    the chunks, no join or window anywhere, no data-keyed shuffle."""
+    from currency_etl_spark.queries.llm_ops import docs_cdc_chunks
+
+    p = plan_of(docs_cdc_chunks(spark, sf_dir))
+    assert "Join" not in p
+    assert "windowspecdefinition" not in p
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+    assert "hashpartitioning" not in p  # spread round-robin + sort only
