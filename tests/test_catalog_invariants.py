@@ -84,3 +84,32 @@ def test_priority_order_fits_grading_window():
     unknown = [n for n in PRIORITY_ORDER if n not in CATALOG]
     assert not unknown, f"priority entries not in catalog: {unknown}"
     assert len(PRIORITY_ORDER) <= GRADING_WINDOW
+
+
+def test_make_window_agrees_with_priority_order():
+    """tools/make_window.py mechanizes the rotation policy: its proposed
+    window must contain exactly PRIORITY_ORDER's entries (ordering may
+    differ only where a round note applies a documented nuance, e.g. the
+    ceded-tail-first convention), and its NEW-entry detection must match
+    the entries with no recorded driver row."""
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        import make_window
+    finally:
+        sys.path.pop(0)
+
+    from currency_etl_spark.catalog import GRADING_WINDOW, PRIORITY_ORDER, load_catalog
+
+    cat = list(load_catalog())
+    newest = make_window.newest_rows(root)
+    new_entries = [n for n in cat if n not in newest]
+    stale = sorted((n for n in cat if n in newest), key=lambda n: newest[n])
+    window = (new_entries + stale)[:GRADING_WINDOW]
+    assert set(window) == set(PRIORITY_ORDER), (
+        sorted(set(window) ^ set(PRIORITY_ORDER))
+    )
+    assert PRIORITY_ORDER[: len(new_entries)] == new_entries
