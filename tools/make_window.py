@@ -15,7 +15,11 @@ staleness ledger the window-header comment states. Purely advisory — the
 committed PRIORITY_ORDER stays the source of truth (the human-readable
 justification comment is part of the audit artifact).
 
-Usage: python tools/make_window.py [repo_root]
+Usage: python tools/make_window.py [repo_root] [--through-round N]
+
+``--through-round N`` ignores CORRECTNESS files newer than round N — use
+catalog.PRIORITY_ORDER_BASIS_ROUND to reproduce the committed window even
+after the driver writes the current round's own file.
 """
 
 from __future__ import annotations
@@ -26,14 +30,24 @@ import re
 import sys
 
 
-def newest_rows(root: str) -> "dict[str, tuple[int, int]]":
-    """entry -> (newest round with a driver row, position in that window)."""
+def newest_rows(root: str, through_round: "int | None" = None) -> "dict[str, tuple[int, int]]":
+    """entry -> (newest round with a driver row, position in that window).
+
+    ``through_round`` caps the CORRECTNESS files considered: a committed
+    PRIORITY_ORDER is authored against the rounds recorded at commit time
+    (catalog.PRIORITY_ORDER_BASIS_ROUND), and the driver writes the
+    current round's own file AFTER the commit — without the cap, that
+    file would silently advance the proposal by one round and any pin
+    against the committed window would self-rot at round end.
+    """
     newest: dict = {}
     for f in sorted(os.listdir(root)):
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", f)
         if not m:
             continue
         rnd = int(m.group(1))
+        if through_round is not None and rnd > through_round:
+            continue
         with open(os.path.join(root, f)) as fh:
             names = list(json.load(fh))
         for pos, n in enumerate(names):
@@ -43,14 +57,20 @@ def newest_rows(root: str) -> "dict[str, tuple[int, int]]":
 
 
 def main() -> int:
-    root = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(
+    argv = list(sys.argv[1:])
+    through_round = None
+    if "--through-round" in argv:
+        i = argv.index("--through-round")
+        through_round = int(argv[i + 1])
+        del argv[i : i + 2]
+    root = argv[0] if argv else os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
     sys.path.insert(0, root)
     from currency_etl_spark.catalog import GRADING_WINDOW, load_catalog
 
     cat = list(load_catalog())
-    newest = newest_rows(root)
+    newest = newest_rows(root, through_round=through_round)
     new_entries = [n for n in cat if n not in newest]
     stale = sorted(
         (n for n in cat if n in newest),
@@ -76,7 +96,8 @@ def main() -> int:
         (newest[n][0] for n in cat if n in newest and n not in refreshed),
         default=None,
     )
-    print(f"# oldest row left un-refreshed by this window: r{oldest_left}")
+    label = "none" if oldest_left is None else f"r{oldest_left}"
+    print(f"# oldest row left un-refreshed by this window: {label}")
     return 0
 
 
