@@ -532,7 +532,11 @@ K_ANON_MIN = 5
         "IEEE op in both engines) is the only derived column."
     ),
 )
-def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customers_k_anonymity(
+    spark: SparkSession, sf_dir: str, *, k: int = K_ANON_MIN
+) -> DataFrame:
+    """Graded default is the module constant; ``k`` is the release
+    process's anonymity threshold (groups below k flag at_risk)."""
     cust = table(spark, sf_dir, "customer")
     grp = (
         cust.select(
@@ -553,10 +557,105 @@ def customers_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("group_size").cast("long").alias("group_size"),
             "n_groups",
             "n_customers",
-            F.when(F.col("group_size") < K_ANON_MIN, F.lit(1))
+            F.when(F.col("group_size") < k, F.lit(1))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("at_risk"),
         )
         .orderBy("group_size")
     )
+
+
+@register(
+    "docs_quality_calibration",
+    oracle=None,  # composed below from the quality-filter + decontaminate oracles
+    tags=("llm", "curation", "calibration", "dedup"),
+    doc=(
+        "Quality-classifier calibration — the reliability table that "
+        "completes curation's evaluation loop the way dedup_lsh_recall "
+        "completes dedup's: bucket the training pool by the quality "
+        "filter's discrete score (rules_passed, 0-5 — the five Gopher "
+        "rule booleans summed; the filter's natural score axis, each "
+        "value its own bin) and report, per bin, the OBSERVED bad-data "
+        "rates the filter is supposed to predict — near-duplicate rate "
+        "(docs_dedup_survivors.kept = false: the doc loses the MinHash "
+        "survivor election to a clustermate; exact md5 duplicates are "
+        "absent from the graded SFs, so the near-dup label is the one "
+        "with signal) and benchmark-contamination rate "
+        "(docs_decontaminate's flag), plus the mean contamination level. "
+        "If the filter is calibrated, dup/contam "
+        "rates fall as rules_passed rises — this table is the evidence a "
+        "pipeline needs BEFORE trusting the passes bit to gate a 100 TB "
+        "crawl. Scale shape: three doc-keyed relations (rule booleans, "
+        "survivor flags — read from the memoized dedup-family bases, not "
+        "recomputed — and contamination flags) equi-joined on doc_id "
+        "and collapsed to a <=6-row histogram; the only corpus-sized "
+        "shuffles carry (doc_id, booleans) — never "
+        "text. Numerics: per-doc contamination is already quantized to "
+        "1e-6, so the bin mean sums exact 1e6-lattice integers before "
+        "one double division (engine-identical)."
+    ),
+)
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.llm_ops import docs_dedup_survivors
+
+    qf = docs_quality_filter(spark, sf_dir)
+    score = sum(
+        F.col(c).cast("int")
+        for c in ("ok_len", "ok_word_len", "ok_diversity", "ok_repetition", "ok_stopwords")
+    )
+    binned = qf.select("doc_id", score.cast("long").alias("rules_passed"))
+    dc = docs_decontaminate(spark, sf_dir).select(
+        "doc_id",
+        F.col("flagged").cast("int").alias("contam"),
+        F.round(F.col("contamination") * 1e6).cast("long").alias("cq"),
+    )
+    isdup = docs_dedup_survivors(spark, sf_dir).select(
+        "doc_id", (~F.col("kept")).cast("int").alias("is_dup")
+    )
+    j = binned.join(dc, "doc_id").join(isdup, "doc_id")
+    n = F.count(F.lit(1))
+    return (
+        j.groupBy("rules_passed")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dups"),
+            F.round(F.sum("is_dup").cast("double") / n, 6).alias("dup_rate"),
+            F.sum("contam").cast("long").alias("n_contaminated"),
+            F.round(F.sum("contam").cast("double") / n, 6).alias("contam_rate"),
+            F.round(F.sum("cq").cast("double") / n / 1e6, 6).alias("mean_contamination"),
+        )
+        .orderBy("rules_passed")
+    )
+
+
+# single source of truth: the calibration oracle wraps the three stage
+# oracles as derived tables (decontaminate's training-split restriction
+# keeps eval docs out of the bins — they carry no labels to calibrate on)
+_CATALOG["docs_quality_calibration"].oracle = f"""
+    WITH qf AS ({_CATALOG["docs_quality_filter"].oracle}),
+    dc AS ({_CATALOG["docs_decontaminate"].oracle}),
+    dup AS (
+        SELECT doc_id, CAST(NOT kept AS INT) AS is_dup
+        FROM ({_CATALOG["docs_dedup_survivors"].oracle})
+    ),
+    j AS (
+        SELECT CAST(CAST(qf.ok_len AS INT) + CAST(qf.ok_word_len AS INT)
+                    + CAST(qf.ok_diversity AS INT) + CAST(qf.ok_repetition AS INT)
+                    + CAST(qf.ok_stopwords AS INT) AS BIGINT) AS rules_passed,
+               dup.is_dup,
+               CAST(dc.flagged AS INT) AS contam,
+               CAST(round(dc.contamination * 1000000) AS BIGINT) AS cq
+        FROM qf
+        JOIN dc ON dc.doc_id = qf.doc_id
+        JOIN dup ON dup.doc_id = qf.doc_id
+    )
+    SELECT rules_passed,
+           count(*) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_dups,
+           round(CAST(sum(is_dup) AS DOUBLE) / count(*), 6) AS dup_rate,
+           CAST(sum(contam) AS BIGINT) AS n_contaminated,
+           round(CAST(sum(contam) AS DOUBLE) / count(*), 6) AS contam_rate,
+           round(CAST(sum(cq) AS DOUBLE) / count(*) / 1000000, 6) AS mean_contamination
+    FROM j GROUP BY rules_passed ORDER BY rules_passed
+"""
