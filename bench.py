@@ -161,7 +161,14 @@ def main() -> None:
                 overheads["stream_pool_startup"] = min(
                     overheads.get("stream_pool_startup", ps[1]), ps[1]
                 )
-            dt = round(max(dt, 0.0), 3)
+            # never report exactly 0.0 (round-9 verdict item 3): when a
+            # shared build dominates an entry, timer jitter between the
+            # inner build timer and the outer entry timer can push the
+            # subtraction to <= 0 and a 0.000 line reads as a "free
+            # operator" — clamp the marginal to 1 ms (the floor is the
+            # marker: any 0.001 line means "all cost in the family build,
+            # see overheads/families").
+            dt = round(max(dt, 0.001), 3)
             times[name] = min(times.get(name, dt), dt)
         passes += 1
         pass_dur = time.perf_counter() - pass_t0

@@ -1419,3 +1419,217 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+#: Incremental-ingest slice: vec_id % KNN_BATCH_MOD == KNN_BATCH_REM is
+#: the NEW batch — the same deterministic 10% convention
+#: dedup_incremental uses on documents (doc_id % 10 = 7), so the two
+#: ingest-screen entries model the same arriving shard.
+KNN_BATCH_MOD = 10
+KNN_BATCH_REM = 7
+
+
+def _corpus_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXISTING corpus (non-batch vectors), quantized."""
+    return (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD != KNN_BATCH_REM)
+        .select("vec_id", "label", _q_longs().alias("qv"))
+    )
+
+
+def _ivf_cents_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored coarse codebook of the corpus: the N_CENTROIDS lowest-vec_id
+    CORPUS vectors as a 1-row broadcastable struct list. Memoized per
+    session/SF (memo tag ``ivf_cents``) — this is the persisted index
+    artifact an ingest pipeline keeps, not something a batch screen may
+    rebuild. (seed_centroids' vec_id < k convention can't be reused here:
+    the batch slice excludes vec_id 7, so corpus seeds are the k smallest
+    SURVIVING ids.)"""
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    def build():
+        return (
+            _corpus_vecs(spark, sf_dir)
+            .orderBy("vec_id")
+            .limit(N_CENTROIDS)
+            .select(
+                F.struct(F.col("vec_id").alias("cid"), F.col("qv").alias("cq")).alias("c")
+            )
+            .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+        )
+
+    return memo_checkpoint("ivf_cents", sf_dir, build)
+
+
+def _ivf_index_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored IVF cell assignments of the corpus — (vec_id, label, qv,
+    cid), cid = argmin integer L2 over the stored codebook (ties to the
+    lower cid, the module's standard argmin-struct convention). Memoized
+    per session/SF (memo tag ``ivf_index``): the screen READS this
+    relation; only the first touch per session builds it."""
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    def build():
+        cents = _ivf_cents_base(spark, sf_dir)
+        return (
+            _corpus_vecs(spark, sf_dir)
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "label",
+                "qv",
+                F.array_min(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            _dist_q(F.col("qv"), c["cq"]).alias("d"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )["cid"].alias("cid"),
+            )
+        )
+
+    return memo_checkpoint("ivf_index", sf_dir, build)
+
+
+@register(
+    "knn_incremental",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings),
+        corpus AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_REM}),
+        batch AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM}),
+        cents AS (
+            SELECT vec_id AS cid, qv AS cq FROM corpus ORDER BY vec_id LIMIT {N_CENTROIDS}
+        ),
+        ad AS (
+            SELECT c.vec_id, ce.cid, {_SQL_DIST_Q.format(a='c.qv', b='ce.cq')} AS d
+            FROM corpus c, cents ce
+        ),
+        idx AS (
+            SELECT c.vec_id, c.label, c.qv, a.cid
+            FROM corpus c JOIN (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM ad
+            ) a ON a.vec_id = c.vec_id AND a.rn = 1
+        ),
+        bd AS (
+            SELECT b.vec_id, ce.cid, {_SQL_DIST_Q.format(a='b.qv', b='ce.cq')} AS d
+            FROM batch b, cents ce
+        ),
+        probes AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM bd
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT b.vec_id, b.label, i.vec_id AS nn_vec_id, i.label AS nn_label,
+                   i.cid AS cell, {_SQL_DIST_Q.format(a='b.qv', b='i.qv')} AS d
+            FROM batch b JOIN probes p ON p.vec_id = b.vec_id
+                         JOIN idx i ON i.cid = p.cid
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, nn_vec_id) AS rn,
+                   count(*) OVER (PARTITION BY vec_id) AS n_candidates
+            FROM cand
+        )
+        SELECT vec_id, label, CAST(n_candidates AS BIGINT) AS n_candidates,
+               nn_vec_id, nn_label, CAST(cell AS BIGINT) AS nn_cell,
+               round(CAST(d AS DOUBLE) / {_Q2}, 6) AS nn_dist
+        FROM ranked WHERE rn = 1
+        ORDER BY vec_id
+    """,
+    tags=("llm", "vector", "ann", "incremental"),
+    doc=(
+        "Incremental ANN screen — the ingest-time twin of "
+        "dedup_incremental for the vector side: a NEW batch of embeddings "
+        f"(deterministic 10% slice, vec_id % {KNN_BATCH_MOD} = "
+        f"{KNN_BATCH_REM}) is screened against the STORED IVF index of "
+        "the existing corpus without rebuilding it. The index is the two "
+        "memoized relations a production pipeline persists — the coarse "
+        "codebook (1 broadcast row) and the (vec_id, cell) assignment "
+        "table — built once per session (memo tags ivf_cents/ivf_index, "
+        "plan-pinned: the screen's plan reads the checkpoints and scans "
+        f"the embeddings parquet exactly once, for the batch). Each batch "
+        f"vector probes its {IVF_NPROBE} nearest cells and exact-ranks "
+        "only their members (equi-join on cell; the nprobe-exploded batch "
+        "is the small side, AQE broadcasts it at runtime); per vector: "
+        "its nearest corpus neighbor, the neighbor's cell, the exact "
+        "quantized distance, and how many candidates the probe actually "
+        "touched — batch x corpus work is O(|batch| x corpus/cells x "
+        "nprobe), never corpus x corpus, and at 100 TB the index table "
+        "is partitioned by cell so a probe reads nprobe partitions. "
+        "Numerics: every distance lives on the shared 1e6 int64 lattice "
+        "(quantize_vec/int_l2), argmin ties break to the lower id in "
+        "both engines; min(struct(d, nn_vec_id, ...)) is the Spark twin "
+        "of the oracle's ROW_NUMBER(ORDER BY d, nn_vec_id) = 1."
+    ),
+)
+def knn_incremental(
+    spark: SparkSession, sf_dir: str, *, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """Graded default is the module constant; ``nprobe`` is the recall
+    knob (nprobe = N_CENTROIDS degrades to exact batch-vs-corpus NN)."""
+    batch = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
+        .select("vec_id", "label", _q_longs().alias("qv"))
+    )
+    cents = _ivf_cents_base(spark, sf_dir)
+    idx = _ivf_index_base(spark, sf_dir)
+    probes = (
+        batch.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "qv",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cents",
+                            lambda c: F.struct(
+                                _dist_q(F.col("qv"), c["cq"]).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("p"),
+        )
+        .select("vec_id", "label", "qv", F.col("p.cid").alias("pcid"))
+        .alias("b")
+    )
+    cand = probes.join(idx.alias("i"), F.col("b.pcid") == F.col("i.cid")).select(
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("b.label").alias("label"),
+        F.col("i.vec_id").alias("nn_vec_id"),
+        F.col("i.label").alias("nn_label"),
+        F.col("i.cid").alias("cell"),
+        _dist_q(F.col("b.qv"), F.col("i.qv")).alias("d"),
+    )
+    q2 = F.lit(float(_Q2))
+    return (
+        cand.groupBy("vec_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.min(F.struct("d", "nn_vec_id", "nn_label", "cell")).alias("nn"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_candidates",
+            F.col("nn.nn_vec_id").alias("nn_vec_id"),
+            F.col("nn.nn_label").alias("nn_label"),
+            F.col("nn.cell").cast("long").alias("nn_cell"),
+            F.round(F.col("nn.d").cast("double") / q2, 6).alias("nn_dist"),
+        )
+        .orderBy("vec_id")
+    )

@@ -30,7 +30,7 @@ def test_warmup_names_resolve():
 #: analog: the entry that starts the pool pays the family's startup.
 KNOWN_MEMO_TAGS = frozenset(
     {"minhash_sh", "minhash_sig", "minhash_pairs", "cc_map", "rfm_base",
-     "phash_base", "stream_pool", "dup_hits"}
+     "phash_base", "stream_pool", "dup_hits", "ivf_cents", "ivf_index"}
 )
 
 
@@ -86,6 +86,10 @@ def test_bench_subprocess_contract():
         assert fams[tag]["sec"] >= 0
         assert fams[tag]["build_sec"] > 0, fams[tag]
         assert f"memo_build:{tag}" in detailed["overheads"]
+    # no entry may report exactly 0.0 (round-9 verdict item 3): an
+    # all-cost-in-build payer clamps to the 1 ms floor instead of reading
+    # as a free operator
+    assert all(v >= 0.001 for v in detailed["queries"].values()), detailed["queries"]
     # total = per-entry work + separately-reported shared-base costs
     assert detailed["overhead_sec"] == round(sum(detailed["overheads"].values()), 3)
     assert (
@@ -113,6 +117,9 @@ def test_bench_subtracts_shared_base_costs():
     assert src.find("dt -= bsec") < fold_at and src.find("dt -= ps[1]") < fold_at, (
         "subtraction must happen before the min-of-passes fold"
     )
+    # round-9 item 3: the post-subtraction marginal clamps to 1 ms so a
+    # shared-build payer can never report exactly 0.0
+    assert "max(dt, 0.001)" in src, "no-free-operator floor removed"
 
 
 def test_subset_run_does_not_clobber_full_dump():

@@ -1,0 +1,135 @@
+"""knn_incremental invariants: a pure-numpy re-derivation of the whole
+screen (quantize -> stored codebook -> stored assignments -> probe ->
+exact rank) must match exactly; the batch must never pair with itself;
+cell pruning must actually prune; nprobe is a real recall knob whose
+maximum setting degrades to the exact batch-vs-corpus nearest neighbor;
+and the plan must READ the stored index (memo checkpoints), scanning the
+embeddings parquet exactly once — for the batch side."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from currency_etl_spark.queries.vectors import (
+    IVF_NPROBE,
+    KNN_BATCH_MOD,
+    KNN_BATCH_REM,
+    N_CENTROIDS,
+    knn_incremental,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_screen(sf: str, nprobe: int):
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    qv = {
+        r.vec_id: np.round(np.asarray(r.embedding, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for r in emb.itertuples()
+    }
+    label = dict(zip(emb.vec_id, emb.label))
+    is_batch = lambda v: v % KNN_BATCH_MOD == KNN_BATCH_REM
+    corpus = sorted(v for v in qv if not is_batch(v))
+    batch = sorted(v for v in qv if is_batch(v))
+    cents = corpus[:N_CENTROIDS]
+
+    def d2(a, b):
+        d = qv[a] - qv[b]
+        return int((d * d).sum())
+
+    # stored assignments: argmin over the codebook, ties to the lower cid
+    cell = {v: min(cents, key=lambda c: (d2(v, c), c)) for v in corpus}
+    members: dict = {}
+    for v in corpus:
+        members.setdefault(cell[v], []).append(v)
+    out = []
+    for b in batch:
+        probe = sorted(cents, key=lambda c: (d2(b, c), c))[:nprobe]
+        cand = [v for c in probe for v in members.get(c, [])]
+        nn = min(cand, key=lambda v: (d2(b, v), v))
+        out.append(
+            (
+                b,
+                label[b],
+                len(cand),
+                nn,
+                label[nn],
+                cell[nn],
+                round(d2(b, nn) / 1e12, 6),
+            )
+        )
+    return out, len(corpus)
+
+
+def _rows(df):
+    return [
+        (
+            r["vec_id"],
+            r["label"],
+            r["n_candidates"],
+            r["nn_vec_id"],
+            r["nn_label"],
+            r["nn_cell"],
+            r["nn_dist"],
+        )
+        for r in df.collect()
+    ]
+
+
+def test_knn_incremental_matches_numpy(spark):
+    want, _ = _np_screen(SF, IVF_NPROBE)
+    got = _rows(knn_incremental(spark, SF))
+    assert got == want
+
+
+def test_knn_incremental_screens_batch_only(spark):
+    """Every result row is a batch vector; every neighbor is a corpus
+    vector (the screen never pairs the batch with itself — that is next
+    ingest's problem); and the probe genuinely pruned: no batch vector
+    ranked the whole corpus."""
+    rows = _rows(knn_incremental(spark, SF))
+    _, n_corpus = _np_screen(SF, IVF_NPROBE)
+    n_batch = len(
+        pd.read_parquet(f"{SF}/embeddings.parquet").query(
+            f"vec_id % {KNN_BATCH_MOD} == {KNN_BATCH_REM}"
+        )
+    )
+    assert len(rows) == n_batch
+    for r in rows:
+        assert r[0] % KNN_BATCH_MOD == KNN_BATCH_REM
+        assert r[3] % KNN_BATCH_MOD != KNN_BATCH_REM
+        assert 1 <= r[2] < n_corpus
+    assert max(r[2] for r in rows) < n_corpus
+
+
+def test_knn_incremental_nprobe_is_the_recall_knob(spark):
+    """nprobe is a real keyword parameter: probing every cell degrades to
+    the exact batch-vs-corpus NN (distances can only improve toward it as
+    nprobe grows), matching the numpy exact answer."""
+    want_exact, _ = _np_screen(SF, N_CENTROIDS)
+    got_exact = _rows(knn_incremental(spark, SF, nprobe=N_CENTROIDS))
+    assert got_exact == want_exact
+    d_default = {r[0]: r[6] for r in _rows(knn_incremental(spark, SF))}
+    d_exact = {r[0]: r[6] for r in got_exact}
+    assert set(d_default) == set(d_exact)
+    for v, d in d_exact.items():
+        assert d_default[v] >= d  # more cells can only tighten the NN
+
+
+def test_knn_incremental_reads_stored_index(spark):
+    """The verdict-4a plan pin: the screen must READ the stored index
+    relations (memo checkpoints -> Scan ExistingRDD) and scan the
+    embeddings parquet exactly ONCE, for the arriving batch — rebuilding
+    the corpus-side index per screen would make ingest O(corpus) instead
+    of O(batch)."""
+    knn_incremental(spark, SF).collect()  # memos live; now re-plan
+    df = knn_incremental(spark, SF)
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Scan ExistingRDD" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
