@@ -1060,3 +1060,136 @@ def _screen_oracle() -> str:
 from currency_etl_spark.catalog import CATALOG as _CATALOG  # noqa: E402
 
 _CATALOG["streaming_dedup_screen"].oracle = _screen_oracle()
+
+
+def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings table — the 'new vectors'
+    side of the streaming ANN screen. Same stable-symlink landing-dir
+    convention as _documents_stream."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, "embeddings")
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    stream_dir = os.path.join("/tmp", "ces_stream", _landing_key(sf_dir), "embeddings")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "embeddings.parquet")
+    if os.path.islink(link) and os.readlink(link) != path:
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(path, link)
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+@register(
+    "streaming_knn_screen",
+    oracle=None,  # assigned below: graded verbatim against the batch twin's oracle
+    tags=("streaming", "vector", "ann", "incremental"),
+    doc=(
+        "Streaming twin of knn_incremental — the continuously-ingesting "
+        "form of the ANN screen, completing the batch/stream × text/"
+        "vector screen square (dedup_incremental : streaming_dedup_screen "
+        ":: knn_incremental : this). The NEW slice (vec_id % 10 = 7) "
+        "arrives as an embedding stream; each micro-batch quantizes "
+        "per row, picks its nprobe nearest cells IN-ROW against the "
+        "broadcast STORED codebook (array_sort + slice — the identical "
+        "expression the batch screen plans), and equi-joins the probe "
+        "cells against the STORED cell-assignment relation (both memoized "
+        "checkpoints — the persisted index, never rebuilt per batch). "
+        "The sink holds per-candidate (vec_id, neighbor, cell, exact "
+        "int64 distance) rows; the per-vector top-1 election and "
+        "candidate count are batch post-processing over the sink "
+        "(min(struct) — window-free), so the result is graded VERBATIM "
+        "against knn_incremental's DuckDB oracle. Scale shape: state-"
+        "free stream (no watermark, no state store — the only state is "
+        "the static index), candidate work per arriving vector bounded "
+        "by nprobe cell sizes, new×new pairs never formed. All "
+        "arithmetic on the shared 1e6 int64 lattice, so stream and "
+        "batch screens are bit-identical (pinned by a cross-entry test)."
+    ),
+)
+def streaming_knn_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = pooled_sink(spark, sf_dir, "streaming_knn_screen")
+    return (
+        sink.groupBy("vec_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.min(F.struct("d", "nn_vec_id", "nn_label", "cell")).alias("nn"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_candidates",
+            F.col("nn.nn_vec_id").alias("nn_vec_id"),
+            F.col("nn.nn_label").alias("nn_label"),
+            F.col("nn.cell").cast("long").alias("nn_cell"),
+            F.round(F.col("nn.d").cast("double") / F.lit(1e12), 6).alias("nn_dist"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@_stream_job("streaming_knn_screen", "streaming_knn_screen_out", mode="append")
+def _knn_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.vectors import (
+        IVF_NPROBE,
+        KNN_BATCH_MOD,
+        KNN_BATCH_REM,
+        _dist_q,
+        _ivf_cents_base,
+        _ivf_index_base,
+        _q_longs,
+    )
+
+    new = _embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM
+    )
+    q = new.select("vec_id", "label", _q_longs().alias("qv"))
+    cents = _ivf_cents_base(spark, sf_dir)
+    idx = _ivf_index_base(spark, sf_dir).select(
+        F.col("vec_id").alias("nn_vec_id"),
+        F.col("label").alias("nn_label"),
+        F.col("qv").alias("iqv"),
+        F.col("cid").alias("cell"),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "qv",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cents",
+                            lambda c: F.struct(
+                                _dist_q(F.col("qv"), c["cq"]).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("p"),
+        )
+        .select("vec_id", "label", "qv", F.col("p.cid").alias("pcid"))
+    )
+    return probes.join(idx, F.col("pcid") == F.col("cell")).select(
+        "vec_id",
+        "label",
+        "nn_vec_id",
+        "nn_label",
+        "cell",
+        _dist_q(F.col("qv"), F.col("iqv")).alias("d"),
+    )
+
+
+# graded verbatim against the batch twin's oracle — one source of truth
+# for the screen's semantics (the streaming_scd2 pattern); vectors is
+# imported at module scope above via the catalog lookup's owning module
+from currency_etl_spark.queries import vectors as _vectors  # noqa: E402, F401
+
+_CATALOG["streaming_knn_screen"].oracle = _CATALOG["knn_incremental"].oracle

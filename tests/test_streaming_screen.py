@@ -146,3 +146,37 @@ def test_documents_stream_landing_dirs_are_collision_free(spark, tmp_path):
     os.symlink("/nonexistent/documents.parquet", link_a)
     _documents_stream(spark, a)
     assert os.readlink(link_a) == os.path.join(a, "documents.parquet")
+
+
+def test_streaming_knn_screen_matches_batch_twin(spark):
+    """The streaming ANN screen must be BIT-identical to knn_incremental
+    (they share one DuckDB oracle): same stored index, same lattice
+    arithmetic, same top-1 election — the stream only changes WHEN the
+    probe work happens, never its result."""
+    from currency_etl_spark.queries.vectors import knn_incremental
+    from currency_etl_spark.streaming.jobs import streaming_knn_screen
+
+    cols = [
+        "vec_id", "label", "n_candidates",
+        "nn_vec_id", "nn_label", "nn_cell", "nn_dist",
+    ]
+    batch = [tuple(r[c] for c in cols) for r in knn_incremental(spark, SF).collect()]
+    stream = [
+        tuple(r[c] for c in cols) for r in streaming_knn_screen(spark, SF).collect()
+    ]
+    assert stream == batch
+    assert len(stream) > 0
+
+
+def test_streaming_knn_screen_is_stateless(spark):
+    """The screen's stream job must need no state store: no watermark,
+    no streaming aggregation — the only 'state' is the static stored
+    index. Pin by building the stream DataFrame and checking it plans a
+    stream-static join with no stateful operator."""
+    from currency_etl_spark.streaming.jobs import STREAM_JOBS
+
+    sdf = STREAM_JOBS["streaming_knn_screen"].builder(spark, SF)
+    assert sdf.isStreaming
+    logical = sdf._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" not in logical
+    assert "Aggregate" not in logical  # per-row screen: no streaming agg
