@@ -55,3 +55,68 @@ def test_k_anonymity_k_is_a_real_parameter(spark):
         assert none[g]["at_risk"] == 0
         assert all_risky[g]["at_risk"] == 1
         assert r["at_risk"] == int(g < K_ANON_MIN)
+
+
+def _pd_l_diversity(sf: str):
+    """Pure-pandas re-derivation of the l-diversity histogram."""
+    from collections import defaultdict
+
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")[
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"]
+    ]
+    latest = {}
+    for r in orders.itertuples():
+        cur = latest.get(r.o_custkey)
+        key = (r.o_orderdate, r.o_orderkey)
+        if cur is None or key > cur[0]:
+            latest[r.o_custkey] = (key, r.o_orderpriority)
+    groups = defaultdict(list)
+    for r in cust.itertuples():
+        sens = latest.get(r.c_custkey, (None, "NONE"))[1]
+        groups[(r.c_nationkey, r.c_mktsegment, math.floor(r.c_acctbal / 1000))].append(
+            sens
+        )
+    hist = Counter()
+    custs = Counter()
+    for members in groups.values():
+        l = len(set(members))
+        hist[l] += 1
+        custs[l] += len(members)
+    return hist, custs, len(cust)
+
+
+def test_l_diversity_matches_pandas(spark):
+    from currency_etl_spark.queries.curation import L_DIV_MIN, customers_l_diversity
+
+    hist, custs, n_cust = _pd_l_diversity(SF)
+    got = {
+        r["l"]: (r["n_groups"], r["n_customers"], r["at_risk"])
+        for r in customers_l_diversity(spark, SF).collect()
+    }
+    assert got == {
+        l: (hist[l], custs[l], int(l < L_DIV_MIN)) for l in hist
+    }
+    # the histogram partitions the customer table
+    assert sum(v[1] for v in got.values()) == n_cust
+    # the audit fires: risky levels exist; safe ones too unless the whole
+    # corpus sits below the bar (sf0.001's QI groups are 1-2 customers)
+    assert any(v[2] == 1 for v in got.values())
+    assert any(v[2] == 0 for v in got.values()) or max(got) < L_DIV_MIN
+
+
+def test_l_diversity_l_min_is_a_real_parameter(spark):
+    from currency_etl_spark.queries.curation import customers_l_diversity
+
+    base = {r["l"]: r for r in customers_l_diversity(spark, SF).collect()}
+    none = {r["l"]: r for r in customers_l_diversity(spark, SF, l_min=1).collect()}
+    all_risky = {
+        r["l"]: r for r in customers_l_diversity(spark, SF, l_min=10**6).collect()
+    }
+    assert set(base) == set(none) == set(all_risky)
+    for l, r in base.items():
+        assert (r["n_groups"], r["n_customers"]) == (
+            none[l]["n_groups"], none[l]["n_customers"]
+        )
+        assert none[l]["at_risk"] == 0
+        assert all_risky[l]["at_risk"] == 1
