@@ -120,3 +120,26 @@ def test_l_diversity_l_min_is_a_real_parameter(spark):
         )
         assert none[l]["at_risk"] == 0
         assert all_risky[l]["at_risk"] == 1
+
+
+def test_l_diversity_orderless_customers_release_none(spark, tmp_path):
+    """Customers with no orders release sensitive value 'NONE': a corpus
+    where nobody ordered collapses every group to l = 1 (all at_risk) —
+    the release-completeness edge the LEFT join exists for."""
+    import pyarrow.parquet as pq
+
+    from currency_etl_spark.queries.curation import customers_l_diversity
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet").head(40)
+    cust.to_parquet(tmp_path / "customer.parquet")
+    # slice(0, 0) keeps the real column types — pandas' empty head(0)
+    # degrades object columns to the null type and breaks the schema
+    pq.write_table(
+        pq.read_table(f"{SF}/orders.parquet").slice(0, 0),
+        tmp_path / "orders.parquet",
+    )
+    rows = customers_l_diversity(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["l"], r["at_risk"]) == (1, 1)
+    assert r["n_customers"] == 40

@@ -133,3 +133,56 @@ def test_knn_incremental_reads_stored_index(spark):
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Scan ExistingRDD" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def _write_embeddings(tmp_path, vec_ids, dim=64, seed=11):
+    """Corpus-shaped embeddings parquet with the given vec_ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    emb = [rng.rand(dim).astype(np.float32) for _ in vec_ids]
+    t = pa.table(
+        {
+            "vec_id": pa.array(vec_ids, pa.int64()),
+            "embedding": pa.array([e.tolist() for e in emb], pa.list_(pa.float32())),
+            "label": pa.array([int(v % 3) for v in vec_ids], pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+
+def test_knn_incremental_empty_batch(spark, tmp_path):
+    """A corpus with no arriving slice (no vec_id % 10 == 7) screens to
+    an EMPTY result — not a crash: ingest ticks with nothing new are
+    routine."""
+    from currency_etl_spark.operators.ckpt import reset_memos
+
+    _write_embeddings(tmp_path, [0, 1, 2, 3, 4, 5, 6, 8, 9, 10])
+    # memo keys fold in sf_dir so tmp corpora can't cross-pollinate, but
+    # the one-live-checkpoint-per-tag discipline means this build evicts
+    # the SF checkpoint — reset before AND after so neither direction
+    # leaves a stale tag holder
+    reset_memos()
+    try:
+        assert knn_incremental(spark, str(tmp_path)).count() == 0
+    finally:
+        reset_memos()
+
+
+def test_knn_incremental_corpus_smaller_than_codebook(spark, tmp_path):
+    """A corpus with fewer vectors than N_CENTROIDS still screens: every
+    corpus vector becomes its own cell and the probe degrades gracefully
+    (numpy agreement at the reduced codebook size)."""
+    from currency_etl_spark.operators.ckpt import reset_memos
+
+    ids = [0, 1, 2, 7, 17]  # corpus {0,1,2} (< N_CENTROIDS), batch {7,17}
+    _write_embeddings(tmp_path, ids)
+    reset_memos()
+    try:
+        want, n_corpus = _np_screen(str(tmp_path), IVF_NPROBE)
+        assert n_corpus == 3
+        got = _rows(knn_incremental(spark, str(tmp_path)))
+        assert got == want and len(got) == 2
+    finally:
+        reset_memos()
