@@ -1438,6 +1438,28 @@ def _corpus_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def probe_cells(nprobe: int) -> Column:
+    """The query-side nprobe-nearest-cells expression over a row holding
+    ``qv`` (quantized vector) and ``cents`` (the broadcast codebook):
+    in-row array_sort over (int64 L2, cid) structs, sliced to nprobe.
+    SINGLE definition — knn_incremental and the streaming screen
+    (streaming/jobs.py) must stay bit-identical, so both plan exactly
+    this expression."""
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    _dist_q(F.col("qv"), c["cq"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+
+
 def _ivf_cents_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored coarse codebook of the corpus: the N_CENTROIDS lowest-vec_id
     CORPUS vectors as a 1-row broadcastable struct list. Memoized per
@@ -1584,26 +1606,7 @@ def knn_incremental(
     idx = _ivf_index_base(spark, sf_dir)
     probes = (
         batch.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "label",
-            "qv",
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            "cents",
-                            lambda c: F.struct(
-                                _dist_q(F.col("qv"), c["cq"]).alias("d"),
-                                c["cid"].alias("cid"),
-                            ),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("p"),
-        )
+        .select("vec_id", "label", "qv", F.explode(probe_cells(nprobe)).alias("p"))
         .select("vec_id", "label", "qv", F.col("p.cid").alias("pcid"))
         .alias("b")
     )

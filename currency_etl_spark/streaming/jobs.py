@@ -1140,6 +1140,7 @@ def _knn_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_cents_base,
         _ivf_index_base,
         _q_longs,
+        probe_cells,
     )
 
     new = _embeddings_stream(spark, sf_dir).filter(
@@ -1155,26 +1156,7 @@ def _knn_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "label",
-            "qv",
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            "cents",
-                            lambda c: F.struct(
-                                _dist_q(F.col("qv"), c["cq"]).alias("d"),
-                                c["cid"].alias("cid"),
-                            ),
-                        )
-                    ),
-                    1,
-                    IVF_NPROBE,
-                )
-            ).alias("p"),
-        )
+        .select("vec_id", "label", "qv", F.explode(probe_cells(IVF_NPROBE)).alias("p"))
         .select("vec_id", "label", "qv", F.col("p.cid").alias("pcid"))
     )
     return probes.join(idx, F.col("pcid") == F.col("cell")).select(
