@@ -186,3 +186,58 @@ def test_knn_incremental_corpus_smaller_than_codebook(spark, tmp_path):
         assert got == want and len(got) == 2
     finally:
         reset_memos()
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+
+
+@_PROP
+@given(
+    n_vec=st.integers(3, 40),
+    dim=st.integers(2, 16),
+    nprobe=st.integers(1, 4),
+    seed=st.integers(0, 10**6),
+    data=st.data(),
+)
+def test_knn_incremental_property(spark, tmp_path_factory, n_vec, dim, nprobe, seed, data):
+    """Property form of the numpy agreement: on ARBITRARY corpora —
+    random sizes, dimensions, nprobe settings, and vec_id sets (gaps,
+    duplicates of position, any batch/corpus mix as long as both sides
+    are non-empty) — the Spark screen equals the pure-python screen
+    bit-for-bit, including tie-breaks (low-dim integer lattices collide
+    constantly, so ties are actually exercised)."""
+    from currency_etl_spark.operators.ckpt import reset_memos
+
+    ids = sorted(
+        data.draw(
+            st.sets(st.integers(0, 200), min_size=n_vec, max_size=n_vec).filter(
+                lambda s: any(v % KNN_BATCH_MOD == KNN_BATCH_REM for v in s)
+                and any(v % KNN_BATCH_MOD != KNN_BATCH_REM for v in s)
+            )
+        )
+    )
+    d = tmp_path_factory.mktemp("prop_knn")
+    # low-entropy lattice: quantized coords collide across vectors, so
+    # distance ties (broken by vec_id) genuinely occur
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(seed)
+    emb = [(rng.randint(0, 3, dim) / 2.0).astype(np.float32) for _ in ids]
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([e.tolist() for e in emb], pa.list_(pa.float32())),
+            "label": pa.array([int(v % 3) for v in ids], pa.int32()),
+        }
+    )
+    pq.write_table(t, d / "embeddings.parquet")
+    reset_memos()
+    try:
+        want, _ = _np_screen(str(d), nprobe)
+        got = _rows(knn_incremental(spark, str(d), nprobe=nprobe))
+        assert got == want
+    finally:
+        reset_memos()
