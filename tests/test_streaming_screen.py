@@ -180,3 +180,55 @@ def test_streaming_knn_screen_is_stateless(spark):
     logical = sdf._jdf.queryExecution().logical().toString()
     assert "EventTimeWatermark" not in logical
     assert "Aggregate" not in logical  # per-row screen: no streaming agg
+
+
+def test_knn_screen_twins_agree_at_non_default_nprobe(spark):
+    """The recall knob must not be a point where the twins can drift:
+    knn_incremental takes nprobe= and the stream builder threads the
+    same kwarg (round-10 verdict item 6). Run the stream job at a
+    NON-default nprobe through its own memory sink, elect with the
+    shared screen_top1, and require bit-identity with the batch entry
+    at the same nprobe."""
+    from currency_etl_spark.queries.vectors import (
+        IVF_NPROBE,
+        N_CENTROIDS,
+        knn_incremental,
+        screen_top1,
+    )
+    from currency_etl_spark.streaming.jobs import STREAM_JOBS
+
+    nprobe = IVF_NPROBE + 2
+    assert IVF_NPROBE < nprobe <= N_CENTROIDS  # genuinely non-default, valid
+    sdf = STREAM_JOBS["streaming_knn_screen"].builder(spark, SF, nprobe=nprobe)
+    name = "knn_screen_nprobe_pin"
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        cols = [
+            "vec_id", "label", "n_candidates",
+            "nn_vec_id", "nn_label", "nn_cell", "nn_dist",
+        ]
+        stream = [
+            tuple(r[c] for c in cols)
+            for r in screen_top1(spark.table(name)).collect()
+        ]
+    finally:
+        q.stop()
+    batch = [
+        tuple(r[c] for c in cols)
+        for r in knn_incremental(spark, SF, nprobe=nprobe).collect()
+    ]
+    assert stream == batch
+    assert len(stream) > 0
+    # and the knob matters: a wider probe must change at least one
+    # verdict vs the graded default (otherwise this pin is vacuous)
+    default = [
+        tuple(r[c] for c in cols) for r in knn_incremental(spark, SF).collect()
+    ]
+    assert default != batch

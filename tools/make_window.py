@@ -61,7 +61,16 @@ def main() -> int:
     through_round = None
     if "--through-round" in argv:
         i = argv.index("--through-round")
-        through_round = int(argv[i + 1])
+        if i + 1 >= len(argv):
+            print("usage: make_window.py [repo_root] [--through-round N]", file=sys.stderr)
+            print("error: --through-round requires an integer value", file=sys.stderr)
+            return 2
+        try:
+            through_round = int(argv[i + 1])
+        except ValueError:
+            print("usage: make_window.py [repo_root] [--through-round N]", file=sys.stderr)
+            print(f"error: --through-round expects an integer, got {argv[i + 1]!r}", file=sys.stderr)
+            return 2
         del argv[i : i + 2]
     root = argv[0] if argv else os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
