@@ -1659,3 +1659,223 @@ def knn_incremental(
     cents = _ivf_cents_base(spark, sf_dir)
     idx = _ivf_index_base(spark, sf_dir)
     return screen_top1(screen_candidates(batch, cents, idx, nprobe))
+
+
+@register(
+    "knn_index_staleness",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings),
+        corpus AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_REM}),
+        batch AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM}),
+        cents AS (
+            SELECT vec_id AS cid, qv AS cq FROM corpus ORDER BY vec_id LIMIT {N_CENTROIDS}
+        ),
+        ad AS (
+            SELECT c.vec_id, ce.cid, {_SQL_DIST_Q.format(a='c.qv', b='ce.cq')} AS d
+            FROM corpus c, cents ce
+        ),
+        idx AS (
+            SELECT c.vec_id, c.qv, a.cid
+            FROM corpus c JOIN (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM ad
+            ) a ON a.vec_id = c.vec_id AND a.rn = 1
+        ),
+        bd AS (
+            SELECT b.vec_id, ce.cid, {_SQL_DIST_Q.format(a='b.qv', b='ce.cq')} AS d
+            FROM batch b, cents ce
+        ),
+        pr AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prank
+            FROM bd
+        ),
+        fulld AS (
+            SELECT b.vec_id, i.vec_id AS nn_vec_id, i.cid,
+                   {_SQL_DIST_Q.format(a='b.qv', b='i.qv')} AS d
+            FROM batch b, idx i
+        ),
+        topk AS (
+            SELECT vec_id, nn_vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, nn_vec_id)
+                       AS exact_rank
+            FROM fulld
+            QUALIFY exact_rank <= {RECALL_K}
+        ),
+        tk AS (
+            SELECT t.vec_id, t.exact_rank, p.prank
+            FROM topk t JOIN pr p ON p.vec_id = t.vec_id AND p.cid = t.cid
+        ),
+        grid AS (SELECT unnest(generate_series(1, {N_CENTROIDS})) AS nprobe),
+        ra AS (
+            SELECT g.nprobe,
+                   count(DISTINCT tk.vec_id) AS n_queries,
+                   sum(CASE WHEN tk.exact_rank = 1 AND tk.prank <= g.nprobe
+                            THEN 1 ELSE 0 END) AS h1,
+                   sum(CASE WHEN tk.prank <= g.nprobe THEN 1 ELSE 0 END) AS hk
+            FROM tk, grid g
+            GROUP BY g.nprobe
+        ),
+        csize AS (SELECT cid, count(*) AS sz FROM idx GROUP BY cid),
+        rb AS (
+            SELECT g.nprobe,
+                   sum(CASE WHEN p.prank <= g.nprobe THEN c.sz ELSE 0 END) AS cands
+            FROM pr p JOIN csize c ON c.cid = p.cid, grid g
+            GROUP BY g.nprobe
+        )
+        SELECT CAST(ra.nprobe AS BIGINT) AS nprobe,
+               CAST(ra.n_queries AS BIGINT) AS n_queries,
+               round(CAST(ra.h1 AS DOUBLE) / ra.n_queries, 6) AS recall_at_1,
+               round(CAST(ra.hk AS DOUBLE) / (ra.n_queries * {RECALL_K}), 6)
+                   AS recall_at_k,
+               round(CAST(rb.cands AS DOUBLE) / ra.n_queries, 6) AS avg_candidates
+        FROM ra JOIN rb ON rb.nprobe = ra.nprobe
+        ORDER BY nprobe
+    """,
+    tags=("llm", "vector", "ann", "eval", "incremental"),
+    doc=(
+        "Index-staleness audit — the evaluation rung that closes the "
+        "incremental-ANN loop the way dedup_lsh_recall closed dedup's and "
+        "docs_quality_calibration closed curation's: for the ARRIVING "
+        f"batch (vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM}), the recall "
+        "of the STORED-index screen (knn_incremental — codebook and cell "
+        "assignments frozen before the batch arrived) against the exact "
+        "batch-vs-corpus ground truth, binned by nprobe 1.."
+        f"{N_CENTROIDS} — the curve a pipeline reads to decide WHEN the "
+        "drifting ingest has made the persisted index stale enough to "
+        "rebuild, and what nprobe buys in recall vs candidate cost "
+        "meanwhile. Per nprobe: recall@1 (is the true NN's cell probed?), "
+        f"recall@{RECALL_K} (candidate-set containment of the true "
+        f"top-{RECALL_K} — identical to the screen's served recall, since "
+        "any truth vector inside the candidate set exact-ranks into the "
+        "served top-k), and the average candidate count the probe pays "
+        "(cell sizes from the stored assignment relation). The nesting "
+        "device makes one pass serve all bins: a candidate's cell has ONE "
+        "probe rank per query (position in the sorted-cell election — "
+        "the same probe_cells order the screen plans), so 'found at "
+        "nprobe n' is just prank <= n. Ground truth is computed ONCE via "
+        "the posexplode + (vec, dim) join-aggregate (exact int64 lattice "
+        "sums — bit-identical to int_l2's fold, JVM codegen throughout, "
+        "never an interpreted per-pair HOF); the only corpus-sized "
+        "relations are read from the memoized ivf_cents/ivf_index "
+        "checkpoints, and the batch slice — which feeds three branches — "
+        "is locally checkpointed so the embeddings parquet is scanned "
+        "exactly once per audit (plan-pinned: zero parquet scans in the "
+        "final plan). Scale shape: the audit is O(|batch| x |corpus|) by "
+        "necessity (it IS the exact-truth evaluation) — at 100 TB you "
+        "run it over a sampled probe set, exactly as knn_recall_report "
+        f"samples {RECALL_NQ} queries; the per-query window partitions "
+        "on vec_id and every division is one exact-int ratio."
+    ),
+)
+def knn_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    # the arriving batch feeds THREE branches (probe ranks twice: truth
+    # join + cost rollup; exploded components once) — checkpoint it so
+    # the embeddings parquet is scanned exactly once per audit, under
+    # the one-live-per-tag release discipline
+    batch = swap_checkpoint(
+        "staleness_batch",
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
+        .select("vec_id", _q_longs().alias("qv")),
+    )
+    cents = _ivf_cents_base(spark, sf_dir)
+    idx = _ivf_index_base(spark, sf_dir)
+
+    # probe rank of EVERY cell per query vector: posexplode of the full
+    # sorted-cell election (probe_cells at nprobe = N_CENTROIDS) — the
+    # identical order the screen probes in, so prank <= n == "cell is
+    # probed at nprobe n"
+    pr = (
+        batch.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.posexplode(probe_cells(N_CENTROIDS)).alias("pidx", "p"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pidx") + 1).alias("prank"),
+            F.col("p.cid").alias("cid"),
+        )
+    )
+
+    # exact ground truth, computed once: posexplode both sides to
+    # (vec, dim, component) and join-aggregate the int64 squared deltas —
+    # bit-identical to int_l2 (integer sums are order-free), but whole-
+    # stage-codegen instead of an interpreted fold per pair
+    bq = batch.select("vec_id", F.posexplode("qv").alias("dim", "bv"))
+    cq = idx.select(
+        F.col("vec_id").alias("nn_vec_id"),
+        F.col("cid").alias("nn_cid"),
+        F.posexplode("qv").alias("dim", "cv"),
+    )
+    dlt = F.col("bv") - F.col("cv")
+    dists = (
+        bq.join(cq, "dim")
+        .groupBy("vec_id", "nn_vec_id", "nn_cid")
+        .agg(F.sum(dlt * dlt).alias("d"))
+    )
+    topk = (
+        dists.withColumn(
+            "exact_rank",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("d", "nn_vec_id")
+            ),
+        )
+        .filter(F.col("exact_rank") <= RECALL_K)
+        .select("vec_id", "exact_rank", F.col("nn_cid").alias("cid"))
+    )
+
+    # one probe rank per truth row, then explode the nprobe grid in-row
+    # (a Generate, not a join) and fold exact-int hit counters
+    nprobe_grid = F.explode(
+        F.sequence(F.lit(1), F.lit(N_CENTROIDS))
+    ).alias("nprobe")
+    tk = topk.join(pr, ["vec_id", "cid"])
+    ra = (
+        tk.select("vec_id", "exact_rank", "prank", nprobe_grid)
+        .groupBy("nprobe")
+        .agg(
+            F.countDistinct("vec_id").cast("long").alias("n_queries"),
+            F.sum(
+                ((F.col("exact_rank") == 1) & (F.col("prank") <= F.col("nprobe")))
+                .cast("long")
+            ).alias("h1"),
+            F.sum((F.col("prank") <= F.col("nprobe")).cast("long")).alias("hk"),
+        )
+    )
+
+    # candidate cost per bin: probed-cell sizes from the stored
+    # assignment relation (8-row broadcastable rollup)
+    csize = idx.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    rb = (
+        pr.join(F.broadcast(csize), "cid")
+        .select("prank", "sz", nprobe_grid)
+        .groupBy("nprobe")
+        .agg(
+            F.sum(
+                F.when(F.col("prank") <= F.col("nprobe"), F.col("sz")).otherwise(0)
+            ).alias("cands")
+        )
+    )
+
+    return (
+        ra.join(rb, "nprobe")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_queries",
+            F.round(F.col("h1").cast("double") / F.col("n_queries"), 6).alias(
+                "recall_at_1"
+            ),
+            F.round(
+                F.col("hk").cast("double") / (F.col("n_queries") * RECALL_K), 6
+            ).alias("recall_at_k"),
+            F.round(F.col("cands").cast("double") / F.col("n_queries"), 6).alias(
+                "avg_candidates"
+            ),
+        )
+        .orderBy("nprobe")
+    )

@@ -1155,3 +1155,165 @@ def _knn_screen_stream(
 from currency_etl_spark.queries import vectors as _vectors  # noqa: E402, F401
 
 _CATALOG["streaming_knn_screen"].oracle = _CATALOG["knn_incremental"].oracle
+
+
+@register(
+    "streaming_phash_screen",
+    oracle=None,  # assigned below: composed from the phash family's SQL chain
+    tags=("streaming", "multimodal", "dedup", "incremental", "pandas-udf"),
+    doc=(
+        "Streaming perceptual-dedup screen — the stream twin that "
+        "completes the batch/stream screen square for the THIRD modality: "
+        "text (streaming_dedup_screen), vector (streaming_knn_screen), "
+        "and now binary assets. The NEW slice (doc_id % 10 = 7) arrives "
+        "as an asset stream; each micro-batch fingerprints its blobs "
+        "with the SAME one-Arrow-pass perceptual_hash operator the "
+        "stored index was built with (mapInPandas is stateless — "
+        "phash + checksum per row, no aggregation), then screens via "
+        "two stateless stream-static joins against the STORED old-slice "
+        "fingerprint index (the memoized phash_base checkpoint — the "
+        "persisted artifact, never rebuilt per batch): the exact layer "
+        "joins the md5 checksum against the old checksum set "
+        "(byte-identical copies), the near layer explodes the 17-bucket "
+        "Hamming-1 multiprobe (own hash + each single-bit flip — "
+        "exactly multimodal_phash_near's device) and equi-joins the "
+        "probed bucket keys against the old hashes. The sink holds "
+        "(doc_id, exact_hit, dup_of) match rows; the per-asset rollup "
+        "and triage verdict are batch post-processing, graded against "
+        "the composed DuckDB oracle of the family's gradient-hash "
+        "chain. Scale shape: state-free stream (no watermark, no state "
+        "store — the only state is the static index), a bounded 17x "
+        "fanout of 16-byte rows per arriving asset, hash equi-joins "
+        "only — new x new pairs never formed, blob bytes never cross "
+        "a shuffle (the Arrow pass reduces each asset to 24 bytes "
+        "before any exchange)."
+    ),
+)
+def streaming_phash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = pooled_sink(spark, sf_dir, "streaming_phash_screen")
+    agg = sink.groupBy("doc_id").agg(
+        F.coalesce(F.max("exact_hit"), F.lit(False)).alias("exact_dup"),
+        F.countDistinct("dup_of").cast("long").alias("n_candidates"),
+    )
+    return agg.select(
+        "doc_id",
+        "exact_dup",
+        "n_candidates",
+        F.when(F.col("exact_dup"), "exact")
+        .when(F.col("n_candidates") > 0, "near_candidate")
+        .otherwise("unique")
+        .alias("verdict"),
+    ).orderBy("doc_id")
+
+
+@_stream_job("streaming_phash_screen", "streaming_phash_screen_out", mode="append")
+def _phash_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.operators.multimodal import attach_blob, perceptual_hash
+    from currency_etl_spark.queries.multimodal import _phash_base
+
+    new = _documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
+    # stateless per-row fingerprint: the SAME Arrow operator the stored
+    # index was built with — bit-identity with the batch family is by
+    # construction, not by parallel reimplementation
+    ph = perceptual_hash(attach_blob(new).select("doc_id", "blob"))
+    # the STORED index: old-slice rows of the memoized fingerprint
+    # relation (one Arrow pass per session, shared with the batch
+    # entries) — exact checksum set + Hamming-bucket keys
+    old = _phash_base(spark, sf_dir).filter(F.col("doc_id") % 10 != 7)
+    old_sums = (
+        old.select("checksum").distinct().withColumn("exact_hit", F.lit(True))
+    )
+    old_idx = old.select(
+        F.col("doc_id").alias("dup_of"), F.col("phash").alias("nbr_hash")
+    )
+    probes = ph.join(old_sums, "checksum", "left").select(
+        "doc_id",
+        "exact_hit",
+        F.explode(
+            F.array(
+                F.col("phash"),
+                *[F.expr(f"phash ^ {1 << i}") for i in range(16)],
+            )
+        ).alias("probe"),
+    )
+    return probes.join(
+        old_idx, probes["probe"] == old_idx["nbr_hash"], "left"
+    ).select("doc_id", "exact_hit", "dup_of")
+
+
+def _phash_screen_oracle() -> str:
+    # the family's gradient-hash CTE chain (multimodal_phash_dedup's
+    # oracle, verbatim semantics), split by the arriving slice and
+    # extended with the exact-checksum layer and the Hamming-1
+    # multiprobe against the OLD side only
+    return """
+        WITH d AS (
+            SELECT doc_id, text, md5(text) AS checksum,
+                   octet_length(encode(text)) AS total
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, text, unnest(generate_series(1, total)) AS i
+            FROM d
+        ),
+        counts AS (
+            SELECT doc_id, ord(substring(text, i, 1)) % 16 AS bin, count(*) AS c
+            FROM pos GROUP BY doc_id, ord(substring(text, i, 1)) % 16
+        ),
+        grid AS (
+            SELECT d.doc_id, g.bin
+            FROM d, (SELECT unnest(generate_series(0, 15)) AS bin) g
+        ),
+        dense AS (
+            SELECT g.doc_id, g.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM grid g
+            LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+        ),
+        ph AS (
+            SELECT a.doc_id,
+                   CAST(coalesce(sum(CASE WHEN a.c > b.c
+                        THEN (CAST(1 AS BIGINT) << a.bin) END), 0) AS BIGINT)
+                       AS phash
+            FROM dense a
+            JOIN dense b ON b.doc_id = a.doc_id AND b.bin = (a.bin + 1) % 16
+            GROUP BY a.doc_id
+        ),
+        new AS (
+            SELECT ph.doc_id, ph.phash, d.checksum
+            FROM ph JOIN d ON d.doc_id = ph.doc_id
+            WHERE ph.doc_id % 10 = 7
+        ),
+        old AS (
+            SELECT ph.doc_id, ph.phash, d.checksum
+            FROM ph JOIN d ON d.doc_id = ph.doc_id
+            WHERE ph.doc_id % 10 <> 7
+        ),
+        exact AS (
+            SELECT n.doc_id, TRUE AS hit FROM new n
+            WHERE n.checksum IN (SELECT checksum FROM old)
+        ),
+        probes AS (
+            SELECT doc_id,
+                   CASE WHEN f.i = 16 THEN phash
+                        ELSE xor(phash, CAST(1 AS BIGINT) << f.i) END AS probe
+            FROM new, (SELECT unnest(generate_series(0, 16)) AS i) f
+        ),
+        cand AS (
+            SELECT p.doc_id, count(DISTINCT o.doc_id) AS n_candidates
+            FROM probes p JOIN old o ON o.phash = p.probe
+            GROUP BY p.doc_id
+        )
+        SELECT n.doc_id,
+               coalesce(e.hit, FALSE) AS exact_dup,
+               CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+               CASE WHEN coalesce(e.hit, FALSE) THEN 'exact'
+                    WHEN coalesce(c.n_candidates, 0) > 0 THEN 'near_candidate'
+                    ELSE 'unique' END AS verdict
+        FROM new n
+        LEFT JOIN exact e ON e.doc_id = n.doc_id
+        LEFT JOIN cand c ON c.doc_id = n.doc_id
+        ORDER BY n.doc_id
+    """
+
+
+_CATALOG["streaming_phash_screen"].oracle = _phash_screen_oracle()

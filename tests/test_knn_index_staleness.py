@@ -1,0 +1,146 @@
+"""knn_index_staleness invariants: a pure-numpy re-derivation of the
+whole recall curve must match exactly; the curve must be monotone in
+nprobe and saturate at 1.0 / |corpus| when every cell is probed; the
+bins must agree with what knn_incremental actually SERVES at the same
+nprobe (the audit grades the screen, so the two may never disagree);
+and the plan must READ the stored index checkpoints, scanning the
+embeddings parquet exactly once — the audit evaluates the frozen index,
+it never rebuilds it."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from currency_etl_spark.queries.vectors import (
+    KNN_BATCH_MOD,
+    KNN_BATCH_REM,
+    N_CENTROIDS,
+    RECALL_K,
+    knn_incremental,
+    knn_index_staleness,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_staleness(sf: str):
+    """(per-nprobe rows, true-NN map) re-derived with numpy only."""
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    qv = {
+        r.vec_id: np.round(np.asarray(r.embedding, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for r in emb.itertuples()
+    }
+    is_batch = lambda v: v % KNN_BATCH_MOD == KNN_BATCH_REM
+    corpus = sorted(v for v in qv if not is_batch(v))
+    batch = sorted(v for v in qv if is_batch(v))
+    cents = corpus[:N_CENTROIDS]
+
+    def d2(a, b):
+        d = qv[a] - qv[b]
+        return int((d * d).sum())
+
+    cell = {v: min(cents, key=lambda c: (d2(v, c), c)) for v in corpus}
+    csize = {c: sum(1 for v in corpus if cell[v] == c) for c in cents}
+    rows = []
+    true_nn = {}
+    # per query: sorted cell election (probe order) + exact top-K cells
+    prank = {
+        b: {c: i + 1 for i, c in enumerate(sorted(cents, key=lambda c: (d2(b, c), c)))}
+        for b in batch
+    }
+    topk = {
+        b: sorted(corpus, key=lambda v: (d2(b, v), v))[:RECALL_K] for b in batch
+    }
+    for b in batch:
+        true_nn[b] = topk[b][0]
+    for n in range(1, N_CENTROIDS + 1):
+        h1 = sum(1 for b in batch if prank[b][cell[topk[b][0]]] <= n)
+        hk = sum(
+            1 for b in batch for v in topk[b] if prank[b][cell[v]] <= n
+        )
+        cands = sum(
+            csize[c] for b in batch for c in cents if prank[b][c] <= n
+        )
+        nq = len(batch)
+        rows.append(
+            (
+                n,
+                nq,
+                round(h1 / nq, 6),
+                round(hk / (nq * RECALL_K), 6),
+                round(cands / nq, 6),
+            )
+        )
+    return rows, true_nn, len(corpus)
+
+
+COLS = ["nprobe", "n_queries", "recall_at_1", "recall_at_k", "avg_candidates"]
+
+
+def _rows(df):
+    return [tuple(r[c] for c in COLS) for r in df.collect()]
+
+
+def test_staleness_matches_numpy(spark):
+    want, _, _ = _np_staleness(SF)
+    got = _rows(knn_index_staleness(spark, SF))
+    assert got == want
+
+
+def test_staleness_curve_shape(spark):
+    """Monotone recall/cost in nprobe; full probing saturates: recall 1.0
+    on both axes and avg_candidates == |corpus| (every cell searched)."""
+    got = _rows(knn_index_staleness(spark, SF))
+    _, _, n_corpus = _np_staleness(SF)
+    assert [r[0] for r in got] == list(range(1, N_CENTROIDS + 1))
+    for prev, cur in zip(got, got[1:]):
+        assert cur[2] >= prev[2]  # recall@1
+        assert cur[3] >= prev[3]  # recall@k
+        assert cur[4] >= prev[4]  # candidate cost
+    last = got[-1]
+    assert last[2] == 1.0 and last[3] == 1.0
+    assert last[4] == float(n_corpus)
+    # the audit must have something to say: recall below 1.0 somewhere
+    # (otherwise the corpus is degenerate and the curve is vacuous)
+    assert got[0][2] < 1.0 or got[0][3] < 1.0
+
+
+def test_staleness_agrees_with_served_screen(spark):
+    """recall@1 at bin n must equal the fraction of batch vectors whose
+    SERVED neighbor (knn_incremental at nprobe=n) is the exact true NN —
+    the audit and the screen it audits can never disagree."""
+    _, true_nn, _ = _np_staleness(SF)
+    curve = {r[0]: r[2] for r in _rows(knn_index_staleness(spark, SF))}
+    for n in (1, 2, N_CENTROIDS):
+        served = {
+            r["vec_id"]: r["nn_vec_id"]
+            for r in knn_incremental(spark, SF, nprobe=n).collect()
+        }
+        assert set(served) == set(true_nn)
+        frac = round(
+            sum(1 for v, nn in served.items() if nn == true_nn[v]) / len(served), 6
+        )
+        assert curve[n] == frac, n
+
+
+def test_staleness_reads_stored_index(spark):
+    """Plan pin: the audit READS the persisted ivf_cents/ivf_index
+    checkpoints (Scan ExistingRDD) and scans the embeddings parquet
+    exactly ONCE — at the batch slice's localCheckpoint build, because
+    the batch feeds three branches; the final plan therefore holds ZERO
+    parquet scans — evaluating staleness must not itself rebuild the
+    index it is judging."""
+    knn_index_staleness(spark, SF).collect()  # memos live; now re-plan
+    df = knn_index_staleness(spark, SF)
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Scan ExistingRDD" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    # ground truth is codegen'd integer aggregation, never an interpreted
+    # per-pair fold and never Python
+    assert "BatchEvalPython" not in plan
