@@ -686,3 +686,37 @@ def test_cdc_chunks_plan_is_row_local(spark, sf_dir):
     assert "windowspecdefinition" not in p
     assert len(re.findall(r"\(\d+\) Generate", p)) == 1
     assert "hashpartitioning" not in p  # spread round-robin + sort only
+
+
+def test_plans_doc_is_regenerated_with_the_catalog():
+    """docs/PLANS.md anti-rot pin (round-10 verdict item 2, the
+    PRIORITY_ORDER_BASIS_ROUND device applied to the plan-audit doc):
+    the doc records the catalog size it was generated against and must
+    hold a section for every headliner — growing the catalog or the
+    headliner list without re-running tools/dump_plans.py fails here
+    instead of silently under-representing new entries."""
+    import os
+    import sys
+
+    from currency_etl_spark.catalog import load_catalog
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    try:
+        from dump_plans import HEADLINERS
+    finally:
+        sys.path.pop(0)
+    doc = open(os.path.join(root, "docs", "PLANS.md")).read()
+    cat = load_catalog()
+    m = re.search(r"PLANS_CATALOG_SIZE = (\d+) \(headliners: (\d+)\)", doc)
+    assert m, "marker missing — regenerate with python tools/dump_plans.py"
+    assert int(m.group(1)) == len(cat), (
+        f"PLANS.md generated against {m.group(1)} catalog entries, "
+        f"catalog now has {len(cat)} — re-run python tools/dump_plans.py"
+    )
+    assert int(m.group(2)) == len(HEADLINERS)
+    for name in HEADLINERS:
+        assert name in cat, f"headliner {name} is not a catalog entry"
+        assert f"## {name}" in doc, (
+            f"headliner {name} has no section — re-run python tools/dump_plans.py"
+        )

@@ -394,6 +394,102 @@ HEADLINERS = {
         "squared distances fold 1e12-quantized on vec_id; the p95 table "
         "is a broadcast join of |labels| rows."
     ),
+    # --- r9 headliners ---
+    "docs_bm25_search": (
+        "BM25 retrieval. Check: the query-term relation enters as a "
+        "broadcast; per-term postings aggregate BEFORE the score join "
+        "(term-keyed partial aggregation); the final top-n is "
+        "TakeOrderedAndProject — no global sort of all scored docs."
+    ),
+    "docs_dup_span_removal": (
+        "ExactSubstr CUT step. Check: the duplicated-gram detection "
+        "relation is the memoized dup_hits checkpoint (Scan ExistingRDD "
+        "— shared verbatim with docs_dup_span_coverage, detection paid "
+        "once); interval merge is a per-doc window (doc_id-partitioned), "
+        "no pair generation anywhere."
+    ),
+    "knn_pq_adc": (
+        "IVF-PQ asymmetric-distance search. Check: codebook and distance "
+        "table enter as 1-row broadcasts; candidates come from the "
+        "nprobe cell equi-join; ADC scoring is a narrow in-row "
+        "projection over PQ codes — full embeddings never touched at "
+        "probe time."
+    ),
+    "dedup_canonical": (
+        "Normalization-robust exact dedup. Check: the canonical digest "
+        "is computed in the scan projection (regex chain in the "
+        "Java/RE2-agreeing subset); the Exchange carries digests only, "
+        "never text; partial_count/partial_min fold map-side."
+    ),
+    "dedup_lsh_recall": (
+        "LSH recall calibration. Check: truth pairs come from the capped "
+        "posting-list relation and candidates from the memoized band "
+        "pairs (Scan ExistingRDD, no rebuild); the decile histogram is "
+        "a ≤10-row aggregate — no corpus-sized join above the pair "
+        "relations."
+    ),
+    "customers_k_anonymity": (
+        "k-anonymity audit. Check: one narrow-QI exchange (the "
+        "generalized quasi-identifier tuple) feeding partial/final "
+        "HashAggregates; the risk rollup runs on the group-sized "
+        "relation; no window over the full customer relation."
+    ),
+    "docs_cdc_chunks": (
+        "Content-defined chunking. Check: rolling-hash cut-point "
+        "election is one narrow in-row expression chain over the token "
+        "array (size(t) >= W guarded); chunks materialize at scan "
+        "speed — zero exchanges before the per-doc chunk explode."
+    ),
+    # --- r10 headliners ---
+    "knn_incremental": (
+        "Incremental ANN ingest screen. Check: the stored index enters "
+        "as TWO checkpoint reads (Scan ExistingRDD: ivf_cents 1-row "
+        "codebook + ivf_index assignments) and the embeddings parquet "
+        "is scanned exactly ONCE (the batch); the in-row nprobe cell "
+        "election explodes to an equi-join on cell — batch x batch "
+        "pairs never form; top-1 is min(struct), window-free."
+    ),
+    "docs_quality_calibration": (
+        "Quality-rule reliability table. Check: dup labels read from "
+        "the memoized dedup-family bases (Scan ExistingRDD), never "
+        "recomputed; three doc-keyed boolean relations join on doc_id; "
+        "the output rollup is a ≤6-row histogram — shuffles never "
+        "carry text."
+    ),
+    "streaming_knn_screen": (
+        "Streaming ANN screen (batch post-processing of the pooled "
+        "memory sink). Check: the sink rollup is one vec_id-keyed "
+        "HashAggregate (min(struct) election via the SHARED "
+        "vectors.screen_top1); the stream side (not in this plan) is "
+        "stateless — the shared screen_candidates plan, stream-static "
+        "joins against the stored index, no state store."
+    ),
+    "customers_l_diversity": (
+        "l-diversity audit. Check: the latest-order sensitive value is "
+        "a custkey-bounded groupBy max(struct) — no window over orders; "
+        "the distinct-sensitive count rides the narrow-QI exchange; "
+        "rollup is group-sized."
+    ),
+    # --- r11 headliners ---
+    "knn_index_staleness": (
+        "Index-staleness recall audit. Check: ZERO parquet scans in the "
+        "final plan — the stored index enters from the ivf_cents/"
+        "ivf_index checkpoints and the batch slice from its own "
+        "localCheckpoint (three consumers, one scan); ground truth is a "
+        "codegen posexplode + (vec, dim) join-aggregate over int64 "
+        "lattice sums (no interpreted per-pair folds, no Python); the "
+        "only window partitions on vec_id; the nprobe grid is a "
+        "Generate (in-row sequence explode), never a join."
+    ),
+    "streaming_phash_screen": (
+        "Streaming perceptual screen (batch post-processing of the "
+        "pooled memory sink). Check: the sink rollup is one doc_id-"
+        "keyed HashAggregate (max flag + distinct candidates); the "
+        "stream side (not in this plan) is stateless and holds exactly "
+        "ONE MapInPandas — the arriving batch's fingerprint pass — with "
+        "the stored index entering from the memoized phash_base "
+        "checkpoint (pinned in tests/test_phash_screen.py)."
+    ),
 }
 
 
@@ -410,6 +506,14 @@ def main() -> None:
         f"explain at `{sf_dir}`; regenerate after query changes). Each entry "
         "notes what to check for the plan to hold at 100 TB — these same "
         "properties are asserted by `tests/test_plans.py`.",
+        "",
+        # the anti-rot marker (round-10 verdict item 2, same device as
+        # PRIORITY_ORDER_BASIS_ROUND): tests/test_plans.py pins this
+        # against len(load_catalog()), so growing the catalog without
+        # regenerating this doc fails the suite instead of silently
+        # under-representing the new entries.
+        f"PLANS_CATALOG_SIZE = {len(catalog)} "
+        f"(headliners: {len(HEADLINERS)})",
         "",
     ]
     for name, note in HEADLINERS.items():
