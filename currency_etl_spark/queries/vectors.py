@@ -1754,89 +1754,128 @@ def knn_incremental(
         "device makes one pass serve all bins: a candidate's cell has ONE "
         "probe rank per query (position in the sorted-cell election — "
         "the same probe_cells order the screen plans), so 'found at "
-        "nprobe n' is just prank <= n. Ground truth is computed ONCE via "
-        "the posexplode + (vec, dim) join-aggregate (exact int64 lattice "
-        "sums — bit-identical to int_l2's fold, JVM codegen throughout, "
-        "never an interpreted per-pair HOF); the only corpus-sized "
-        "relations are read from the memoized ivf_cents/ivf_index "
-        "checkpoints, and the batch slice — which feeds three branches — "
-        "is locally checkpointed so the embeddings parquet is scanned "
-        "exactly once per audit (plan-pinned: zero parquet scans in the "
-        "final plan). Scale shape: the audit is O(|batch| x |corpus|) by "
-        "necessity (it IS the exact-truth evaluation) — at 100 TB you "
+        "nprobe n' is just prank <= n. Ground truth is computed ONCE as "
+        "per-CELL numpy tiles (the dedup_semantic rule for pair-dense "
+        "vector work — one cluster-local exact int64 matmul per cell, "
+        "aa + bb - 2ab == int_l2's sum((a-b)^2) on the lattice, never an "
+        "interpreted per-pair HOF): each Arrow cogroup tile emits only "
+        "its cell-local top-K per query already stamped with that "
+        "cell's probe rank, the global top-K election then orders at "
+        "most cells x K rows per query. The only corpus-sized relations "
+        "are read from the memoized ivf_cents/ivf_index checkpoints, "
+        "and the probe relation — which feeds both the tiles and the "
+        "cost rollup — is locally checkpointed so the embeddings "
+        "parquet is scanned exactly once per audit (plan-pinned: zero "
+        "parquet scans in the final plan). Scale shape: the audit is "
+        "O(|batch| x |corpus|) by necessity (it IS the exact-truth "
+        "evaluation), paid as cell-partitionable tiles — at 100 TB you "
         "run it over a sampled probe set, exactly as knn_recall_report "
         f"samples {RECALL_NQ} queries; the per-query window partitions "
         "on vec_id and every division is one exact-int ratio."
     ),
 )
 def knn_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from currency_etl_spark.operators.ckpt import swap_checkpoint
+    import numpy as np
+    import pandas as pd
 
-    # the arriving batch feeds THREE branches (probe ranks twice: truth
-    # join + cost rollup; exploded components once) — checkpoint it so
-    # the embeddings parquet is scanned exactly once per audit, under
-    # the one-live-per-tag release discipline
-    batch = swap_checkpoint(
-        "staleness_batch",
-        table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
-        .select("vec_id", _q_longs().alias("qv")),
-    )
-    cents = _ivf_cents_base(spark, sf_dir)
-    idx = _ivf_index_base(spark, sf_dir)
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
 
     # probe rank of EVERY cell per query vector: posexplode of the full
     # sorted-cell election (probe_cells at nprobe = N_CENTROIDS) — the
     # identical order the screen probes in, so prank <= n == "cell is
-    # probed at nprobe n"
-    pr = (
+    # probed at nprobe n". This relation feeds TWO branches (the truth
+    # tiles and the cost rollup) — checkpoint it (tiny: |batch| x cells
+    # rows) so the embeddings parquet is scanned exactly once per audit,
+    # under the one-live-per-tag release discipline.
+    batch = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
+        .select("vec_id", _q_longs().alias("qv"))
+    )
+    cents = _ivf_cents_base(spark, sf_dir)
+    idx = _ivf_index_base(spark, sf_dir)
+    pr = swap_checkpoint(
+        "staleness_probes",
         batch.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
+            "qv",
             F.posexplode(probe_cells(N_CENTROIDS)).alias("pidx", "p"),
         )
         .select(
             "vec_id",
-            (F.col("pidx") + 1).alias("prank"),
+            "qv",
+            (F.col("pidx") + 1).cast("int").alias("prank"),
             F.col("p.cid").alias("cid"),
-        )
+        ),
     )
 
-    # exact ground truth, computed once: posexplode both sides to
-    # (vec, dim, component) and join-aggregate the int64 squared deltas —
-    # bit-identical to int_l2 (integer sums are order-free), but whole-
-    # stage-codegen instead of an interpreted fold per pair
-    bq = batch.select("vec_id", F.posexplode("qv").alias("dim", "bv"))
-    cq = idx.select(
-        F.col("vec_id").alias("nn_vec_id"),
-        F.col("cid").alias("nn_cid"),
-        F.posexplode("qv").alias("dim", "cv"),
-    )
-    dlt = F.col("bv") - F.col("cv")
-    dists = (
-        bq.join(cq, "dim")
-        .groupBy("vec_id", "nn_vec_id", "nn_cid")
-        .agg(F.sum(dlt * dlt).alias("d"))
-    )
-    topk = (
-        dists.withColumn(
-            "exact_rank",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy("d", "nn_vec_id")
-            ),
-        )
-        .filter(F.col("exact_rank") <= RECALL_K)
-        .select("vec_id", "exact_rank", F.col("nn_cid").alias("cid"))
-    )
+    # exact ground truth via per-CELL numpy tiles (the dedup_semantic
+    # rule: pair-dense vector work never folds per pair in an
+    # interpreted HOF and never joins out per-dimension rows — one
+    # cluster-local int64 matmul per cell computes every batch-vs-member
+    # distance exactly: aa + bb - 2ab == sum((a-b)^2) on the lattice).
+    # Each tile emits only its cell-local top-K per query (the global
+    # top-K is inside the union of per-cell top-Ks), already stamped
+    # with the querying vector's probe rank for THAT cell — so the
+    # downstream window orders at most cells x K rows per query.
+    k = RECALL_K
 
-    # one probe rank per truth row, then explode the nprobe grid in-row
-    # (a Generate, not a join) and fold exact-int hit counters
+    def _topk_tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "prank": pd.Series(dtype="int32"),
+                    "nn_vec_id": pd.Series(dtype="int64"),
+                    "d": pd.Series(dtype="int64"),
+                }
+            )
+        C = np.stack(left["qv"].to_numpy()).astype(np.int64)  # members x dim
+        Q = np.stack(right["qv"].to_numpy()).astype(np.int64)  # queries x dim
+        d = (
+            (Q * Q).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2 * (Q @ C.T)
+        )
+        mid = left["vec_id"].to_numpy()
+        kk = min(k, len(mid))
+        out = []
+        for i in range(len(Q)):
+            # exact (d, nn_vec_id) tie order, cell-local top-K
+            order = np.lexsort((mid, d[i]))[:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": right["vec_id"].iat[i],
+                        "prank": right["prank"].iat[i],
+                        "nn_vec_id": mid[order],
+                        "d": d[i][order],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    tile = (
+        idx.select("cid", "vec_id", "qv")
+        .groupBy("cid")
+        .cogroup(pr.groupBy("cid"))
+        .applyInPandas(
+            _topk_tile, "vec_id long, prank int, nn_vec_id long, d long"
+        )
+    )
+    topk = tile.withColumn(
+        "exact_rank",
+        F.row_number().over(W.partitionBy("vec_id").orderBy("d", "nn_vec_id")),
+    ).filter(F.col("exact_rank") <= RECALL_K)
+
+    # explode the nprobe grid in-row (a Generate, not a join) and fold
+    # exact-int hit counters
     nprobe_grid = F.explode(
         F.sequence(F.lit(1), F.lit(N_CENTROIDS))
     ).alias("nprobe")
-    tk = topk.join(pr, ["vec_id", "cid"])
     ra = (
-        tk.select("vec_id", "exact_rank", "prank", nprobe_grid)
+        topk.select("vec_id", "exact_rank", "prank", nprobe_grid)
         .groupBy("nprobe")
         .agg(
             F.countDistinct("vec_id").cast("long").alias("n_queries"),
@@ -1852,7 +1891,8 @@ def knn_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assignment relation (8-row broadcastable rollup)
     csize = idx.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
     rb = (
-        pr.join(F.broadcast(csize), "cid")
+        pr.select("vec_id", "prank", "cid")
+        .join(F.broadcast(csize), "cid")
         .select("prank", "sz", nprobe_grid)
         .groupBy("nprobe")
         .agg(

@@ -131,16 +131,16 @@ def test_staleness_agrees_with_served_screen(spark):
 def test_staleness_reads_stored_index(spark):
     """Plan pin: the audit READS the persisted ivf_cents/ivf_index
     checkpoints (Scan ExistingRDD) and scans the embeddings parquet
-    exactly ONCE — at the batch slice's localCheckpoint build, because
-    the batch feeds three branches; the final plan therefore holds ZERO
-    parquet scans — evaluating staleness must not itself rebuild the
-    index it is judging."""
+    exactly ONCE — at the probe relation's checkpoint build, because it
+    feeds two branches; the final plan therefore holds ZERO parquet
+    scans — evaluating staleness must not itself rebuild the index it
+    is judging. Ground truth runs as ONE Arrow cogroup tile stage
+    (exact int64 matmul per cell), never row-at-a-time Python."""
     knn_index_staleness(spark, SF).collect()  # memos live; now re-plan
     df = knn_index_staleness(spark, SF)
     jvm = df.sparkSession._jvm
     plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "Scan ExistingRDD" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
-    # ground truth is codegen'd integer aggregation, never an interpreted
-    # per-pair fold and never Python
+    assert len(re.findall(r"\(\d+\) FlatMapCoGroupsInPandas", plan)) == 1, plan
     assert "BatchEvalPython" not in plan

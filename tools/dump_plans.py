@@ -474,12 +474,14 @@ HEADLINERS = {
     "knn_index_staleness": (
         "Index-staleness recall audit. Check: ZERO parquet scans in the "
         "final plan — the stored index enters from the ivf_cents/"
-        "ivf_index checkpoints and the batch slice from its own "
-        "localCheckpoint (three consumers, one scan); ground truth is a "
-        "codegen posexplode + (vec, dim) join-aggregate over int64 "
-        "lattice sums (no interpreted per-pair folds, no Python); the "
-        "only window partitions on vec_id; the nprobe grid is a "
-        "Generate (in-row sequence explode), never a join."
+        "ivf_index checkpoints and the probe relation from its own "
+        "checkpoint (two consumers, one scan); ground truth is exactly "
+        "ONE FlatMapCoGroupsInPandas stage (per-cell exact int64 matmul "
+        "tiles emitting cell-local top-K only — the dedup_semantic rule "
+        "for pair-dense vector work; no interpreted per-pair folds, no "
+        "BatchEvalPython); the only window partitions on vec_id over "
+        "<= cells x K rows; the nprobe grid is a Generate (in-row "
+        "sequence explode), never a join."
     ),
     "streaming_phash_screen": (
         "Streaming perceptual screen (batch post-processing of the "
