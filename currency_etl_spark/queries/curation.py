@@ -668,6 +668,37 @@ _CATALOG["docs_quality_calibration"].oracle = f"""
 L_DIV_MIN = 3
 
 
+def _release_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The released (QI, sensitive) relation SHARED by the privacy-audit
+    ladder (l-diversity, t-closeness): the k-audit's quasi-identifier
+    grain (nation × market segment × $1000 balance band) plus each
+    customer's latest-order priority as the sensitive attribute
+    (deterministic argmax via max(struct(date, key, prio)) —
+    bit-identical to the oracles' ROW_NUMBER(ORDER BY date DESC, key
+    DESC) = 1 because (date, key) is unique per customer; customers
+    without orders release 'NONE'). Single definition so the ladder's
+    rungs can never audit two different releases."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    latest = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+            ).alias("m")
+        )
+        .select("o_custkey", F.col("m.o_orderpriority").alias("prio"))
+    )
+    return cust.join(
+        latest, cust["c_custkey"] == latest["o_custkey"], "left"
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        F.coalesce("prio", F.lit("NONE")).alias("sensitive"),
+    )
+
+
 @register(
     "customers_l_diversity",
     oracle=f"""
@@ -725,26 +756,7 @@ def customers_l_diversity(
 ) -> DataFrame:
     """Graded default is the module constant; ``l_min`` is the release
     process's diversity threshold (groups below it flag at_risk)."""
-    cust = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
-    latest = (
-        orders.groupBy("o_custkey")
-        .agg(
-            F.max(
-                F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
-            ).alias("m")
-        )
-        .select("o_custkey", F.col("m.o_orderpriority").alias("prio"))
-    )
-    rel = (
-        cust.join(latest, cust["c_custkey"] == latest["o_custkey"], "left")
-        .select(
-            "c_nationkey",
-            "c_mktsegment",
-            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
-            F.coalesce("prio", F.lit("NONE")).alias("sensitive"),
-        )
-    )
+    rel = _release_relation(spark, sf_dir)
     grp = rel.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
         F.countDistinct("sensitive").cast("long").alias("l"),
         F.count(F.lit(1)).alias("group_size"),
@@ -762,4 +774,178 @@ def customers_l_diversity(
             F.when(F.col("l") < l_min, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("at_risk"),
         )
         .orderBy("l")
+    )
+
+
+#: t-closeness threshold: quasi-identifier groups whose released
+#: sensitive-value distribution sits further than this (total-variation
+#: distance) from the global distribution leak attribute information
+#: even when k-anonymity AND l-diversity hold (a skewed-but-diverse
+#: group still tells the attacker a lot). Bands are tenths of t, so the
+#: conventional 0.5 bar is band >= 5.
+T_CLOSE_MAX = 0.5
+
+
+@register(
+    "customers_t_closeness",
+    oracle=f"""
+        WITH latest AS (
+            SELECT o_custkey, o_orderpriority,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ),
+        rel AS (
+            SELECT c.c_nationkey, c.c_mktsegment,
+                   CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+                   coalesce(l.o_orderpriority, 'NONE') AS sensitive
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, o_orderpriority FROM latest WHERE rn = 1) l
+              ON l.o_custkey = c.c_custkey
+        ),
+        gs AS (
+            SELECT c_nationkey, c_mktsegment, bal_band, sensitive,
+                   CAST(count(*) AS BIGINT) AS c_gs
+            FROM rel GROUP BY 1, 2, 3, 4
+        ),
+        gd AS (
+            SELECT sensitive, CAST(sum(c_gs) AS BIGINT) AS c_s
+            FROM gs GROUP BY sensitive
+        ),
+        tot AS (SELECT CAST(sum(c_s) AS BIGINT) AS n FROM gd),
+        grp AS (
+            SELECT c_nationkey, c_mktsegment, bal_band,
+                   CAST(sum(c_gs) AS BIGINT) AS n_g
+            FROM gs GROUP BY 1, 2, 3
+        ),
+        pres AS (
+            SELECT gs.c_nationkey, gs.c_mktsegment, gs.bal_band,
+                   g.n_g, t.n,
+                   CAST(sum(abs(gs.c_gs * t.n - gl.c_s * g.n_g)) AS BIGINT)
+                       AS p_num,
+                   CAST(sum(gl.c_s) AS BIGINT) AS p_cs
+            FROM gs
+            JOIN grp g ON g.c_nationkey = gs.c_nationkey
+                      AND g.c_mktsegment = gs.c_mktsegment
+                      AND g.bal_band = gs.bal_band
+            JOIN gd gl ON gl.sensitive = gs.sensitive, tot t
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        tv AS (
+            SELECT n_g, n, p_num + n_g * (n - p_cs) AS num
+            FROM pres
+        ),
+        banded AS (
+            SELECT n_g,
+                   (10 * num) // (2 * n_g * n) AS t_band,
+                   round(CAST(num AS DOUBLE) / (2.0 * n_g * n), 6) AS t
+            FROM tv
+        )
+        SELECT CAST(t_band AS BIGINT) AS t_band,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(n_g) AS BIGINT) AS n_customers,
+               round(min(t), 6) AS t_min,
+               round(max(t), 6) AS t_max,
+               CAST(CASE WHEN t_band >= {int(round(T_CLOSE_MAX * 10))}
+                         THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        FROM banded
+        GROUP BY t_band
+        ORDER BY t_band
+    """,
+    tags=("privacy", "governance", "curation"),
+    doc=(
+        "t-closeness release audit — the third rung of the privacy "
+        "ladder (Li et al. 2007), beside customers_k_anonymity (identity "
+        "disclosure) and customers_l_diversity (attribute diversity): a "
+        "QI group can be k-anonymous AND l-diverse yet still leak — if "
+        "its sensitive-value DISTRIBUTION is far from the global one "
+        "(e.g. 90% URGENT where the corpus runs 20%), membership alone "
+        "shifts the attacker's posterior. Same released relation as the "
+        "l-audit (single definition: _release_relation — QI = nation × "
+        "market segment × $1000 balance band, sensitive = latest-order "
+        "priority, 'NONE' for orderless customers); per group t = total-"
+        "variation distance between the group's and the global sensitive "
+        "distribution (the categorical EMD of the paper), reported as a "
+        "tenth-of-t band histogram with group/customer counts, exact "
+        "band-edge min/max, and the at_risk flag at the conventional "
+        f"t={T_CLOSE_MAX} bar. Numerics: t is NEVER accumulated in "
+        "floats — the numerator folds exact int64 cross products "
+        "(|c_gs·n − c_s·n_g|, absent sensitive values contributing "
+        "n_g·(n − Σ_present c_s) in closed form, so no value-grid join "
+        "exists), the band is pure integer division (10·num div "
+        "2·n_g·n), and the only doubles are one division per group, "
+        "bit-identical across engines. Scale shape: the (QI, sensitive) "
+        "count relation is built once (one narrow-QI shuffle over the "
+        "release, checkpointed — three consumers, one build); the "
+        "global distribution is a |priority-domain|-row broadcast, the "
+        "per-group fold is group-sized, and the output is a <=10-row "
+        "band histogram — row-level data never leaves the executors."
+    ),
+)
+def customers_t_closeness(
+    spark: SparkSession, sf_dir: str, *, t_max: float = T_CLOSE_MAX
+) -> DataFrame:
+    """Graded default is the module constant; ``t_max`` is the release
+    process's closeness bar (bands at or above it flag at_risk)."""
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    qi = ["c_nationkey", "c_mktsegment", "bal_band"]
+    # one narrow-QI shuffle over the release, then three consumers
+    # (global distribution, group sizes, the fold itself) read the
+    # checkpointed count relation instead of re-scanning the release
+    gs = swap_checkpoint(
+        "tclose_gs",
+        _release_relation(spark, sf_dir)
+        .groupBy(*qi, "sensitive")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_gs")),
+    )
+    glob = gs.groupBy("sensitive").agg(F.sum("c_gs").cast("long").alias("c_s"))
+    tot = glob.agg(F.sum("c_s").cast("long").alias("n"))
+    grp = gs.groupBy(*qi).agg(F.sum("c_gs").cast("long").alias("n_g"))
+    pres = (
+        gs.join(F.broadcast(glob), "sensitive")  # priority domain: bounded
+        .join(grp, qi)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(*qi, "n_g", "n")
+        .agg(
+            F.sum(
+                F.abs(F.col("c_gs") * F.col("n") - F.col("c_s") * F.col("n_g"))
+            ).alias("p_num"),
+            F.sum("c_s").alias("p_cs"),
+        )
+    )
+    tv = pres.select(
+        "n_g",
+        "n",
+        (F.col("p_num") + F.col("n_g") * (F.col("n") - F.col("p_cs"))).alias("num"),
+    )
+    banded = tv.select(
+        "n_g",
+        F.expr("(10 * num) div (2 * n_g * n)").alias("t_band"),
+        F.round(
+            F.col("num").cast("double") / (F.lit(2.0) * F.col("n_g") * F.col("n")),
+            6,
+        ).alias("t"),
+    )
+    band_bar = int(round(t_max * 10))
+    return (
+        banded.groupBy("t_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_g").cast("long").alias("n_customers"),
+            F.round(F.min("t"), 6).alias("t_min"),
+            F.round(F.max("t"), 6).alias("t_max"),
+        )
+        .select(
+            F.col("t_band").cast("long").alias("t_band"),
+            "n_groups",
+            "n_customers",
+            "t_min",
+            "t_max",
+            F.when(F.col("t_band") >= band_bar, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("at_risk"),
+        )
+        .orderBy("t_band")
     )

@@ -143,3 +143,115 @@ def test_l_diversity_orderless_customers_release_none(spark, tmp_path):
     r = rows[0]
     assert (r["l"], r["at_risk"]) == (1, 1)
     assert r["n_customers"] == 40
+
+
+def _pd_release(sf: str):
+    """(QI -> sensitive list) of the released relation, pandas-derived:
+    latest-order priority by (date, key) DESC, 'NONE' when orderless."""
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    latest = (
+        orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        .groupby("o_custkey")
+        .tail(1)
+        .set_index("o_custkey")["o_orderpriority"]
+    )
+    rel: dict = {}
+    for r in cust.itertuples():
+        key = (r.c_nationkey, r.c_mktsegment, math.floor(r.c_acctbal / 1000))
+        rel.setdefault(key, []).append(latest.get(r.c_custkey, "NONE"))
+    return rel
+
+
+def test_t_closeness_matches_pandas(spark):
+    """Full re-derivation of the band histogram: per QI group, the
+    total-variation distance to the global sensitive distribution via
+    exact integer cross products, banded by integer division — the
+    module's no-float-accumulation claim, recomputed independently."""
+    from currency_etl_spark.queries.curation import (
+        T_CLOSE_MAX,
+        customers_t_closeness,
+    )
+
+    rel = _pd_release(SF)
+    glob = Counter(s for vals in rel.values() for s in vals)
+    n = sum(glob.values())
+    bands: dict = {}
+    for vals in rel.values():
+        cg = Counter(vals)
+        n_g = len(vals)
+        num = sum(
+            abs(cg.get(s, 0) * n - c_s * n_g) for s, c_s in glob.items()
+        )
+        band = (10 * num) // (2 * n_g * n)
+        t = round(num / (2.0 * n_g * n), 6)
+        b = bands.setdefault(band, [0, 0, []])
+        b[0] += 1
+        b[1] += n_g
+        b[2].append(t)
+    want = {
+        band: (
+            cnt,
+            ncust,
+            round(min(ts), 6),
+            round(max(ts), 6),
+            int(band >= int(round(T_CLOSE_MAX * 10))),
+        )
+        for band, (cnt, ncust, ts) in bands.items()
+    }
+    got = {
+        r["t_band"]: (
+            r["n_groups"],
+            r["n_customers"],
+            r["t_min"],
+            r["t_max"],
+            r["at_risk"],
+        )
+        for r in customers_t_closeness(spark, SF).collect()
+    }
+    assert got == want
+    # the histogram partitions the customer table
+    assert sum(v[1] for v in got.values()) == sum(len(v) for v in rel.values())
+
+
+def test_t_closeness_band_is_the_exact_t_bucket(spark):
+    """Band consistency: every band's [t_min, t_max] sits inside
+    [band/10, (band+1)/10) — the integer-division band IS the bucket of
+    the reported t, never off by an edge case."""
+    from currency_etl_spark.queries.curation import customers_t_closeness
+
+    rows = customers_t_closeness(spark, SF).collect()
+    assert rows, "no bands?"
+    for r in rows:
+        assert 0 <= r["t_min"] <= r["t_max"] < 1.0
+        assert r["t_band"] / 10 <= r["t_min"]
+        assert r["t_max"] < (r["t_band"] + 1) / 10
+
+
+def test_t_closeness_t_max_is_a_real_parameter(spark):
+    """A zero bar flags every band; an impossible bar (>1) flags none."""
+    from currency_etl_spark.queries.curation import customers_t_closeness
+
+    strict = customers_t_closeness(spark, SF, t_max=0.0).collect()
+    assert all(r["at_risk"] == 1 for r in strict)
+    lax = customers_t_closeness(spark, SF, t_max=1.1).collect()
+    assert all(r["at_risk"] == 0 for r in lax)
+
+
+def test_privacy_ladder_shares_one_release(spark):
+    """The l-diversity and t-closeness rungs must audit the SAME
+    released relation: total customer mass agrees across both
+    histograms (single _release_relation definition)."""
+    from currency_etl_spark.queries.curation import (
+        customers_l_diversity,
+        customers_t_closeness,
+    )
+
+    l_mass = sum(
+        r["n_customers"] for r in customers_l_diversity(spark, SF).collect()
+    )
+    t_mass = sum(
+        r["n_customers"] for r in customers_t_closeness(spark, SF).collect()
+    )
+    cust = len(pd.read_parquet(f"{SF}/customer.parquet"))
+    assert l_mass == t_mass == cust

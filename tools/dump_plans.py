@@ -483,6 +483,17 @@ HEADLINERS = {
         "<= cells x K rows; the nprobe grid is a Generate (in-row "
         "sequence explode), never a join."
     ),
+    "customers_t_closeness": (
+        "t-closeness release audit. Check: ONE narrow-QI exchange builds "
+        "the (QI, sensitive) count relation, checkpointed (Scan "
+        "ExistingRDD × 3 — global distribution, group sizes, and the "
+        "fold all read it; customer/orders scanned once, at the "
+        "checkpoint build); the global distribution enters as a "
+        "bounded-domain broadcast and the total as a 1-row broadcast; "
+        "the TV numerator folds exact int64 cross products (no float "
+        "accumulation, no value-grid join — absent values close in "
+        "closed form); output is a <=10-row band histogram."
+    ),
     "streaming_phash_screen": (
         "Streaming perceptual screen (batch post-processing of the "
         "pooled memory sink). Check: the sink rollup is one doc_id-"
