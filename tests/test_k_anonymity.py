@@ -255,3 +255,112 @@ def test_privacy_ladder_shares_one_release(spark):
     )
     cust = len(pd.read_parquet(f"{SF}/customer.parquet"))
     assert l_mass == t_mass == cust
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+
+
+def _write_release(d, custs, orders_rows):
+    """customer/orders parquet pair shaped like the corpus tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([c[0] for c in custs], pa.int64()),
+                "c_name": pa.array([f"c{c[0]}" for c in custs]),
+                "c_nationkey": pa.array([c[1] for c in custs], pa.int32()),
+                "c_acctbal": pa.array([c[2] for c in custs], pa.float64()),
+                "c_mktsegment": pa.array([c[3] for c in custs]),
+            }
+        ),
+        d / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders_rows], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in orders_rows], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(orders_rows)),
+                "o_totalprice": pa.array([1.0] * len(orders_rows), pa.float64()),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp(o[2]) for o in orders_rows],
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array([o[3] for o in orders_rows]),
+            }
+        ),
+        d / "orders.parquet",
+    )
+
+
+@_PROP
+@given(
+    n_cust=st.integers(1, 25),
+    n_ord=st.integers(0, 40),
+    seed=st.integers(0, 10**6),
+)
+def test_t_closeness_property(spark, tmp_path_factory, n_cust, n_ord, seed):
+    """Property form of the pandas agreement: on ARBITRARY releases —
+    orderless customers, tied order dates (broken by orderkey), negative
+    balance bands, single-value sensitive domains, tiny groups — the
+    Spark band histogram equals the pure-python derivation bit-for-bit
+    (exact-integer numerators make ties real, not probabilistic)."""
+    import numpy as np
+
+    from currency_etl_spark.queries.curation import (
+        T_CLOSE_MAX,
+        customers_t_closeness,
+    )
+
+    rng = np.random.RandomState(seed)
+    custkeys = rng.choice(np.arange(1, 60), size=n_cust, replace=False)
+    custs = [
+        (
+            int(k),
+            int(rng.randint(0, 3)),
+            float(rng.randint(-2000, 3000)),
+            ["AUTOMOBILE", "BUILDING"][rng.randint(0, 2)],
+        )
+        for k in custkeys
+    ]
+    dates = ["1995-01-01", "1995-06-15", "1996-03-03"]  # few → date ties
+    prios = ["1-URGENT", "3-MEDIUM", "5-LOW"]
+    orders_rows = [
+        (
+            i + 1,
+            int(custkeys[rng.randint(0, len(custkeys))]),
+            dates[rng.randint(0, 3)],
+            prios[rng.randint(0, 3)],
+        )
+        for i in range(n_ord)
+    ]
+    d = tmp_path_factory.mktemp("prop_tclose")
+    _write_release(d, custs, orders_rows)
+
+    rel = _pd_release(str(d))
+    glob = Counter(s for vals in rel.values() for s in vals)
+    n = sum(glob.values())
+    want = {}
+    for vals in rel.values():
+        cg = Counter(vals)
+        n_g = len(vals)
+        num = sum(abs(cg.get(s, 0) * n - c_s * n_g) for s, c_s in glob.items())
+        band = (10 * num) // (2 * n_g * n)
+        t = round(num / (2.0 * n_g * n), 6)
+        g = want.setdefault(band, [0, 0, []])
+        g[0] += 1
+        g[1] += n_g
+        g[2].append(t)
+    want = {
+        b: (c, m, round(min(ts), 6), round(max(ts), 6), int(b >= int(round(T_CLOSE_MAX * 10))))
+        for b, (c, m, ts) in want.items()
+    }
+    got = {
+        r["t_band"]: (r["n_groups"], r["n_customers"], r["t_min"], r["t_max"], r["at_risk"])
+        for r in customers_t_closeness(spark, str(d)).collect()
+    }
+    assert got == want

@@ -144,3 +144,59 @@ def test_staleness_reads_stored_index(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
     assert len(re.findall(r"\(\d+\) FlatMapCoGroupsInPandas", plan)) == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+
+
+@_PROP
+@given(
+    n_vec=st.integers(3, 40),
+    dim=st.integers(2, 16),
+    seed=st.integers(0, 10**6),
+    data=st.data(),
+)
+def test_staleness_property(spark, tmp_path_factory, n_vec, dim, seed, data):
+    """Property form of the numpy agreement: on ARBITRARY corpora —
+    random sizes/dimensions, vec_id gaps, corpora smaller than the
+    codebook or than RECALL_K, low-entropy lattices where distance ties
+    (broken by vec_id) genuinely occur — the whole recall curve equals
+    the pure-python derivation bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_spark.operators.ckpt import reset_memos
+    from currency_etl_spark.queries.vectors import knn_index_staleness
+
+    ids = sorted(
+        data.draw(
+            st.sets(st.integers(0, 200), min_size=n_vec, max_size=n_vec).filter(
+                lambda s: any(v % KNN_BATCH_MOD == KNN_BATCH_REM for v in s)
+                and any(v % KNN_BATCH_MOD != KNN_BATCH_REM for v in s)
+            )
+        )
+    )
+    rng = np.random.RandomState(seed)
+    emb = [(rng.randint(0, 3, dim) / 2.0).astype(np.float32) for _ in ids]
+    d = tmp_path_factory.mktemp("prop_staleness")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [e.tolist() for e in emb], pa.list_(pa.float32())
+                ),
+                "label": pa.array([int(v % 3) for v in ids], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    reset_memos()
+    try:
+        want, _, _ = _np_staleness(str(d))
+        got = _rows(knn_index_staleness(spark, str(d)))
+        assert got == want
+    finally:
+        reset_memos()
