@@ -695,7 +695,10 @@ def _release_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
-        F.coalesce("prio", F.lit("NONE")).alias("sensitive"),
+        # cast pins the release's sensitive type: an empty/all-null orders
+        # side would otherwise let coalesce resolve to prio's inferred type
+        # and re-type the 'NONE' literal (CAST_INVALID_INPUT under ANSI).
+        F.coalesce(F.col("prio").cast("string"), F.lit("NONE")).alias("sensitive"),
     )
 
 

@@ -62,7 +62,7 @@ def _apply_encoded_merge(enc: str, left: str, right: str) -> list[str]:
     left=st.sampled_from("abc"),
     right=st.sampled_from("abc"),
 )
-@settings(max_examples=300, deadline=None)
+@settings(derandomize=True, max_examples=300, deadline=None)
 def test_bpe_encoded_merge_matches_canonical(word, left, right):
     assert _apply_encoded_merge(_encode(word), left, right) == _bpe_merge_ref(
         word, left, right

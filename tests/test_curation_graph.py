@@ -116,7 +116,7 @@ def test_pagerank_ranks_positive_and_damping_floor(spark, sf_dir):
 
 from hypothesis import HealthCheck, given, settings, strategies as st
 
-_PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+_PROP = settings(derandomize=True, max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 
 _VOCAB = ["alpha", "beta", "gamma", "delta"]
 

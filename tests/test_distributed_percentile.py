@@ -212,7 +212,7 @@ def test_adaptive_rank_property_random_keys(spark):
         ),
         cap=st.integers(min_value=1, max_value=8),
     )
-    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @settings(derandomize=True, max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
     def check(keys, cap):
         df = spark.createDataFrame(
             [(k, i) for i, k in enumerate(keys)], "k long, tb long"
@@ -429,7 +429,7 @@ def test_tb_split_property_small_domain_keys(spark):
         keys=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=50),
         cap=st.integers(min_value=1, max_value=6),
     )
-    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @settings(derandomize=True, max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
     def check(keys, cap):
         df = spark.createDataFrame(
             [(k, i * 7 % 1000) for i, k in enumerate(keys)], "k long, tb long"
@@ -725,7 +725,7 @@ def test_string_prefix_monotone_property(spark):
         return int(h.ljust(15, "0"), 16)
 
     @given(st.text(max_size=24), st.text(max_size=24))
-    @settings(max_examples=300, deadline=None)
+    @settings(derandomize=True, max_examples=300, deadline=None)
     def check(s1, s2):
         b1, b2 = s1.encode("utf-8"), s2.encode("utf-8")
         p1, p2 = prefix60(s1), prefix60(s2)

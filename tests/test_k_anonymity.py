@@ -259,7 +259,7 @@ def test_privacy_ladder_shares_one_release(spark):
 
 from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
 
-_PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+_PROP = settings(derandomize=True, max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 
 
 def _write_release(d, custs, orders_rows):
@@ -271,10 +271,10 @@ def _write_release(d, custs, orders_rows):
         pa.table(
             {
                 "c_custkey": pa.array([c[0] for c in custs], pa.int64()),
-                "c_name": pa.array([f"c{c[0]}" for c in custs]),
+                "c_name": pa.array([f"c{c[0]}" for c in custs], pa.string()),
                 "c_nationkey": pa.array([c[1] for c in custs], pa.int32()),
                 "c_acctbal": pa.array([c[2] for c in custs], pa.float64()),
-                "c_mktsegment": pa.array([c[3] for c in custs]),
+                "c_mktsegment": pa.array([c[3] for c in custs], pa.string()),
             }
         ),
         d / "customer.parquet",
@@ -284,13 +284,13 @@ def _write_release(d, custs, orders_rows):
             {
                 "o_orderkey": pa.array([o[0] for o in orders_rows], pa.int64()),
                 "o_custkey": pa.array([o[1] for o in orders_rows], pa.int64()),
-                "o_orderstatus": pa.array(["O"] * len(orders_rows)),
+                "o_orderstatus": pa.array(["O"] * len(orders_rows), pa.string()),
                 "o_totalprice": pa.array([1.0] * len(orders_rows), pa.float64()),
                 "o_orderdate": pa.array(
                     [pd.Timestamp(o[2]) for o in orders_rows],
                     pa.timestamp("us"),
                 ),
-                "o_orderpriority": pa.array([o[3] for o in orders_rows]),
+                "o_orderpriority": pa.array([o[3] for o in orders_rows], pa.string()),
             }
         ),
         d / "orders.parquet",

@@ -190,7 +190,7 @@ def test_knn_incremental_corpus_smaller_than_codebook(spark, tmp_path):
 
 from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
 
-_PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+_PROP = settings(derandomize=True, max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 
 
 @_PROP

@@ -148,7 +148,7 @@ def test_staleness_reads_stored_index(spark):
 
 from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
 
-_PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+_PROP = settings(derandomize=True, max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 
 
 @_PROP

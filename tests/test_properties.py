@@ -22,6 +22,7 @@ from currency_etl_spark.warehouse import ParquetUpsertTable
 START = _dt.date(2024, 1, 1)
 
 _PROP_SETTINGS = settings(
+    derandomize=True,
     max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
 )
 

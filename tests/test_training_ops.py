@@ -147,7 +147,7 @@ def test_mv_incremental_null_hour_group(spark, tmp_path):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_PROP = settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+_PROP = settings(derandomize=True, max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 
 
 def _write_docs(tmpdir: str, docs: list) -> str:
