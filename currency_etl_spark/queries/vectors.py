@@ -1919,3 +1919,202 @@ def knn_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+#: Conventional PSI rebuild bar: PSI < 0.1 stable, 0.1-0.2 moderate
+#: drift, >= 0.2 significant — the standard population-stability rule of
+#: thumb credit-risk monitoring popularized and embedding pipelines
+#: adopted for index-refresh triggers.
+PSI_REBUILD_BAR = 0.2
+
+
+@register(
+    "embeddings_drift_psi",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, {_SQL_QV} AS qv FROM embeddings),
+        corpus AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_REM}),
+        batch AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM}),
+        cents AS (
+            SELECT vec_id AS cid, qv AS cq FROM corpus ORDER BY vec_id LIMIT {N_CENTROIDS}
+        ),
+        ca AS (
+            SELECT c.vec_id, ce.cid, {_SQL_DIST_Q.format(a='c.qv', b='ce.cq')} AS d
+            FROM corpus c, cents ce
+        ),
+        idxa AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM ca
+            ) WHERE rn = 1
+        ),
+        ba AS (
+            SELECT b.vec_id, ce.cid, {_SQL_DIST_Q.format(a='b.qv', b='ce.cq')} AS d
+            FROM batch b, cents ce
+        ),
+        bassign AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM ba
+            ) WHERE rn = 1
+        ),
+        bh AS (SELECT cid, CAST(count(*) AS BIGINT) AS b_cnt FROM bassign GROUP BY cid),
+        ch AS (SELECT cid, CAST(count(*) AS BIGINT) AS c_cnt FROM idxa GROUP BY cid),
+        tot AS (
+            SELECT CAST((SELECT count(*) FROM batch) AS BIGINT) AS bt,
+                   CAST((SELECT count(*) FROM corpus) AS BIGINT) AS ct
+        ),
+        j AS (
+            SELECT ce.cid AS cell,
+                   COALESCE(bh.b_cnt, 0) AS batch_cnt,
+                   COALESCE(ch.c_cnt, 0) AS corpus_cnt,
+                   t.bt, t.ct
+            FROM cents ce
+            LEFT JOIN bh ON bh.cid = ce.cid
+            LEFT JOIN ch ON ch.cid = ce.cid, tot t
+        ),
+        terms AS (
+            SELECT cell, batch_cnt, corpus_cnt, bt, ct,
+                   CAST(round(
+                       (CAST((batch_cnt + 1) * (ct + {N_CENTROIDS})
+                             - (corpus_cnt + 1) * (bt + {N_CENTROIDS}) AS DOUBLE)
+                          / ((bt + {N_CENTROIDS}) * (ct + {N_CENTROIDS})))
+                       * ln(CAST((batch_cnt + 1) * (ct + {N_CENTROIDS}) AS DOUBLE)
+                            / ((corpus_cnt + 1) * (bt + {N_CENTROIDS})))
+                       * 1000000.0) AS BIGINT) AS term_q
+            FROM j
+        ),
+        s AS (SELECT CAST(sum(term_q) AS BIGINT) AS psi_q FROM terms)
+        SELECT CAST(t.cell AS BIGINT) AS cell,
+               t.batch_cnt AS batch_cnt,
+               t.corpus_cnt AS corpus_cnt,
+               round(CAST(t.batch_cnt AS DOUBLE) / greatest(t.bt, 1), 6) AS batch_share,
+               round(CAST(t.corpus_cnt AS DOUBLE) / greatest(t.ct, 1), 6) AS corpus_share,
+               CAST(t.term_q AS DOUBLE) / 1000000.0 AS psi_term,
+               CAST(s.psi_q AS DOUBLE) / 1000000.0 AS psi_total,
+               CASE WHEN s.psi_q >= {int(round(PSI_REBUILD_BAR * 1_000_000))}
+                    THEN 1 ELSE 0 END AS rebuild
+        FROM terms t, s
+        ORDER BY cell
+    """,
+    tags=("llm", "vector", "ann", "eval", "drift"),
+    doc=(
+        "Embedding-distribution drift audit — the cheap LEADING indicator "
+        "a pipeline checks BEFORE paying the exact-recall staleness audit "
+        "(knn_index_staleness measures the recall the index has already "
+        "LOST; this entry measures whether the ARRIVING data still looks "
+        "like the data the index was trained on, for the cost of one "
+        "narrow aggregation). The arriving batch (the same deterministic "
+        f"vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM} slice every "
+        "incremental-ANN entry screens) is assigned to its nearest stored "
+        "cell via the IDENTICAL rank-1 election the screen probes with "
+        "(probe_cells at nprobe=1 over the broadcast memoized codebook — "
+        "single definition, so drift is measured against exactly the "
+        "partitioning the index serves), histogrammed per cell, and "
+        "compared against the stored index's cell-occupancy histogram as "
+        "the Population Stability Index: "
+        "PSI = sum_cells (p_cell - q_cell) * ln(p_cell / q_cell) with "
+        "add-one (Laplace) smoothing so empty cells are well-defined "
+        f"(p = (b+1)/(B+{N_CENTROIDS}), q = (c+1)/(C+{N_CENTROIDS})). "
+        "Numerics: counts stay exact int64 end to end — each PSI term is "
+        "two single divisions of exact int64 cross products ((p - q) as "
+        "(b_sm*C_sm - c_sm*B_sm)/(B_sm*C_sm); the log ratio as "
+        "(b_sm*C_sm)/(c_sm*B_sm)), ONE ln per cell behind the module's "
+        "1e-6 quantization (the tfidf/BM25 convention), and the total is "
+        "an int64 sum of the quantized terms, so the rebuild flag "
+        f"(psi >= {PSI_REBUILD_BAR}) compares integers. Output: one row "
+        "per stored cell with both histograms, raw shares, the cell's "
+        "PSI contribution, the catalog-wide PSI and the flag. Scale "
+        "shape: the ONLY data-sized work is the batch scan + one "
+        f"map-side-combinable {N_CENTROIDS}-key count (the corpus "
+        "histogram is an aggregate of the stored assignment relation — a "
+        "production index maintains it as metadata, here it reads the "
+        "memoized ivf_index checkpoint); every join after that is over "
+        "cells-sized relations (broadcast), so at 100 TB the audit costs "
+        "one pass over the arriving batch, nothing corpus-sized moves, "
+        "and sharding the batch histogram is a plain partial count. "
+        "psi_bar is a keyword parameter with the graded default."
+    ),
+)
+def embeddings_drift_psi(
+    spark: SparkSession, sf_dir: str, *, psi_bar: float = PSI_REBUILD_BAR
+) -> DataFrame:
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    batch = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
+        .select("vec_id", _q_longs().alias("qv"))
+    )
+    cents = _ivf_cents_base(spark, sf_dir)
+    idx = _ivf_index_base(spark, sf_dir)
+
+    # batch cell assignment: the screen's rank-1 election, verbatim
+    # (probe_cells at nprobe=1), then an 8-key map-side-combinable count.
+    # Checkpointed (cells-sized) so the totals derivation below never
+    # re-scans the batch: the embeddings parquet is read exactly once.
+    bh = swap_checkpoint(
+        "drift_bh",
+        batch.crossJoin(F.broadcast(cents))
+        .select(F.element_at(probe_cells(1), 1)["cid"].alias("cid"))
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("batch_cnt")),
+    )
+    ch = idx.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("corpus_cnt"))
+
+    # totals fold the cells-sized histograms, not the data
+    tot_b = bh.agg(F.coalesce(F.sum("batch_cnt"), F.lit(0)).cast("long").alias("bt"))
+    tot_c = ch.agg(F.coalesce(F.sum("corpus_cnt"), F.lit(0)).cast("long").alias("ct"))
+
+    cells = cents.select(F.explode("cents").alias("c")).select(
+        F.col("c.cid").alias("cell")
+    )
+    j = (
+        cells.join(bh, cells["cell"] == bh["cid"], "left")
+        .drop("cid")
+        .join(ch, F.col("cell") == ch["cid"], "left")
+        .drop("cid")
+        .select(
+            "cell",
+            F.coalesce("batch_cnt", F.lit(0).cast("long")).alias("batch_cnt"),
+            F.coalesce("corpus_cnt", F.lit(0).cast("long")).alias("corpus_cnt"),
+        )
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_c))
+    )
+
+    n = F.lit(N_CENTROIDS).cast("long")
+    b_sm = F.col("batch_cnt") + F.lit(1).cast("long")
+    c_sm = F.col("corpus_cnt") + F.lit(1).cast("long")
+    bt_sm = F.col("bt") + n
+    ct_sm = F.col("ct") + n
+    term = (
+        (b_sm * ct_sm - c_sm * bt_sm).cast("double") / (bt_sm * ct_sm)
+    ) * F.log((b_sm * ct_sm).cast("double") / (c_sm * bt_sm))
+    terms = j.withColumn("term_q", F.round(term * F.lit(1000000.0)).cast("long"))
+
+    s = terms.agg(F.sum("term_q").cast("long").alias("psi_q"))
+    bar_q = int(round(psi_bar * 1_000_000))
+    one = F.lit(1).cast("long")
+    return (
+        terms.crossJoin(F.broadcast(s))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "batch_cnt",
+            "corpus_cnt",
+            F.round(
+                F.col("batch_cnt").cast("double") / F.greatest("bt", one), 6
+            ).alias("batch_share"),
+            F.round(
+                F.col("corpus_cnt").cast("double") / F.greatest("ct", one), 6
+            ).alias("corpus_share"),
+            (F.col("term_q").cast("double") / F.lit(1000000.0)).alias("psi_term"),
+            (F.col("psi_q").cast("double") / F.lit(1000000.0)).alias("psi_total"),
+            F.when(F.col("psi_q") >= F.lit(bar_q), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("rebuild"),
+        )
+        .orderBy("cell")
+    )
