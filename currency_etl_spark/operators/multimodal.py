@@ -194,6 +194,25 @@ def perceptual_hash(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_ph, schema=PHASH_SCHEMA)
 
 
+#: 16-bit fingerprint width of _gradient_hash — the Hamming-probe fanout
+#: below is its bit count + 1.
+PHASH_BITS = 16
+
+
+def hamming1_probes(phash: str = "phash"):
+    """The Hamming-1 multiprobe bucket array over a 16-bit perceptual
+    hash column: the hash itself plus each single-bit flip — 17 probe
+    keys whose equi-join against the stored fingerprint index finds
+    every neighbor within Hamming distance 1 without ever forming
+    asset x asset pairs. SINGLE definition of the bucket scheme: the
+    batch entry (queries/multimodal.py:multimodal_phash_near) and the
+    streaming screen (streaming/jobs.py:_phash_screen_stream) both plan
+    exactly this expression, so batch and stream can never drift."""
+    return F.array(
+        F.col(phash), *[F.expr(f"{phash} ^ {1 << i}") for i in range(PHASH_BITS)]
+    )
+
+
 RESIZE_SCHEMA = "doc_id long, out_h int, out_w int, blob binary"
 
 

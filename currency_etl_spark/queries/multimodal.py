@@ -21,6 +21,7 @@ from currency_etl_spark.operators.multimodal import (
     attach_blob,
     extract_features,
     frame_sample,
+    hamming1_probes,
 )
 from currency_etl_spark.sources import table
 
@@ -409,12 +410,7 @@ def multimodal_phash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ph.select(
         "doc_id",
         "phash",
-        F.explode(
-            F.array(
-                F.col("phash"),
-                *[F.expr(f"phash ^ {1 << i}") for i in range(16)],
-            )
-        ).alias("probe"),
+        F.explode(hamming1_probes("phash")).alias("probe"),
     )
     nbrs = ph.select(F.col("doc_id").alias("nbr_id"), F.col("phash").alias("nbr_hash"))
     pairs = probes.join(nbrs, probes["probe"] == nbrs["nbr_hash"]).filter(

@@ -1208,7 +1208,11 @@ def streaming_phash_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_stream_job("streaming_phash_screen", "streaming_phash_screen_out", mode="append")
 def _phash_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from currency_etl_spark.operators.multimodal import attach_blob, perceptual_hash
+    from currency_etl_spark.operators.multimodal import (
+        attach_blob,
+        hamming1_probes,
+        perceptual_hash,
+    )
     from currency_etl_spark.queries.multimodal import _phash_base
 
     new = _documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
@@ -1229,12 +1233,7 @@ def _phash_screen_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ph.join(old_sums, "checksum", "left").select(
         "doc_id",
         "exact_hit",
-        F.explode(
-            F.array(
-                F.col("phash"),
-                *[F.expr(f"phash ^ {1 << i}") for i in range(16)],
-            )
-        ).alias("probe"),
+        F.explode(hamming1_probes("phash")).alias("probe"),
     )
     return probes.join(
         old_idx, probes["probe"] == old_idx["nbr_hash"], "left"
