@@ -2050,17 +2050,39 @@ def embeddings_drift_psi(
     cents = _ivf_cents_base(spark, sf_dir)
     idx = _ivf_index_base(spark, sf_dir)
 
-    # batch cell assignment: the screen's rank-1 election, verbatim
-    # (probe_cells at nprobe=1), then an 8-key map-side-combinable count.
-    # Checkpointed (cells-sized) so the totals derivation below never
-    # re-scans the batch: the embeddings parquet is read exactly once.
+    # batch cell assignment (the SHARED assign_cells plan), then an
+    # 8-key map-side-combinable count. Checkpointed (cells-sized) so the
+    # totals derivation inside psi_report never re-scans the batch: the
+    # embeddings parquet is read exactly once.
     bh = swap_checkpoint(
         "drift_bh",
-        batch.crossJoin(F.broadcast(cents))
-        .select(F.element_at(probe_cells(1), 1)["cid"].alias("cid"))
+        assign_cells(batch, cents)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).cast("long").alias("batch_cnt")),
     )
+    return psi_report(bh, cents, idx, psi_bar)
+
+
+def assign_cells(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """SHARED rank-1 cell-assignment plan of the drift audit — the single
+    definition both the batch entry (embeddings_drift_psi) and the
+    streaming twin (streaming/jobs.py:_drift_psi_stream) build, so the
+    two can never measure drift against different partitionings: the
+    screen's probe_cells election at nprobe=1 over the broadcast 1-row
+    codebook. ``q`` is any (vec_id, qv) relation — static batch or
+    stream; everything here is row-local and stream-safe."""
+    return q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", F.element_at(probe_cells(1), 1)["cid"].alias("cid")
+    )
+
+
+def psi_report(
+    bh: DataFrame, cents: DataFrame, idx: DataFrame, psi_bar: float
+) -> DataFrame:
+    """SHARED PSI post-processing over an already-built batch cell
+    histogram ``bh`` (cid, batch_cnt) — cells-sized input, cells-sized
+    output; both drift twins converge here so smoothing, quantization,
+    and the rebuild compare have exactly one definition."""
     ch = idx.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("corpus_cnt"))
 
     # totals fold the cells-sized histograms, not the data

@@ -1316,3 +1316,81 @@ def _phash_screen_oracle() -> str:
 
 
 _CATALOG["streaming_phash_screen"].oracle = _phash_screen_oracle()
+
+
+@register(
+    "streaming_drift_psi",
+    oracle=None,  # assigned below: graded verbatim against the batch twin's oracle
+    tags=("streaming", "vector", "ann", "eval", "drift"),
+    doc=(
+        "Streaming twin of embeddings_drift_psi — the drift monitor in "
+        "the form a production pipeline actually runs it: continuously, "
+        "on the ingest stream, so the rebuild flag fires DURING the "
+        "drift instead of at the next scheduled audit. The arriving "
+        "slice (vec_id % 10 = 7) comes in as an embedding stream; each "
+        "micro-batch quantizes per row and takes its rank-1 stored-cell "
+        "assignment IN-ROW against the broadcast memoized codebook — "
+        "the SHARED assign_cells plan (vectors.py), the identical "
+        "probe_cells election the batch audit and the ANN screens use, "
+        "so drift is measured against exactly the partitioning the "
+        "index serves. The sink holds (vec_id, cid) assignment rows "
+        "— a stateless stream-static cross of each row with the 1-row "
+        "codebook; no watermark, no state store, the only state is the "
+        "static index. The per-cell histogram, smoothed exact-int PSI, "
+        "and rebuild compare are batch post-processing over the sink "
+        "through the SHARED psi_report (one definition of smoothing, "
+        "quantization, and the bar for both twins), so the result is "
+        "graded VERBATIM against embeddings_drift_psi's DuckDB oracle "
+        "and a cross-entry test pins stream == batch bit-identically. "
+        "Scale shape: each arriving vector contributes one 16-byte "
+        "assignment row; the monitor's incremental state in a real "
+        "deployment is the cells-sized running histogram (a streaming "
+        "groupBy(cid).count() — mergeable, tiny), and the PSI rollup "
+        "costs one cells-sized pass whenever it is read."
+    ),
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.vectors import (
+        PSI_REBUILD_BAR,
+        _ivf_cents_base,
+        _ivf_index_base,
+        psi_report,
+    )
+
+    sink = pooled_sink(spark, sf_dir, "streaming_drift_psi")
+    bh = sink.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("batch_cnt")
+    )
+    # the SHARED post-processing (vectors.psi_report) — one definition
+    # of smoothing, quantization, and the rebuild bar for both twins
+    return psi_report(
+        bh,
+        _ivf_cents_base(spark, sf_dir),
+        _ivf_index_base(spark, sf_dir),
+        PSI_REBUILD_BAR,
+    )
+
+
+@_stream_job("streaming_drift_psi", "streaming_drift_psi_out", mode="append")
+def _drift_psi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.vectors import (
+        KNN_BATCH_MOD,
+        KNN_BATCH_REM,
+        _ivf_cents_base,
+        _q_longs,
+        assign_cells,
+    )
+
+    new = _embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM
+    )
+    q = new.select("vec_id", _q_longs().alias("qv"))
+    # the SHARED rank-1 assignment (vectors.assign_cells) — stateless
+    # in-row election against the broadcast stored codebook
+    return assign_cells(q, _ivf_cents_base(spark, sf_dir))
+
+
+# graded verbatim against the batch twin's oracle — one source of truth
+# for the audit's semantics (the streaming_knn_screen pattern; vectors
+# is already imported at module scope above)
+_CATALOG["streaming_drift_psi"].oracle = _CATALOG["embeddings_drift_psi"].oracle
