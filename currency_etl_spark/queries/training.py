@@ -85,6 +85,28 @@ def _tok_count() -> Column:
     return F.size(F.split(F.col("text"), " ")).cast("long")
 
 
+def _packed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARED packing geometry of the training-assembly family — the
+    single definition of the token stream docs_sequence_pack chunks and
+    docs_packing_efficiency audits, so the pack and its audit can never
+    measure two different streams: per (language, shard) the documents
+    lie in doc_id order and cum_before is the exact token offset where
+    each document starts. The cumsum window's partition count GROWS with
+    the corpus (lang x shard), never pinning parallelism to |languages|."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("doc_id") / SHARD_DOCS).cast("long").alias("shard"),
+        _tok_count().alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return docs.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+
+
 @register(
     "docs_sequence_pack",
     oracle=f"""
@@ -130,16 +152,7 @@ def _tok_count() -> Column:
     ),
 )
 def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("doc_id") / SHARD_DOCS).cast("long").alias("shard"),
-        _tok_count().alias("n_tokens"),
-    )
-    w = Window.partitionBy("lang", "shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    pos = docs.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    pos = _packed_stream(spark, sf_dir)
     return (
         pos.groupBy(
             "lang",
@@ -153,6 +166,142 @@ def docs_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("lang", "shard", "seq_id")
+    )
+
+
+@register(
+    "docs_packing_efficiency",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(floor(doc_id / {SHARD_DOCS}) AS BIGINT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, lang, shard, n_tokens,
+                   COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM toks
+        ),
+        per_doc AS (
+            SELECT lang, shard, n_tokens,
+                   CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS first_seq,
+                   CAST(floor((cum_before + n_tokens - 1) / {SEQ_BUDGET}) AS BIGINT)
+                       AS last_seq
+            FROM pos
+        ),
+        shard AS (
+            SELECT lang, shard,
+                   CAST(sum(n_tokens) AS BIGINT) AS t,
+                   CAST(sum(last_seq - first_seq) AS BIGINT) AS n_crossings,
+                   CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_straddlers
+            FROM per_doc
+            GROUP BY lang, shard
+        ),
+        shard2 AS (
+            SELECT lang, t, n_crossings, n_straddlers,
+                   CAST(floor((t + {SEQ_BUDGET} - 1) / {SEQ_BUDGET}) AS BIGINT)
+                       AS n_seqs,
+                   CAST(({SEQ_BUDGET} - (t % {SEQ_BUDGET})) % {SEQ_BUDGET} AS BIGINT)
+                       AS tail_waste
+            FROM shard
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(n_seqs) AS BIGINT) AS n_seqs,
+               CAST(sum(t) AS BIGINT) AS total_tokens,
+               CAST(sum(n_straddlers) AS BIGINT) AS n_straddlers,
+               CAST(sum(n_crossings) AS BIGINT) AS n_crossings,
+               CAST(sum(tail_waste) AS BIGINT) AS tail_waste_tokens,
+               round(CAST(sum(t) AS DOUBLE)
+                     / (CAST(sum(n_seqs) AS BIGINT) * {SEQ_BUDGET}), 6)
+                   AS utilization
+        FROM shard2
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("llm", "training", "packing", "eval"),
+    doc=(
+        "Packing-efficiency audit — the evaluation rung that closes the "
+        "training-assembly loop the way dedup_lsh_recall closed dedup's, "
+        "docs_quality_calibration closed curation's, and "
+        "knn_index_staleness/embeddings_drift_psi closed the ANN "
+        "family's: for the token stream docs_sequence_pack chunks (the "
+        "SHARED _packed_stream geometry — single definition, so the pack "
+        "and its audit can never measure two different streams), the two "
+        "costs a packing policy trades, per language. (1) PADDING: each "
+        f"(lang, shard) stream of T tokens cuts into ceil(T/{SEQ_BUDGET}) "
+        "fixed slots, wasting (budget - T mod budget) mod budget pad "
+        "tokens at the shard tail — utilization = total_tokens / "
+        "(n_seqs * budget) is the fraction of trained-on tokens that are "
+        "real data. (2) FRAGMENTATION: a document straddles a boundary "
+        "when its first and last tokens land in different sequences "
+        "(floor division on the exact int64 offsets — n_straddlers "
+        "counts docs cut at least once, n_crossings counts total cuts, "
+        "so long docs weigh more); concat-then-chunk pays fragmentation "
+        "to keep padding near zero, best-fit packing pays the reverse — "
+        "this table is what a mixture owner reads to pick the policy and "
+        "the (budget, shard-size) pair. All counters exact int64; the "
+        "ONE division per language is the utilization ratio (round 6). "
+        "Scale shape: the only data-sized work is the family's one "
+        "cumsum window (lang x shard partitions — grows with the "
+        "corpus); everything downstream is shard-sized then "
+        "language-sized rollups, nothing wide moves."
+    ),
+)
+def docs_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = _packed_stream(spark, sf_dir)
+    b = F.lit(SEQ_BUDGET).cast("long")
+    per_doc = pos.select(
+        "lang",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / SEQ_BUDGET).cast("long").alias("first_seq"),
+        F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / SEQ_BUDGET)
+        .cast("long")
+        .alias("last_seq"),
+    )
+    shard = per_doc.groupBy("lang", "shard").agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.sum(F.col("last_seq") - F.col("first_seq")).cast("long").alias("n_crossings"),
+        F.sum((F.col("last_seq") > F.col("first_seq")).cast("long"))
+        .cast("long")
+        .alias("n_straddlers"),
+    )
+    shard2 = shard.select(
+        "lang",
+        "t",
+        "n_crossings",
+        "n_straddlers",
+        F.floor((F.col("t") + SEQ_BUDGET - 1) / SEQ_BUDGET).cast("long").alias("n_seqs"),
+        ((b - F.col("t") % b) % b).cast("long").alias("tail_waste"),
+    )
+    return (
+        shard2.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.sum("n_seqs").cast("long").alias("n_seqs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            F.sum("n_straddlers").cast("long").alias("n_straddlers"),
+            F.sum("n_crossings").cast("long").alias("n_crossings"),
+            F.sum("tail_waste").cast("long").alias("tail_waste_tokens"),
+        )
+        .select(
+            "lang",
+            "n_shards",
+            "n_seqs",
+            "total_tokens",
+            "n_straddlers",
+            "n_crossings",
+            "tail_waste_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / (F.col("n_seqs") * b), 6
+            ).alias("utilization"),
+        )
+        .orderBy("lang")
     )
 
 

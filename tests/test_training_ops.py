@@ -201,3 +201,107 @@ def test_domain_cap_property(spark, tmp_path_factory, sizes):
     _write_docs(d, docs)
     got = {r["source"]: (r["n_total"], r["n_kept"]) for r in docs_domain_cap(spark, d).collect()}
     assert got == {f"s{s}": (n, min(n, DOMAIN_CAP)) for s, n in enumerate(sizes)}
+
+
+def _py_packing_efficiency(docs: list) -> dict:
+    """Pure-python re-derivation of docs_packing_efficiency over
+    (doc_id, n_tokens, lang, source) rows: lang -> column tuple."""
+    from collections import defaultdict
+
+    B = SEQ_BUDGET
+    streams: dict = defaultdict(list)
+    for doc_id, n, lang, _ in sorted(docs):
+        streams[(lang, doc_id // 1000)].append(n)
+    per_lang: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for (lang, _), toks in streams.items():
+        cum, t, crossings, straddlers = 0, 0, 0, 0
+        for n in toks:
+            first_seq, last_seq = cum // B, (cum + n - 1) // B
+            crossings += last_seq - first_seq
+            straddlers += int(last_seq > first_seq)
+            cum += n
+            t += n
+        n_seqs = (t + B - 1) // B
+        acc = per_lang[lang]
+        acc[0] += 1  # n_shards
+        acc[1] += n_seqs
+        acc[2] += t
+        acc[3] += straddlers
+        acc[4] += crossings
+        acc[5] += (B - t % B) % B  # tail_waste
+    return {
+        lang: tuple(a) + (round(a[2] / (a[1] * B), 6),)
+        for lang, a in per_lang.items()
+    }
+
+
+def test_packing_efficiency_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    from currency_etl_spark.queries.training import docs_packing_efficiency
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = [
+        (r.doc_id, len(r.text.split(" ")), r.lang, r.source)
+        for r in pdf.itertuples()
+    ]
+    want = _py_packing_efficiency(docs)
+    got = {
+        r["lang"]: (
+            r["n_shards"], r["n_seqs"], r["total_tokens"], r["n_straddlers"],
+            r["n_crossings"], r["tail_waste_tokens"], r["utilization"],
+        )
+        for r in docs_packing_efficiency(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_packing_efficiency_agrees_with_pack(spark, sf_dir):
+    """The audit and the pack must describe ONE stream (shared
+    _packed_stream): per language the audited total equals the packed
+    sequences' token sum, the slot accounting closes exactly
+    (tail_waste == n_seqs * budget - total), and the audit's slot count
+    is >= the pack's sequence count (equal unless a doc spans a whole
+    budget window, which leaves a slot no document starts in)."""
+    from collections import defaultdict
+
+    from currency_etl_spark.queries.training import docs_packing_efficiency
+
+    packed_tokens: dict = defaultdict(int)
+    packed_seqs: dict = defaultdict(int)
+    for r in docs_sequence_pack(spark, sf_dir).collect():
+        packed_tokens[r["lang"]] += r["seq_tokens"]
+        packed_seqs[r["lang"]] += 1
+    audit = docs_packing_efficiency(spark, sf_dir).collect()
+    assert len(audit) > 0
+    for r in audit:
+        assert r["total_tokens"] == packed_tokens[r["lang"]]
+        assert r["n_seqs"] >= packed_seqs[r["lang"]]
+        assert (
+            r["tail_waste_tokens"] == r["n_seqs"] * SEQ_BUDGET - r["total_tokens"]
+        )
+        assert 0 < r["utilization"] <= 1.0
+
+
+@given(
+    toks=st.lists(st.integers(1, 2 * SEQ_BUDGET + 50), min_size=1, max_size=40),
+)
+@_PROP
+def test_packing_efficiency_property(spark, tmp_path_factory, toks):
+    """Every audit column agrees with the pure-python derivation for
+    ARBITRARY document lengths, including docs longer than a whole
+    budget window (multi-crossing straddlers)."""
+    from currency_etl_spark.queries.training import docs_packing_efficiency
+
+    d = str(tmp_path_factory.mktemp("prop_packeff"))
+    docs = [(i, n, "xx", "s0") for i, n in enumerate(toks)]
+    _write_docs(d, docs)
+    want = _py_packing_efficiency(docs)
+    got = {
+        r["lang"]: (
+            r["n_shards"], r["n_seqs"], r["total_tokens"], r["n_straddlers"],
+            r["n_crossings"], r["tail_waste_tokens"], r["utilization"],
+        )
+        for r in docs_packing_efficiency(spark, d).collect()
+    }
+    assert got == want
