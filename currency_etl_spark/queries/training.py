@@ -704,3 +704,164 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+#: DoReMi multiplicative-weights step size (Xie et al. 2023 use 1.0 for
+#: Domain Reweighting with Minimax Optimization's reference step; a
+#: conservative 0.1 keeps one step's reweighting readable against the
+#: base mixture).
+MIX_ETA = 0.1
+
+#: Weight-quantization scale for the reweight step: the unnormalized
+#: updated weights are rounded onto a 1e-12 lattice BEFORE the
+#: normalizing sum, so the only cross-partition accumulation is an exact
+#: int64 sum (the catalog's quantize-before-group-sum rule) and the
+#: final weight is one int/int division.
+MIX_W_SCALE = 1_000_000_000_000
+
+
+@register(
+    "docs_mixture_reweight",
+    oracle=None,  # composed below from docs_bigram_surprisal's oracle
+    tags=("llm", "training", "mixture", "eval"),
+    doc=(
+        "One exact DoReMi-style domain-reweighting step (Xie et al. "
+        "2023): the data-mixing optimization a pretraining team runs "
+        "when per-domain losses say the current mixture over- or "
+        "under-trains a domain. Domains are the source column; the "
+        "per-token loss proxy is the corpus's own integer-exact bigram "
+        "surprisal (docs_bigram_surprisal's per-doc relation, reused "
+        "verbatim — surprisal_sum / n_bigrams is an exact int64 ratio, "
+        "dodging the float log-prob sums a real proxy-model loss would "
+        "need); excess loss is the domain's mean minus the corpus mean. "
+        "The multiplicative-weights update w'_d = base_share_d * "
+        "exp(eta * excess_d) then renormalizes — and because the "
+        "token-weighted mean excess is identically ZERO, Jensen gives "
+        "Z >= 1 and a domain is reweighted UP exactly when its "
+        "exp(eta * excess) beats Z; the reported up/down flag compares "
+        "the two round-6 share columns beside it, so it is "
+        "self-consistent with what the table shows and eta=0 reads 0 "
+        "everywhere. Numerics: all sums exact int64 "
+        "(surprisal and token counts), each share/loss ONE double "
+        "division, exp behind the module's quantize-then-int-sum "
+        "discipline (w_q on the 1e-12 lattice, Z_q an exact int64 sum, "
+        "new_weight one int/int division; the tfidf/BM25 convention for "
+        "the single libm call). Scale shape: rides the surprisal "
+        "relation's two shuffles (bigram-keyed, then doc-keyed), adds "
+        "one domains-keyed rollup and a broadcast 1-row total — the "
+        "reweight arithmetic itself is domains-sized. eta is a keyword "
+        "parameter with the graded default; eta=0 must reproduce the "
+        "base mixture exactly (pinned by test)."
+    ),
+)
+def docs_mixture_reweight(
+    spark: SparkSession, sf_dir: str, *, eta: float = MIX_ETA
+) -> DataFrame:
+    from currency_etl_spark.queries.llm_ops import docs_bigram_surprisal
+
+    per_doc = docs_bigram_surprisal(spark, sf_dir).select(
+        "doc_id", "n_bigrams", "surprisal_sum"
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("toks"),
+            F.sum("surprisal_sum").cast("long").alias("surp"),
+        )
+    )
+    tot = d.agg(
+        F.sum("toks").cast("long").alias("t_all"),
+        F.sum("surp").cast("long").alias("s_all"),
+    )
+    j = d.crossJoin(F.broadcast(tot))
+    base_share = F.col("toks").cast("double") / F.col("t_all")
+    excess = (
+        F.col("surp").cast("double") / F.col("toks")
+        - F.col("s_all").cast("double") / F.col("t_all")
+    )
+    w = j.withColumn(
+        "w_q",
+        F.round(base_share * F.exp(F.lit(float(eta)) * excess) * F.lit(float(MIX_W_SCALE)))
+        .cast("long"),
+    )
+    z = w.agg(F.sum("w_q").cast("long").alias("z_q"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.col("toks").alias("n_bigrams"),
+            F.col("surp").alias("surprisal_sum"),
+            F.round(base_share, 6).alias("base_share"),
+            F.round(F.col("surp").cast("double") / F.col("toks"), 6).alias("mean_loss"),
+            F.round(excess, 6).alias("excess_loss"),
+            F.round(F.col("w_q").cast("double") / F.col("z_q"), 6).alias("new_weight"),
+            # up/down at the REPORTED precision: the sign of
+            # round(new_weight, 6) - round(base_share, 6), so the flag is
+            # self-consistent with the two share columns beside it and
+            # eta=0 reads 0 everywhere (1e-12 quantization noise never
+            # reaches the 6th decimal)
+            F.when(
+                F.round(F.col("w_q").cast("double") / F.col("z_q"), 6)
+                > F.round(base_share, 6), 1)
+            .when(
+                F.round(F.col("w_q").cast("double") / F.col("z_q"), 6)
+                < F.round(base_share, 6), -1)
+            .otherwise(0)
+            .cast("int")
+            .alias("direction"),
+        )
+        .orderBy("source")
+    )
+
+
+# composed oracle: the surprisal relation IS docs_bigram_surprisal's
+# oracle (one source of truth; llm_ops is imported by load_catalog before
+# this module's lookup runs, and the import above makes it explicit)
+from currency_etl_spark.catalog import CATALOG as _CATALOG  # noqa: E402
+from currency_etl_spark.queries import llm_ops as _llm_ops  # noqa: E402, F401
+
+_CATALOG["docs_mixture_reweight"].oracle = f"""
+    WITH per_doc AS ({_CATALOG["docs_bigram_surprisal"].oracle}),
+    d AS (
+        SELECT s.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(p.n_bigrams) AS BIGINT) AS toks,
+               CAST(sum(p.surprisal_sum) AS BIGINT) AS surp
+        FROM per_doc p JOIN documents s USING (doc_id)
+        GROUP BY s.source
+    ),
+    tot AS (
+        SELECT CAST(sum(toks) AS BIGINT) AS t_all,
+               CAST(sum(surp) AS BIGINT) AS s_all
+        FROM d
+    ),
+    w AS (
+        SELECT d.*, tot.t_all, tot.s_all,
+               CAST(round((CAST(d.toks AS DOUBLE) / tot.t_all)
+                          * exp({MIX_ETA} * (CAST(d.surp AS DOUBLE) / d.toks
+                                             - CAST(tot.s_all AS DOUBLE) / tot.t_all))
+                          * {MIX_W_SCALE}.0) AS BIGINT) AS w_q
+        FROM d, tot
+    ),
+    z AS (SELECT CAST(sum(w_q) AS BIGINT) AS z_q FROM w)
+    SELECT w.source,
+           w.n_docs,
+           w.toks AS n_bigrams,
+           w.surp AS surprisal_sum,
+           round(CAST(w.toks AS DOUBLE) / w.t_all, 6) AS base_share,
+           round(CAST(w.surp AS DOUBLE) / w.toks, 6) AS mean_loss,
+           round(CAST(w.surp AS DOUBLE) / w.toks
+                 - CAST(w.s_all AS DOUBLE) / w.t_all, 6) AS excess_loss,
+           round(CAST(w.w_q AS DOUBLE) / z.z_q, 6) AS new_weight,
+           CAST(CASE WHEN round(CAST(w.w_q AS DOUBLE) / z.z_q, 6)
+                          > round(CAST(w.toks AS DOUBLE) / w.t_all, 6) THEN 1
+                     WHEN round(CAST(w.w_q AS DOUBLE) / z.z_q, 6)
+                          < round(CAST(w.toks AS DOUBLE) / w.t_all, 6) THEN -1
+                     ELSE 0 END AS INTEGER) AS direction
+    FROM w, z
+    ORDER BY w.source
+"""

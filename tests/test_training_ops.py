@@ -305,3 +305,144 @@ def test_packing_efficiency_property(spark, tmp_path_factory, toks):
         for r in docs_packing_efficiency(spark, d).collect()
     }
     assert got == want
+
+
+def _py_mixture_reweight(docs_pdf, eta):
+    """Pure-python re-derivation of docs_mixture_reweight over the raw
+    documents dataframe: source -> column tuple."""
+    import math
+    from collections import Counter, defaultdict
+
+    from currency_etl_spark.queries.training import MIX_W_SCALE
+
+    # per-doc distinct-bigram surprisal (ilog2 = bit_length - 1)
+    df_counter: Counter = Counter()
+    doc_bigrams: dict = {}
+    for r in docs_pdf.itertuples():
+        t = r.text.split(" ")
+        bgs = {f"{a} {b}" for a, b in zip(t, t[1:])}
+        if bgs:
+            doc_bigrams[r.doc_id] = bgs
+            df_counter.update(bgs)
+    n_docs = len(doc_bigrams)
+    src = dict(zip(docs_pdf.doc_id, docs_pdf.source))
+    agg: dict = defaultdict(lambda: [0, 0, 0])  # n_docs, toks, surp
+    for doc_id, bgs in doc_bigrams.items():
+        surp = sum(
+            (n_docs.bit_length() - 1) - (df_counter[b].bit_length() - 1)
+            for b in bgs
+        )
+        a = agg[src[doc_id]]
+        a[0] += 1
+        a[1] += len(bgs)
+        a[2] += surp
+    t_all = sum(a[1] for a in agg.values())
+    s_all = sum(a[2] for a in agg.values())
+    w_q = {
+        k: int(math.floor(
+            (a[1] / t_all) * math.exp(eta * (a[2] / a[1] - s_all / t_all))
+            * MIX_W_SCALE + 0.5
+        ))
+        for k, a in agg.items()
+    }
+    z_q = sum(w_q.values())
+    out = {}
+    for k, a in sorted(agg.items()):
+        base = round(a[1] / t_all, 6)
+        new = round(w_q[k] / z_q, 6)
+        out[k] = (
+            a[0], a[1], a[2], base,
+            round(a[2] / a[1], 6),
+            round(a[2] / a[1] - s_all / t_all, 6),
+            new,
+            (new > base) - (new < base),
+        )
+    return out
+
+
+def test_mixture_reweight_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    from currency_etl_spark.queries.training import MIX_ETA, docs_mixture_reweight
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want = _py_mixture_reweight(pdf, MIX_ETA)
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_bigrams"], r["surprisal_sum"], r["base_share"],
+            r["mean_loss"], r["excess_loss"], r["new_weight"], r["direction"],
+        )
+        for r in docs_mixture_reweight(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_mixture_reweight_invariants(spark, sf_dir):
+    """The step is a proper mixture update: weights close to 1 at the
+    reported precision, the token-weighted mean excess loss is zero by
+    construction (so some domain moves up iff some domain moves down,
+    unless the corpus is perfectly uniform), and eta=0 reproduces the
+    base mixture with every direction flag at 0."""
+    from currency_etl_spark.queries.training import docs_mixture_reweight
+
+    rows = docs_mixture_reweight(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert abs(sum(r["new_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["base_share"] for r in rows) - 1.0) < 1e-4
+    # token-weighted excess closes to zero
+    wavg = sum(r["n_bigrams"] * r["excess_loss"] for r in rows) / sum(
+        r["n_bigrams"] for r in rows
+    )
+    assert abs(wavg) < 1e-5
+    if any(r["direction"] != 0 for r in rows):
+        assert any(r["direction"] == 1 for r in rows)
+        assert any(r["direction"] == -1 for r in rows)
+    frozen = docs_mixture_reweight(spark, sf_dir, eta=0.0).collect()
+    for r in frozen:
+        assert r["new_weight"] == r["base_share"]
+        assert r["direction"] == 0
+
+
+@given(
+    spec=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(2, 20)),  # (n_docs, toks/doc)
+        min_size=2,
+        max_size=5,
+    ),
+    seed=st.integers(0, 10**6),
+)
+@_PROP
+def test_mixture_reweight_property(spark, tmp_path_factory, spec, seed):
+    """Every column agrees with the pure-python derivation on ARBITRARY
+    corpora — skewed domain sizes, low-entropy vocabularies where bigram
+    doc-frequencies collide, single-bigram docs."""
+    import random
+
+    import pandas as pd
+
+    from currency_etl_spark.queries.training import MIX_ETA, docs_mixture_reweight
+
+    rng = random.Random(seed)
+    docs, i = [], 0
+    for s, (n_docs, toks) in enumerate(spec):
+        for _ in range(n_docs):
+            words = [rng.choice("abcdef") for _ in range(toks)]
+            docs.append((i, " ".join(words), "xx", f"s{s}"))
+            i += 1
+    d = str(tmp_path_factory.mktemp("prop_reweight"))
+    from tests.fixtures import write_documents
+
+    write_documents(d, docs)
+    pdf = pd.DataFrame(
+        {"doc_id": [x[0] for x in docs], "text": [x[1] for x in docs],
+         "source": [x[3] for x in docs]}
+    )
+    want = _py_mixture_reweight(pdf, MIX_ETA)
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_bigrams"], r["surprisal_sum"], r["base_share"],
+            r["mean_loss"], r["excess_loss"], r["new_weight"], r["direction"],
+        )
+        for r in docs_mixture_reweight(spark, d).collect()
+    }
+    assert got == want
