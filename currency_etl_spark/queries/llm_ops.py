@@ -2632,6 +2632,28 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return surprisal_base(spark, sf_dir).orderBy("doc_id")
+
+
+def surprisal_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc bigram-surprisal SCORE TABLE — memoized per session/SF
+    (memo tag ``surp_base``): |docs| rows x 5 narrow columns, the stored
+    artifact a pipeline keeps so every consumer of the LM-quality signal
+    (the surprisal report itself, the DoReMi mixture-reweight step in
+    queries/training.py) reads scores instead of re-paying the
+    bigram-table build. Same stored-index shape as the dedup family's
+    signature memos: detection paid once per session."""
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    return memo_checkpoint(
+        "surp_base", sf_dir, lambda: _surprisal_build(spark, sf_dir)
+    )
+
+
+def _surprisal_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The score table's BUILD plan (what the memo materializes once per
+    session/SF) — module-level so the plan pin in tests/test_plans.py
+    inspects the real geometry, not the checkpoint read."""
     from currency_etl_spark.sources import spread
 
     docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
@@ -2649,17 +2671,13 @@ def docs_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — exact floor(log2)
     scored = pairs.join(dfreq, "bigram").crossJoin(F.broadcast(n))
     surp = ilog2(F.col("n_docs")) - ilog2(F.col("df"))
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.count_if(F.col("df") == 1).alias("novel_cnt"),
-            F.sum(surp).alias("surprisal_sum"),
-            F.round(F.sum(surp).cast("double") / F.count(F.lit(1)), 6).alias(
-                "mean_surprisal"
-            ),
-        )
-        .orderBy("doc_id")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count_if(F.col("df") == 1).alias("novel_cnt"),
+        F.sum(surp).alias("surprisal_sum"),
+        F.round(F.sum(surp).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_surprisal"
+        ),
     )
 
 

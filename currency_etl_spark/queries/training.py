@@ -757,9 +757,11 @@ MIX_W_SCALE = 1_000_000_000_000
 def docs_mixture_reweight(
     spark: SparkSession, sf_dir: str, *, eta: float = MIX_ETA
 ) -> DataFrame:
-    from currency_etl_spark.queries.llm_ops import docs_bigram_surprisal
+    from currency_etl_spark.queries.llm_ops import surprisal_base
 
-    per_doc = docs_bigram_surprisal(spark, sf_dir).select(
+    # the stored per-doc score table (memo tag surp_base) — the reweight
+    # never re-pays the bigram-table build the surprisal report made
+    per_doc = surprisal_base(spark, sf_dir).select(
         "doc_id", "n_bigrams", "surprisal_sum"
     )
     src = table(spark, sf_dir, "documents").select("doc_id", "source")

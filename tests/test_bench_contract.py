@@ -30,7 +30,8 @@ def test_warmup_names_resolve():
 #: analog: the entry that starts the pool pays the family's startup.
 KNOWN_MEMO_TAGS = frozenset(
     {"minhash_sh", "minhash_sig", "minhash_pairs", "cc_map", "rfm_base",
-     "phash_base", "stream_pool", "dup_hits", "ivf_cents", "ivf_index"}
+     "phash_base", "stream_pool", "dup_hits", "ivf_cents", "ivf_index",
+     "surp_base"}
 )
 
 

@@ -309,9 +309,11 @@ def test_quantile_rollup_single_events_sized_exchange(spark, sf_dir):
 
 
 def test_bigram_surprisal_two_content_exchanges_pruned_scan(spark, sf_dir):
-    from currency_etl_spark.queries.llm_ops import docs_bigram_surprisal
+    # pin the score table's BUILD plan (the memoized entry's final plan
+    # is a checkpoint read — the geometry lives in _surprisal_build)
+    from currency_etl_spark.queries.llm_ops import _surprisal_build
 
-    p = plan_of(docs_bigram_surprisal(spark, sf_dir))
+    p = plan_of(_surprisal_build(spark, sf_dir))
     # the full document text never crosses a KEYED exchange: bigram df
     # shuffles (bigram, partial count), the final aggregate shuffles doc_id
     # + partials. spread()'s RoundRobin repartition (a local-parallelism
