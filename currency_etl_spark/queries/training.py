@@ -757,6 +757,7 @@ MIX_W_SCALE = 1_000_000_000_000
 def docs_mixture_reweight(
     spark: SparkSession, sf_dir: str, *, eta: float = MIX_ETA
 ) -> DataFrame:
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
     from currency_etl_spark.queries.llm_ops import surprisal_base
 
     # the stored per-doc score table (memo tag surp_base) — the reweight
@@ -765,14 +766,18 @@ def docs_mixture_reweight(
         "doc_id", "n_bigrams", "surprisal_sum"
     )
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
-    d = (
+    # the domains-sized rollup feeds FOUR consumers (totals, the share
+    # join, the update, the normalizer) — checkpoint it so the documents
+    # parquet is scanned exactly once per step, not once per consumer
+    d = swap_checkpoint(
+        "reweight_d",
         per_doc.join(src, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_bigrams").cast("long").alias("toks"),
             F.sum("surprisal_sum").cast("long").alias("surp"),
-        )
+        ),
     )
     tot = d.agg(
         F.sum("toks").cast("long").alias("t_all"),

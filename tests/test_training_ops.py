@@ -446,3 +446,43 @@ def test_mixture_reweight_property(spark, tmp_path_factory, spec, seed):
         for r in docs_mixture_reweight(spark, d).collect()
     }
     assert got == want
+
+
+def test_packing_efficiency_plan_shape(spark, sf_dir):
+    """Plan pin for the audit's 100 TB claim: the only window is the
+    family's ONE cumsum, partitioned by (lang, shard) — partition count
+    grows with the corpus — and no window runs unpartitioned."""
+    import re
+
+    from currency_etl_spark.queries.training import docs_packing_efficiency
+
+    df = docs_packing_efficiency(spark, sf_dir)
+    jvm = df.sparkSession._jvm
+    p = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs, p
+    for spec in specs:
+        head = spec.split(",")[0].strip()
+        assert head.startswith("lang"), spec
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_mixture_reweight_reads_stored_scores(spark, sf_dir):
+    """Plan pin: the reweight READS the persisted surp_base checkpoint
+    and its own checkpointed domains rollup (the rollup feeds four
+    consumers) — the final plan holds ZERO parquet scans (the one
+    documents scan happens inside the rollup's checkpoint build) and the
+    totals ride broadcast 1-row cross joins."""
+    import re
+
+    from currency_etl_spark.queries.training import docs_mixture_reweight
+
+    docs_mixture_reweight(spark, sf_dir).collect()  # memo live; re-plan
+    df = docs_mixture_reweight(spark, sf_dir)
+    jvm = df.sparkSession._jvm
+    p = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Scan ExistingRDD" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
