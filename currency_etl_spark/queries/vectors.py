@@ -2021,7 +2021,11 @@ PSI_REBUILD_BAR = 0.2
         "two single divisions of exact int64 cross products ((p - q) as "
         "(b_sm*C_sm - c_sm*B_sm)/(B_sm*C_sm); the log ratio as "
         "(b_sm*C_sm)/(c_sm*B_sm)), ONE ln per cell behind the module's "
-        "1e-6 quantization (the tfidf/BM25 convention), and the total is "
+        "1e-6 quantization (the tfidf/BM25 convention) — the exact-int "
+        "cross products hold below b_sm x C_sm < 2^63 of smoothed "
+        "counts; past ~9e18 swap the two numerators to correctly-"
+        "rounded double ratios (same cross-engine determinism, one "
+        "extra rounding each) rather than let int64 wrap — and the total is "
         "an int64 sum of the quantized terms, so the rebuild flag "
         f"(psi >= {PSI_REBUILD_BAR}) compares integers. Output: one row "
         "per stored cell with both histograms, raw shares, the cell's "
