@@ -5857,3 +5857,125 @@ def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+#: Bucket count for the shuffle-key skew audit — stands in for the
+#: post-shuffle partition count whose load balance the audit predicts.
+SKEW_BUCKETS = 64
+
+
+@register(
+    "events_key_skew",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id
+        ),
+        b AS (
+            SELECT CAST(CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                             AS BIGINT) % {SKEW_BUCKETS} AS BIGINT) AS bucket,
+                   n
+            FROM keyed
+        ),
+        per AS (
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(max(n) AS BIGINT) AS max_key_rows
+            FROM b GROUP BY bucket
+        ),
+        g AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+                   CAST(max(n_rows) AS BIGINT) AS mx,
+                   CAST(max(max_key_rows) AS BIGINT) AS topk
+            FROM per
+        )
+        SELECT p.bucket, p.n_keys, p.n_rows, p.max_key_rows,
+               round(CAST(p.n_rows AS DOUBLE) / g.t, 6) AS load_share,
+               round(CAST(g.mx * {SKEW_BUCKETS} AS DOUBLE) / g.t, 6) AS skew_ratio,
+               round(CAST(g.topk AS DOUBLE) / g.t, 6) AS top_key_share
+        FROM per p, g
+        ORDER BY p.bucket
+    """,
+    tags=("events", "quality", "skew", "scale"),
+    doc=(
+        "Shuffle-key skew audit — the number a team reads BEFORE keying "
+        "a 100 TB join or aggregation on a column, and the decision "
+        "input for the engine's skew machinery (operators/skew.py's "
+        "salted join, AQE's skew-join splitting): per-key counts of the "
+        "candidate key (user_id), md5-bucketed into "
+        f"{SKEW_BUCKETS} stand-in partitions (the same stable-hash "
+        "idiom docs_shard_manifest routes with — deterministic across "
+        "runs, partitionings, and engines, unlike Murmur3 which DuckDB "
+        "cannot mirror), reporting each bucket's key count, row load, "
+        "share, and hottest key, plus the two headline numbers: "
+        "skew_ratio = max bucket load / ideal (t / buckets) — the "
+        "straggler multiplier a hash shuffle of this key would pay — "
+        "and top_key_share, the single hottest key's row fraction (the "
+        "salting decision: one key holding >1/buckets of the data "
+        "cannot be fixed by MORE partitions, only by salting or "
+        "broadcast). NULL keys are excluded — they never match in an "
+        "equi-join, so they don't load join shuffles. Numerics: counts "
+        "exact int64 end to end; skew_ratio is one exact int product "
+        f"(max x {SKEW_BUCKETS}) over one division, round 6. Scale "
+        "shape: the per-key pre-aggregation is map-side-combinable (the "
+        "SAME partial-agg cost the audited shuffle itself would pay — "
+        "the audit is never more expensive than the join it de-risks); "
+        "the bucket histogram is checkpointed (<= buckets rows) so the "
+        "events parquet is scanned exactly once and the final plan "
+        "reads only the checkpoint and broadcast 1-row globals "
+        "(plan-pinned). n_buckets is a keyword parameter with the "
+        "graded default."
+    ),
+)
+def events_key_skew(
+    spark: SparkSession, sf_dir: str, *, n_buckets: int = SKEW_BUCKETS
+) -> DataFrame:
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    keyed = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % n_buckets
+    ).cast("long")
+    # the bucket histogram feeds the output rows AND the 1-row globals —
+    # checkpoint it (<= n_buckets rows) so the events parquet is scanned
+    # exactly once per audit
+    per = swap_checkpoint(
+        "skew_hist",
+        keyed.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_key_rows"),
+        ),
+    )
+    g = per.agg(
+        F.sum("n_rows").cast("long").alias("t"),
+        F.max("n_rows").cast("long").alias("mx"),
+        F.max("max_key_rows").cast("long").alias("topk"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "bucket",
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("t"), 6).alias(
+                "load_share"
+            ),
+            F.round(
+                (F.col("mx") * F.lit(n_buckets)).cast("double") / F.col("t"), 6
+            ).alias("skew_ratio"),
+            F.round(F.col("topk").cast("double") / F.col("t"), 6).alias(
+                "top_key_share"
+            ),
+        )
+        .orderBy("bucket")
+    )

@@ -61,3 +61,30 @@ def write_documents(tmpdir: str, rows: list) -> str:
     )
     pq.write_table(t, os.path.join(tmpdir, "documents.parquet"))
     return tmpdir
+
+
+def write_events(tmpdir: str, rows: list) -> str:
+    """events-shaped parquet from (event_id, user_id) rows (timestamps,
+    types, and values filled deterministically; user_id may be None) —
+    the ONE fixture writer for the corpus `events` schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([e for e, _ in rows], pa.int64()),
+            "ts": pa.array(
+                [_dt.datetime(2024, 1, 1 + (e % 28), e % 24) for e, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for _, u in rows], pa.int64()),
+            "event_type": pa.array(
+                [("click", "view", "purchase")[e % 3] for e, _ in rows],
+                pa.string(),
+            ),
+            "value": pa.array([float(e % 7) for e, _ in rows], pa.float64()),
+            "props": pa.array(["{}" for _ in rows], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
