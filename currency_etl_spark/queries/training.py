@@ -306,6 +306,193 @@ def docs_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_packing_bestfit",
+    oracle=f"""
+        WITH RECURSIVE toks AS MATERIALIZED (
+            SELECT doc_id, lang,
+                   CAST(floor(doc_id / {SHARD_DOCS}) AS BIGINT) AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        pieces AS MATERIALIZED (
+            SELECT doc_id, lang, shard, n_tokens,
+                   CAST(floor(n_tokens / {SEQ_BUDGET}) AS BIGINT) AS full_seqs,
+                   CAST(n_tokens % {SEQ_BUDGET} AS BIGINT) AS piece
+            FROM toks
+        ),
+        ranked AS MATERIALIZED (
+            SELECT lang, shard, piece,
+                   row_number() OVER (PARTITION BY lang, shard
+                                      ORDER BY n_tokens DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang, shard) AS n_grp
+            FROM pieces WHERE piece > 0
+        ),
+        fold AS (
+            SELECT lang, shard, rn, n_grp,
+                   [CAST({SEQ_BUDGET} - piece AS BIGINT)] AS state
+            FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT r.lang, r.shard, r.rn, r.n_grp,
+                   CASE WHEN len(list_filter(f.state, s -> s >= r.piece)) > 0
+                        THEN list_transform(f.state, (s, i) -> CASE
+                               WHEN i = list_position(f.state,
+                                      list_min(list_filter(f.state,
+                                               s2 -> s2 >= r.piece)))
+                               THEN s - r.piece ELSE s END)
+                        ELSE list_append(f.state,
+                                         CAST({SEQ_BUDGET} - r.piece AS BIGINT))
+                   END AS state
+            FROM fold f
+            JOIN ranked r
+              ON r.lang = f.lang AND r.shard = f.shard AND r.rn = f.rn + 1
+        ),
+        bins AS (
+            SELECT lang, shard, CAST(len(state) AS BIGINT) AS n_bins
+            FROM fold WHERE rn = n_grp
+        ),
+        shard_tok AS (
+            SELECT lang, shard,
+                   CAST(sum(n_tokens) AS BIGINT) AS t,
+                   CAST(sum(full_seqs) AS BIGINT) AS full_seqs,
+                   CAST(sum(full_seqs + CASE WHEN piece > 0 THEN 1 ELSE 0 END
+                            - 1) AS BIGINT) AS n_crossings,
+                   CAST(sum(CASE WHEN full_seqs
+                                      + CASE WHEN piece > 0 THEN 1 ELSE 0 END
+                                      > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_straddlers
+            FROM pieces GROUP BY lang, shard
+        ),
+        shard2 AS (
+            SELECT s.lang, s.t, s.n_crossings, s.n_straddlers,
+                   CAST(COALESCE(b.n_bins, 0) + s.full_seqs AS BIGINT) AS n_seqs
+            FROM shard_tok s
+            LEFT JOIN bins b ON b.lang = s.lang AND b.shard = s.shard
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(n_seqs) AS BIGINT) AS n_seqs,
+               CAST(sum(t) AS BIGINT) AS total_tokens,
+               CAST(sum(n_straddlers) AS BIGINT) AS n_straddlers,
+               CAST(sum(n_crossings) AS BIGINT) AS n_crossings,
+               CAST(sum({SEQ_BUDGET} * n_seqs - t) AS BIGINT)
+                   AS tail_waste_tokens,
+               round(CAST(sum(t) AS DOUBLE)
+                     / (CAST(sum(n_seqs) AS BIGINT) * {SEQ_BUDGET}), 6)
+                   AS utilization
+        FROM shard2 GROUP BY lang ORDER BY lang
+    """,
+    tags=("llm", "training", "packing"),
+    doc=(
+        "Best-fit-decreasing document packing — the OTHER policy on the "
+        "padding/fragmentation trade docs_packing_efficiency measures for "
+        "concat-then-chunk (round-12 verdict item 2): documents are never "
+        "cut; each (lang, shard) group's docs are taken in a deterministic "
+        "greedy order (n_tokens DESC, doc_id ASC tiebreak) and each goes "
+        "into the open sequence with the SMALLEST remainder that still "
+        "fits (first such bin on remainder ties), else opens a new "
+        f"{SEQ_BUDGET}-token sequence — so n_straddlers = n_crossings = 0 "
+        "by construction (a doc could only straddle if it alone exceeded "
+        "the budget, in which case it pre-splits into floor(n/budget) "
+        "full sequences plus a residual piece that enters the greedy flow "
+        "— the cut no policy can avoid; this corpus has none) and ALL "
+        "waste is padding, reported in the same tail_waste_tokens column "
+        "so the two policy tables read side-by-side (same geometry: same "
+        "SHARD_DOCS shards over the same token counts, so total_tokens "
+        "matches docs_packing_efficiency per language — pinned by a "
+        "cross-entry test). The per-shard greedy fold is genuinely "
+        "sequential state (open-bin remainders), so it runs as an Arrow "
+        "grouped-map (applyInPandas) over (lang, shard) — the sanctioned "
+        "escape hatch when built-ins can't express the recurrence; the "
+        "DuckDB oracle replays the identical fold as a recursive CTE over "
+        "a BIGINT remainder list (list_min/list_position pick the same "
+        "tightest-bin-first-index). Exact integer state end to end; the "
+        "ONE division per language is the utilization ratio (round 6). "
+        "Scale shape: one documents scan, groups bounded at SHARD_DOCS "
+        f"({SHARD_DOCS}) docs so every fold is a small in-memory loop, "
+        "group count grows with the corpus (lang x shard — the same "
+        "parallelism argument as _packed_stream), and everything "
+        "downstream of the grouped map is shard- then language-sized."
+    ),
+)
+def docs_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    b = SEQ_BUDGET
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("doc_id") / SHARD_DOCS).cast("long").alias("shard"),
+        _tok_count().alias("n_tokens"),
+    )
+
+    def _bestfit_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        state: list = []
+        t = full_total = crossings = straddlers = 0
+        for x in g["n_tokens"].tolist():
+            t += x
+            full, piece = divmod(x, b)
+            full_total += full
+            pieces = full + (1 if piece else 0)
+            crossings += pieces - 1
+            straddlers += 1 if pieces > 1 else 0
+            if piece:
+                best_j, best_r = -1, None
+                for j, r in enumerate(state):
+                    if r >= piece and (best_r is None or r < best_r):
+                        best_j, best_r = j, r
+                if best_j >= 0:
+                    state[best_j] = best_r - piece
+                else:
+                    state.append(b - piece)
+        return pd.DataFrame(
+            [
+                {
+                    "lang": g["lang"].iat[0],
+                    "t": int(t),
+                    "n_seqs": int(len(state) + full_total),
+                    "n_crossings": int(crossings),
+                    "n_straddlers": int(straddlers),
+                }
+            ]
+        )
+
+    per_shard = docs.groupBy("lang", "shard").applyInPandas(
+        _bestfit_shard,
+        schema="lang string, t long, n_seqs long, n_crossings long, n_straddlers long",
+    )
+    bl = F.lit(b).cast("long")
+    return (
+        per_shard.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.sum("n_seqs").cast("long").alias("n_seqs"),
+            F.sum("t").cast("long").alias("total_tokens"),
+            F.sum("n_straddlers").cast("long").alias("n_straddlers"),
+            F.sum("n_crossings").cast("long").alias("n_crossings"),
+            F.sum(bl * F.col("n_seqs") - F.col("t"))
+            .cast("long")
+            .alias("tail_waste_tokens"),
+        )
+        .select(
+            "lang",
+            "n_shards",
+            "n_seqs",
+            "total_tokens",
+            "n_straddlers",
+            "n_crossings",
+            "tail_waste_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / (F.col("n_seqs") * bl), 6
+            ).alias("utilization"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "docs_domain_cap",
     oracle=f"""
         WITH ranked AS (

@@ -54,8 +54,12 @@ def test_oracles_reference_only_corpus_tables():
         for tbl in re.findall(r"(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", spec.oracle):
             assert tbl.lower() in corpus or tbl.lower() in {"", "r"} or tbl in (
                 # CTE names are fine — they must be defined in the same query
-                # (optionally with a recursive column list: name(a, b) AS ()
-                *re.findall(r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", spec.oracle),
+                # (optionally with a recursive column list: name(a, b) AS (),
+                # or DuckDB's materialization hint: name AS MATERIALIZED ()
+                *re.findall(
+                    r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(",
+                    spec.oracle,
+                ),
             ), f"{name}: oracle references unknown table {tbl!r}"
 
 

@@ -123,3 +123,91 @@ def test_key_skew_property(spark, tmp_path_factory, sizes, hot, n_nulls):
     write_events(d, rows)
     pdf = pd.read_parquet(f"{d}/events.parquet")
     assert _rows(events_key_skew(spark, d)) == _py_skew(pdf)
+
+
+# ---------------------------------------------------------------------------
+# events_adaptive_salted_agg: the audit's decision wired to the mechanism
+# ---------------------------------------------------------------------------
+
+
+def _explain(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_adaptive_graded_key_takes_salted_plan(spark):
+    """event_type (5 values, top share ~0.2 >> 1/64) must trip the audit
+    rule, and the chosen physical plan must BE the deterministic salted
+    two-phase aggregate — the xxhash64 salt and the (key, salt) phase-1
+    grouping are visible in the plan."""
+    from currency_etl_spark.queries.extras import events_adaptive_salted_agg
+
+    df = events_adaptive_salted_agg(spark, SF)
+    rows = df.collect()
+    assert rows and all(r["salted"] for r in rows)
+    assert all(r["top_key_share"] > 1.0 / SKEW_BUCKETS for r in rows)
+    p = _explain(df)
+    assert "xxhash64" in p
+    assert "__salt" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_adaptive_uniform_key_takes_plain_plan(spark, tmp_path_factory):
+    """At the decision boundary (64 keys x 2 rows: topk * 64 == t, NOT
+    strictly greater) the audit says a hash shuffle balances fine — the
+    plan must be the plain one-phase GROUP BY, no salt anywhere."""
+    from tests.fixtures import write_events
+
+    from currency_etl_spark.queries.extras import events_adaptive_salted_agg
+
+    d = str(tmp_path_factory.mktemp("adaptive_uniform"))
+    write_events(d, [(e, e % 64) for e in range(128)])
+    df = events_adaptive_salted_agg(spark, d, key="user_id")
+    rows = df.collect()
+    assert len(rows) == 64
+    assert all(not r["salted"] for r in rows)
+    p = _explain(df)
+    assert "xxhash64" not in p
+    assert "__salt" not in p
+
+
+def test_adaptive_both_plans_agree_with_direct_groupby(spark, tmp_path_factory):
+    """Mechanism equivalence on BOTH sides of the decision: a hot-key
+    corpus (salted plan) and a uniform corpus (plain plan) must each
+    reproduce the direct groupBy totals bit-for-bit — the salt is a hash,
+    not rand(), so re-aggregation across salts is exact."""
+    import pyspark.sql.functions as F
+
+    from tests.fixtures import write_events
+
+    from currency_etl_spark.queries.extras import events_adaptive_salted_agg
+    from currency_etl_spark.sources import table
+
+    cases = [
+        ("hot", [(e, 7 if e % 4 else int(e)) for e in range(200)], True),
+        # 100 keys x 1 row: topk * 64 = 64 <= 100 = t -> plain plan
+        ("flat", [(e, e) for e in range(100)], False),
+    ]
+    for tag, rows, want_salted in cases:
+        d = str(tmp_path_factory.mktemp(f"adaptive_{tag}"))
+        write_events(d, rows)
+        got = events_adaptive_salted_agg(spark, d, key="user_id")
+        assert all(r["salted"] == want_salted for r in got.collect())
+        direct = (
+            table(spark, d, "events")
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("total_value"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+            )
+        )
+        want = {
+            r["user_id"]: (r["total_value"], r["n_events"])
+            for r in direct.collect()
+        }
+        assert {
+            r["user_id"]: (r["total_value"], r["n_events"])
+            for r in got.collect()
+        } == want

@@ -307,6 +307,149 @@ def test_packing_efficiency_property(spark, tmp_path_factory, toks):
     assert got == want
 
 
+def _py_packing_bestfit(docs: list) -> dict:
+    """Pure-python re-derivation of docs_packing_bestfit over
+    (doc_id, n_tokens, lang, source) rows: lang -> column tuple. Mirrors
+    the entry's fold exactly: per (lang, shard) take docs by (n_tokens
+    DESC, doc_id ASC); oversize docs pre-split into full sequences plus a
+    residual piece; each piece goes to the open bin with the smallest
+    remainder that fits (first index on ties), else opens a new bin."""
+    from collections import defaultdict
+
+    B = SEQ_BUDGET
+    streams: dict = defaultdict(list)
+    for doc_id, n, lang, _ in docs:
+        streams[(lang, doc_id // 1000)].append((n, doc_id))
+    per_lang: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for (lang, _), items in streams.items():
+        items.sort(key=lambda p: (-p[0], p[1]))
+        state: list = []
+        t = full_total = crossings = straddlers = 0
+        for n, _ in items:
+            t += n
+            full, piece = divmod(n, B)
+            full_total += full
+            pieces = full + (1 if piece else 0)
+            crossings += pieces - 1
+            straddlers += int(pieces > 1)
+            if piece:
+                best_j, best_r = -1, None
+                for j, r in enumerate(state):
+                    if r >= piece and (best_r is None or r < best_r):
+                        best_j, best_r = j, r
+                if best_j >= 0:
+                    state[best_j] = best_r - piece
+                else:
+                    state.append(B - piece)
+        n_seqs = len(state) + full_total
+        acc = per_lang[lang]
+        acc[0] += 1  # n_shards
+        acc[1] += n_seqs
+        acc[2] += t
+        acc[3] += straddlers
+        acc[4] += crossings
+        acc[5] += n_seqs * B - t  # all waste is padding under best-fit
+    return {
+        lang: tuple(a) + (round(a[2] / (a[1] * B), 6),)
+        for lang, a in per_lang.items()
+    }
+
+
+def test_packing_bestfit_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    from currency_etl_spark.queries.training import docs_packing_bestfit
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = [
+        (r.doc_id, len(r.text.split(" ")), r.lang, r.source)
+        for r in pdf.itertuples()
+    ]
+    want = _py_packing_bestfit(docs)
+    got = {
+        r["lang"]: (
+            r["n_shards"], r["n_seqs"], r["total_tokens"], r["n_straddlers"],
+            r["n_crossings"], r["tail_waste_tokens"], r["utilization"],
+        )
+        for r in docs_packing_bestfit(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_packing_bestfit_vs_chunk(spark, sf_dir):
+    """The two packing policies must describe ONE corpus (round-12
+    verdict item 2's cross-entry pin): per language the token totals and
+    shard counts are identical, best-fit never cuts a document
+    (n_straddlers == n_crossings == 0 on a corpus with no doc over the
+    budget), its slot accounting closes exactly, and — since
+    concat-then-chunk achieves the information-theoretic minimum slot
+    count ceil(T/budget) per shard — best-fit pays at least as many
+    sequences (its padding) wherever chunk pays cuts instead."""
+    from currency_etl_spark.queries.training import (
+        docs_packing_bestfit,
+        docs_packing_efficiency,
+    )
+
+    chunk = {r["lang"]: r for r in docs_packing_efficiency(spark, sf_dir).collect()}
+    best = docs_packing_bestfit(spark, sf_dir).collect()
+    assert len(best) == len(chunk) > 0
+    for r in best:
+        c = chunk[r["lang"]]
+        assert r["total_tokens"] == c["total_tokens"]
+        assert r["n_shards"] == c["n_shards"]
+        assert r["n_straddlers"] == 0
+        assert r["n_crossings"] == 0
+        assert r["n_seqs"] >= c["n_seqs"]
+        assert (
+            r["tail_waste_tokens"] == r["n_seqs"] * SEQ_BUDGET - r["total_tokens"]
+        )
+        assert 0 < r["utilization"] <= 1.0
+
+
+@given(
+    toks=st.lists(st.integers(1, 2 * SEQ_BUDGET + 50), min_size=1, max_size=40),
+)
+@_PROP
+def test_packing_bestfit_property(spark, tmp_path_factory, toks):
+    """Every best-fit column agrees with the pure-python derivation for
+    ARBITRARY document lengths, including oversize docs (which pre-split
+    into full sequences plus a residual piece — the only case where
+    n_straddlers/n_crossings can be nonzero under a no-cut policy)."""
+    from currency_etl_spark.queries.training import docs_packing_bestfit
+
+    d = str(tmp_path_factory.mktemp("prop_packbf"))
+    docs = [(i, n, "xx", "s0") for i, n in enumerate(toks)]
+    _write_docs(d, docs)
+    want = _py_packing_bestfit(docs)
+    got = {
+        r["lang"]: (
+            r["n_shards"], r["n_seqs"], r["total_tokens"], r["n_straddlers"],
+            r["n_crossings"], r["tail_waste_tokens"], r["utilization"],
+        )
+        for r in docs_packing_bestfit(spark, d).collect()
+    }
+    assert got == want
+
+
+def test_packing_bestfit_plan_shape(spark, sf_dir):
+    """Plan pins for the 100 TB claim: the sequential fold runs as ONE
+    Arrow grouped-map keyed on (lang, shard) — group count grows with
+    the corpus, group size is bounded by SHARD_DOCS — with no
+    row-at-a-time Python, no cartesian product, and a single documents
+    scan."""
+    from currency_etl_spark.queries.training import docs_packing_bestfit
+
+    df = docs_packing_bestfit(spark, sf_dir)
+    jvm = df.sparkSession._jvm
+    p = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # one grouped-map node in the plan tree (the detail section repeats
+    # the name without the "(n)" suffix, so count tree lines only)
+    assert p.count("FlatMapGroupsInPandas (") == 1
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("documents.parquet") == 1 or p.count("Scan parquet") == 1
+
+
 def _py_mixture_reweight(docs_pdf, eta):
     """Pure-python re-derivation of docs_mixture_reweight over the raw
     documents dataframe: source -> column tuple."""
