@@ -1661,6 +1661,135 @@ def knn_incremental(
     return screen_top1(screen_candidates(batch, cents, idx, nprobe))
 
 
+#: Result depth for the filtered search (top-k within the facet).
+FILTER_K = 3
+
+
+@register(
+    "knn_filtered_search",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings),
+        corpus AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_REM}),
+        batch AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM}),
+        cents AS (
+            SELECT vec_id AS cid, qv AS cq FROM corpus ORDER BY vec_id LIMIT {N_CENTROIDS}
+        ),
+        ad AS (
+            SELECT c.vec_id, ce.cid, {_SQL_DIST_Q.format(a='c.qv', b='ce.cq')} AS d
+            FROM corpus c, cents ce
+        ),
+        idx AS (
+            SELECT c.vec_id, c.label, c.qv, a.cid
+            FROM corpus c JOIN (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM ad
+            ) a ON a.vec_id = c.vec_id AND a.rn = 1
+        ),
+        bd AS (
+            SELECT b.vec_id, ce.cid, {_SQL_DIST_Q.format(a='b.qv', b='ce.cq')} AS d
+            FROM batch b, cents ce
+        ),
+        probes AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM bd
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT b.vec_id, b.label, i.vec_id AS nn_vec_id, i.cid AS cell,
+                   {_SQL_DIST_Q.format(a='b.qv', b='i.qv')} AS d
+            FROM batch b JOIN probes p ON p.vec_id = b.vec_id
+                         JOIN idx i ON i.cid = p.cid
+            WHERE i.label = b.label
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, nn_vec_id) AS rnk,
+                   count(*) OVER (PARTITION BY vec_id) AS n_candidates
+            FROM cand
+        )
+        SELECT vec_id, label, CAST(rnk AS BIGINT) AS rank,
+               nn_vec_id, CAST(cell AS BIGINT) AS nn_cell,
+               round(CAST(d AS DOUBLE) / {_Q2}, 6) AS nn_dist,
+               CAST(n_candidates AS BIGINT) AS n_candidates
+        FROM ranked WHERE rnk <= {FILTER_K}
+        ORDER BY vec_id, rank
+    """,
+    tags=("llm", "vector", "ann", "incremental"),
+    doc=(
+        "Metadata-filtered vector search — every production vector "
+        "store's headline feature (search within a tenant / language / "
+        "facet) and the one ANN capability the family was missing: for "
+        f"the batch slice (vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM}, "
+        "the same query set as knn_incremental), the top-"
+        f"{FILTER_K} nearest STORED-corpus vectors restricted to the "
+        "query's own facet (nn_label = label — per-query predicate, the "
+        "tenancy pattern), served from the same persisted IVF artifacts "
+        "(memo tags ivf_cents/ivf_index; the probe plan is the SHARED "
+        "screen_candidates, so the filtered and unfiltered screens can "
+        "never drift). The predicate composes INSIDE the probe — "
+        "pre-filtering the candidate relation BEFORE the rank, which is "
+        "exact within the probed cells and strictly cheaper than the "
+        "post-filter-an-oversample strategy (whose recall depends on a "
+        "guessed multiplier); queries whose probed cells hold NO "
+        "facet-matching member drop out of the result — the filtered-ANN "
+        "recall hazard a production store handles by probe escalation, "
+        "here surfaced by the row count (and n_candidates, the "
+        "post-filter candidate pool each query actually ranked). At "
+        "100 TB the assignment relation is partitioned by cell and "
+        "bucketed by the facet column, so the filter prunes storage "
+        "before the join; the only window partitions on vec_id (grows "
+        "with the batch). Numerics: the shared 1e6 int64 lattice, "
+        "(d, nn_vec_id) total tie order, one Q_SCALE^2 denormalization "
+        "per emitted row."
+    ),
+)
+def knn_filtered_search(
+    spark: SparkSession, sf_dir: str, *, nprobe: int = IVF_NPROBE, k: int = FILTER_K
+) -> DataFrame:
+    """Graded defaults are the module constants; ``nprobe`` is the recall
+    knob (nprobe = N_CENTROIDS degrades to the exact facet-filtered
+    batch-vs-corpus NN), ``k`` the result depth."""
+    batch = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
+        .select("vec_id", "label", _q_longs().alias("qv"))
+    )
+    cents = _ivf_cents_base(spark, sf_dir)
+    idx = _ivf_index_base(spark, sf_dir)
+    cand = screen_candidates(batch, cents, idx, nprobe).filter(
+        F.col("nn_label") == F.col("label")
+    )
+    w = W.partitionBy("vec_id").orderBy("d", "nn_vec_id")
+    q2 = F.lit(float(_Q2))
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            "nn_vec_id",
+            F.col("cell").cast("long").alias("nn_cell"),
+            "d",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.count(F.lit(1)).over(W.partitionBy("vec_id")).cast("long").alias(
+                "n_candidates"
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "label",
+            "rank",
+            "nn_vec_id",
+            "nn_cell",
+            F.round(F.col("d").cast("double") / q2, 6).alias("nn_dist"),
+            "n_candidates",
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
 @register(
     "knn_index_staleness",
     oracle=f"""

@@ -241,3 +241,128 @@ def test_knn_incremental_property(spark, tmp_path_factory, n_vec, dim, nprobe, s
         assert got == want
     finally:
         reset_memos()
+
+
+# ---------------------------------------------------------------------------
+# knn_filtered_search: facet-filtered top-k over the same stored index
+# ---------------------------------------------------------------------------
+
+
+def _np_filtered(sf: str, nprobe: int, k: int):
+    """Pure-numpy re-derivation of knn_filtered_search: same stored
+    codebook/assignments and probe election as _np_screen, candidates
+    pre-filtered to the query's own label, (d, vec_id)-ranked top-k with
+    the post-filter candidate count; queries whose probed cells hold no
+    facet member drop out."""
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    qv = {
+        r.vec_id: np.round(np.asarray(r.embedding, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for r in emb.itertuples()
+    }
+    label = dict(zip(emb.vec_id, emb.label))
+    is_batch = lambda v: v % KNN_BATCH_MOD == KNN_BATCH_REM
+    corpus = sorted(v for v in qv if not is_batch(v))
+    batch = sorted(v for v in qv if is_batch(v))
+    cents = corpus[:N_CENTROIDS]
+
+    def d2(a, b):
+        d = qv[a] - qv[b]
+        return int((d * d).sum())
+
+    cell = {v: min(cents, key=lambda c: (d2(v, c), c)) for v in corpus}
+    members: dict = {}
+    for v in corpus:
+        members.setdefault(cell[v], []).append(v)
+    out = []
+    for b in batch:
+        probe = sorted(cents, key=lambda c: (d2(b, c), c))[:nprobe]
+        cand = [
+            v for c in probe for v in members.get(c, []) if label[v] == label[b]
+        ]
+        for rank, v in enumerate(
+            sorted(cand, key=lambda v: (d2(b, v), v))[:k], start=1
+        ):
+            out.append(
+                (b, label[b], rank, v, cell[v], round(d2(b, v) / 1e12, 6), len(cand))
+            )
+    return out
+
+
+def _frows(df):
+    return [
+        (
+            r["vec_id"],
+            r["label"],
+            r["rank"],
+            r["nn_vec_id"],
+            r["nn_cell"],
+            r["nn_dist"],
+            r["n_candidates"],
+        )
+        for r in df.collect()
+    ]
+
+
+def test_knn_filtered_matches_numpy(spark):
+    from currency_etl_spark.queries.vectors import FILTER_K, knn_filtered_search
+
+    assert _frows(knn_filtered_search(spark, SF)) == _np_filtered(
+        SF, IVF_NPROBE, FILTER_K
+    )
+
+
+def test_knn_filtered_facet_and_rank_invariants(spark):
+    """Every served neighbor is in the query's facet; ranks are
+    contiguous from 1 per query and never exceed the post-filter pool;
+    and the filter only SHRINKS the probe: each query's filtered pool is
+    bounded by knn_incremental's unfiltered candidate count over the
+    same probes."""
+    from collections import defaultdict
+
+    from currency_etl_spark.queries.vectors import FILTER_K, knn_filtered_search
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    label = dict(zip(emb.vec_id, emb.label))
+    rows = _frows(knn_filtered_search(spark, SF))
+    assert rows
+    per_q = defaultdict(list)
+    for r in rows:
+        assert label[r[3]] == r[1]  # facet respected
+        assert r[3] % KNN_BATCH_MOD != KNN_BATCH_REM  # corpus side only
+        per_q[r[0]].append(r)
+    unfiltered = {r[0]: r[2] for r in _rows(knn_incremental(spark, SF))}
+    for v, rs in per_q.items():
+        ranks = sorted(r[2] for r in rs)
+        n_cand = rs[0][6]
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) == min(n_cand, FILTER_K)  # depth served vs pool
+        assert all(r[6] == n_cand for r in rs)
+        assert n_cand <= unfiltered[v]
+
+
+def test_knn_filtered_nprobe_degrades_to_exact(spark):
+    """nprobe = N_CENTROIDS is the exact facet-restricted batch-vs-corpus
+    top-k — the ground truth the filtered probe approximates."""
+    from currency_etl_spark.queries.vectors import FILTER_K, knn_filtered_search
+
+    assert _frows(
+        knn_filtered_search(spark, SF, nprobe=N_CENTROIDS)
+    ) == _np_filtered(SF, N_CENTROIDS, FILTER_K)
+
+
+def test_knn_filtered_reads_stored_index(spark):
+    """Same plan pin as the unfiltered screen: the filtered search READS
+    the memoized index relations and scans the embeddings parquet
+    exactly once, for the batch — the facet filter must not force an
+    index rebuild."""
+    from currency_etl_spark.queries.vectors import knn_filtered_search
+
+    knn_filtered_search(spark, SF).collect()  # memos live; now re-plan
+    df = knn_filtered_search(spark, SF)
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Scan ExistingRDD" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
