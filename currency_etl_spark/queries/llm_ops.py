@@ -2978,6 +2978,216 @@ def docs_bm25_search(
     )
 
 
+#: Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009 —
+#: k=60 is the published default), per-arm result depth, and the
+#: lexical query width (the anchor doc's HYBRID_QUERY_K rarest terms —
+#: ascending-df selection is the standard most-informative-terms rule
+#: and, unlike a stopword-share gate, can never empty the query).
+RRF_K = 60
+HYBRID_ARM_N = 10
+HYBRID_QUERY_K = 8
+
+
+@register(
+    "docs_hybrid_search_rrf",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        stats AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS s_tokens FROM dls),
+        tf AS (
+            SELECT doc_id, term, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qterms AS (
+            SELECT tf.term, d.df
+            FROM tf JOIN dfreq d USING (term)
+            WHERE tf.doc_id = 0
+            ORDER BY d.df, tf.term
+            LIMIT {HYBRID_QUERY_K}
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                       ln(1.0 + (CAST(nd AS DOUBLE) - q.df + 0.5) / (q.df + 0.5))
+                       * (tf.cnt * 2.2 / (tf.cnt + 1.2 * (0.25 + 0.75 * CAST(d.dl * nd AS DOUBLE) / s_tokens)))
+                       * 1000000) AS BIGINT) AS score_q
+            FROM tf JOIN qterms q USING (term) JOIN dls d USING (doc_id) CROSS JOIN stats
+            WHERE tf.doc_id <> 0
+        ),
+        lex_top AS (
+            SELECT doc_id, CAST(sum(score_q) AS BIGINT) AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT {HYBRID_ARM_N}
+        ),
+        lex AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+            FROM lex_top
+        ),
+        qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        sem_top AS (
+            SELECT e.vec_id AS doc_id,
+                   round(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y)
+                         / (sqrt(list_reduce(list_transform(generate_series(1, len(e.embedding)), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), (x, y) -> x + y))
+                            * sqrt(list_reduce(list_transform(generate_series(1, len(qe)), i -> qe[i]::DOUBLE * qe[i]::DOUBLE), (x, y) -> x + y))), 6) AS cos_sim
+            FROM embeddings e, qv WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, doc_id LIMIT {HYBRID_ARM_N}
+        ),
+        sem AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+            FROM sem_top
+        ),
+        fused AS (
+            SELECT doc_id,
+                   CAST(l.lex_rank AS BIGINT) AS lex_rank,
+                   CAST(s.sem_rank AS BIGINT) AS sem_rank,
+                   COALESCE(CAST(round(1000000000.0 / ({RRF_K} + l.lex_rank)) AS BIGINT), 0)
+                 + COALESCE(CAST(round(1000000000.0 / ({RRF_K} + s.sem_rank)) AS BIGINT), 0) AS rrf_q
+            FROM lex l FULL JOIN sem s USING (doc_id)
+        )
+        SELECT doc_id, lex_rank, sem_rank,
+               CAST(rrf_q AS DOUBLE) / 1000000000 AS rrf
+        FROM fused
+        ORDER BY rrf DESC, doc_id
+    """,
+    tags=("llm", "text", "vector", "search"),
+    doc=(
+        "Hybrid retrieval with reciprocal-rank fusion — the two-arm "
+        "search every production stack ships (Elasticsearch/OpenSearch "
+        "hybrid mode: BM25 + kNN fused by RRF; Cormack et al. 2009, "
+        f"k={RRF_K} published default): a 'more-like-this' query anchored "
+        "on document 0, answered by BOTH retrieval modalities over the "
+        f"same corpus and fused rank-wise. Lexical arm: doc 0's "
+        f"{HYBRID_QUERY_K} RAREST terms (ascending document frequency — "
+        "the standard most-informative-terms selection, never empty "
+        "whatever the anchor doc's vocabulary) form the disjunctive "
+        "query, candidates score by the IDENTICAL "
+        "BM25 formula text (k1=1.2, b=0.75, per-term 1e-6 int64 "
+        "quantization before the per-doc sum — the proven determinism "
+        f"recipe), top-{HYBRID_ARM_N} by integer score. Semantic arm: "
+        "cosine to doc 0's embedding (the 1:1 doc_id = vec_id linkage "
+        f"docs_embedding_coverage audits), round-6 keyed, top-"
+        f"{HYBRID_ARM_N}. Fusion: per arm 1e9-quantized 1/(k + rank) as "
+        "exact int64, summed (absent arm contributes 0), ranks carried "
+        "in the output so a reader sees WHY a doc fused high — lexical "
+        "overlap, embedding proximity, or both. Scale shape: tf/df are "
+        "the standing index relations (one shuffle each); the query-term "
+        "relation is bounded by one document's vocabulary and broadcast; "
+        "each arm truncates via sort-limit (TakeOrderedAndProject) "
+        "BEFORE its ranking window, so both windows order 10-row "
+        "relations (allowlisted bounded global windows); the fusion join "
+        f"is {HYBRID_ARM_N}x{HYBRID_ARM_N}-bounded. The one libm ln() "
+        "sits behind the 1e-6 quantization; the RRF reciprocals are "
+        "single IEEE divisions rounded onto the 1e9 lattice in both "
+        "engines."
+    ),
+)
+def docs_hybrid_search_rrf(
+    spark: SparkSession, sf_dir: str, *, arm_n: int = HYBRID_ARM_N
+) -> DataFrame:
+    """Graded default is the module constant; ``arm_n`` is each arm's
+    result depth (the fusion pool is at most 2 x arm_n docs)."""
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.queries.vectors import _cosine
+
+    docs = _with_tokens(spread(table(spark, sf_dir, "documents")))
+    dls = docs.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("dl").cast("long").alias("s_tokens")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        tf.filter(F.col("doc_id") == 0)
+        .select("term")
+        .join(dfreq, "term")
+        .orderBy("df", "term")
+        .limit(HYBRID_QUERY_K)
+        .select("term", "df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("nd").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("cnt") * F.lit(2.2)) / (
+        F.col("cnt")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * (F.col("dl") * F.col("nd")).cast("double")
+            / F.col("s_tokens")
+        )
+    )
+    scored = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qterms), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * sat * F.lit(1000000), 0).cast("long").alias("score_q"),
+        )
+    )
+    lex_top = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("score_q").cast("long").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(arm_n)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), "doc_id"))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sem_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(arm_n)
+    )
+    sem = sem_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), "doc_id"))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+    rk = F.lit(float(RRF_K))
+    arm = lambda c: F.coalesce(  # noqa: E731 — 1e9-lattice reciprocal rank
+        F.round(F.lit(1000000000.0) / (rk + F.col(c)), 0).cast("long"), F.lit(0)
+    )
+    return (
+        lex.join(sem, ["doc_id"], "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            ((arm("lex_rank") + arm("sem_rank")).cast("double") / F.lit(1000000000.0)).alias(
+                "rrf"
+            ),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+    )
+
+
 @register(
     "docs_skipgram_pairs",
     oracle="""

@@ -104,3 +104,62 @@ def test_bm25_kwargs_are_real_parameters(spark):
     wide = docs_bm25_search(spark, SF, query_k=BM25_QUERY_K + 2).collect()
     assert all(r["n_hit_terms"] <= BM25_QUERY_K + 2 for r in wide)
     assert max(r["n_hit_terms"] for r in wide) >= max(r["n_hit_terms"] for r in base)
+
+
+# ---------------------------------------------------------------------------
+# docs_hybrid_search_rrf: two-arm retrieval fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark):
+    """The fused score must be exactly recomputable from the carried
+    ranks: per row rrf == (q(lex) + q(sem)) / 1e9 with q(r) =
+    round(1e9 / (60 + r)) and an absent arm contributing 0 — so the
+    fusion layer can never drift from its published formula."""
+    from currency_etl_spark.queries.llm_ops import RRF_K, docs_hybrid_search_rrf
+
+    rows = docs_hybrid_search_rrf(spark, SF).collect()
+    assert rows
+
+    def q(r):
+        return 0 if r is None else round(1e9 / (RRF_K + r))
+
+    for r in rows:
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+        assert r["rrf"] == (q(r["lex_rank"]) + q(r["sem_rank"])) / 1e9
+        assert r["doc_id"] != 0  # the query doc never retrieves itself
+
+
+def test_hybrid_rrf_arm_structure(spark):
+    """Each arm contributes a full dense top-arm_n ranking (this corpus
+    has ample candidates for both arms); the fused pool is bounded by
+    2 x arm_n; descending rrf with doc_id tiebreak is total."""
+    from currency_etl_spark.queries.llm_ops import (
+        HYBRID_ARM_N,
+        docs_hybrid_search_rrf,
+    )
+
+    rows = docs_hybrid_search_rrf(spark, SF).collect()
+    lex = sorted(r["lex_rank"] for r in rows if r["lex_rank"] is not None)
+    sem = sorted(r["sem_rank"] for r in rows if r["sem_rank"] is not None)
+    assert lex == list(range(1, HYBRID_ARM_N + 1))
+    assert sem == list(range(1, HYBRID_ARM_N + 1))
+    assert len(rows) <= 2 * HYBRID_ARM_N
+    key = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert key == sorted(key)
+
+
+def test_hybrid_rrf_arm_n_is_a_real_parameter(spark):
+    """arm_n truncates both arms; a doc ranked high by both arms at
+    arm_n=3 must keep identical ranks at the default depth (rank
+    prefixes agree — deeper arms only append)."""
+    from currency_etl_spark.queries.llm_ops import docs_hybrid_search_rrf
+
+    small = {r["doc_id"]: r for r in docs_hybrid_search_rrf(spark, SF, arm_n=3).collect()}
+    full = {r["doc_id"]: r for r in docs_hybrid_search_rrf(spark, SF).collect()}
+    assert 0 < len(small) <= 6
+    for doc_id, r in small.items():
+        f = full[doc_id]
+        for c in ("lex_rank", "sem_rank"):
+            if r[c] is not None:
+                assert f[c] == r[c]

@@ -35,6 +35,12 @@ ALLOWED_GLOBAL_WINDOWS = {
         "relation is vocab²-bounded and pre-truncated to top-15 by "
         "sort-limit (TakeOrderedAndProject) before the ranking window",
     ),
+    "docs_hybrid_search_rrf": (
+        "per-arm top-10 ranked lists",
+        "both ranking windows order arm_n-row (10) relations already "
+        "truncated by sort-limit (TakeOrderedAndProject) — the window "
+        "never sees a data-sized relation",
+    ),
     "docs_index_lookup": (
         "per-term document frequencies",
         "vocab-bounded (DF-capped posting lists); the window ranks "
