@@ -148,7 +148,11 @@ def _start_pool_queries(spark, sf_dir) -> dict:
                 "spark.sql.streaming.noDataMicroBatches.enabled",
                 "true" if nodata else "false",
             )
-            # the `with` block joins all starts before the flag flips
+            # the `with` block joins all starts before the flag flips.
+            # 8 workers measured best: a full-width wave (13 workers)
+            # contends inside the JVM's streaming-query startup path and
+            # read slower AND noisier (3.4-7.4 s vs 2.4-2.6 s) in the
+            # same-session A/B at sf0.1.
             with ThreadPoolExecutor(max_workers=min(8, len(grp))) as tp:
                 for jname, res in tp.map(_one, grp):
                     results[jname] = res
