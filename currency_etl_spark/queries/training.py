@@ -587,6 +587,118 @@ def docs_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Temperature exponent for the alpha-mixing rule (T5 §3.1.2 / mT5 /
+#: PaLM data mixing: p_i ∝ base_share_i^alpha; alpha=1 is the natural
+#: mixture, alpha→0 uniform). 0.3 is mT5's published choice.
+MIX_TEMP_ALPHA = 0.3
+
+#: Weight-quantization scale shared by the mixture rules (temperature
+#: scaling here, the DoReMi reweight step below): unnormalized weights
+#: are rounded onto a 1e-12 lattice BEFORE the normalizing sum, so the
+#: only cross-partition accumulation is an exact int64 sum (the
+#: catalog's quantize-before-group-sum rule) and the final share is one
+#: int/int division.
+MIX_W_SCALE = 1_000_000_000_000
+
+
+@register(
+    "docs_mixture_temperature",
+    oracle=f"""
+        WITH per_lang AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY lang
+        ),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM per_lang),
+        w AS (
+            SELECT lang, n_docs, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) / t, 6) AS base_share,
+                   CAST(round(pow(CAST(n_tokens AS DOUBLE) / t, {MIX_TEMP_ALPHA})
+                              * {MIX_W_SCALE}) AS BIGINT) AS w_q
+            FROM per_lang, tot
+        ),
+        z AS (SELECT CAST(sum(w_q) AS BIGINT) AS z FROM w)
+        SELECT lang, n_docs, n_tokens, base_share,
+               round(CAST(w_q AS DOUBLE) / z, 6) AS temp_share,
+               round(round(CAST(w_q AS DOUBLE) / z, 6) / base_share, 6)
+                   AS upsample_factor
+        FROM w, z
+        ORDER BY lang
+    """,
+    tags=("llm", "training", "mixture"),
+    doc=(
+        "Temperature-scaled mixture sampling — the THIRD standard mixing "
+        "rule, completing the family: docs_mixture_report states the "
+        "natural token mixture, docs_mixture_reweight runs the "
+        "loss-driven DoReMi step, and this is the static alpha-mixing "
+        "rule the T5/mT5/PaLM pipelines actually shipped (sampling "
+        f"probability ∝ base_share^alpha, alpha={MIX_TEMP_ALPHA} — mT5's "
+        "published value — which flattens the mixture toward uniform so "
+        "low-resource languages oversample). Per language: exact long "
+        "doc/token counts, the natural token share, the "
+        "temperature-scaled share, and upsample_factor = temp_share / "
+        "base_share — the effective epoch multiplier a mixture owner "
+        "reads to see how hard each low-resource slice is oversampled "
+        "(and the overfitting risk that implies). Numerics: the ONE "
+        "libm pow() per language sits behind the catalog's "
+        "quantize-then-int-sum discipline (weights rounded onto the "
+        "1e-12 lattice, Z an exact int64 sum, one int/int division per "
+        "language, round 6) — the same recipe as the reweight's exp(); "
+        "upsample_factor divides the two already-rounded shares so the "
+        "table is self-consistent. alpha=1 reproduces the natural "
+        "mixture exactly (pinned). Scale shape: one map-side-combinable "
+        "languages-keyed count over the corpus; everything downstream "
+        "is languages-sized with 1-row broadcast totals — no window, no "
+        "data-sized shuffle beyond the count."
+    ),
+)
+def docs_mixture_temperature(
+    spark: SparkSession, sf_dir: str, *, alpha: float = MIX_TEMP_ALPHA
+) -> DataFrame:
+    """Graded default is the module constant; ``alpha`` is the
+    temperature knob (1.0 = natural mixture, smaller = flatter)."""
+    per_lang = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(_tok_count()).cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_lang.agg(F.sum("n_tokens").cast("long").alias("t"))
+    w = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+            "base_share"
+        ),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double") / F.col("t"), F.lit(float(alpha)))
+            * F.lit(float(MIX_W_SCALE)),
+            0,
+        )
+        .cast("long")
+        .alias("w_q"),
+    )
+    z = w.agg(F.sum("w_q").cast("long").alias("z"))
+    temp_share = F.round(F.col("w_q").cast("double") / F.col("z"), 6)
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "base_share",
+            temp_share.alias("temp_share"),
+            F.round(temp_share / F.col("base_share"), 6).alias("upsample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register(
     "kmeans_assign_step",
     oracle=f"""
@@ -898,13 +1010,6 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: conservative 0.1 keeps one step's reweighting readable against the
 #: base mixture).
 MIX_ETA = 0.1
-
-#: Weight-quantization scale for the reweight step: the unnormalized
-#: updated weights are rounded onto a 1e-12 lattice BEFORE the
-#: normalizing sum, so the only cross-partition accumulation is an exact
-#: int64 sum (the catalog's quantize-before-group-sum rule) and the
-#: final weight is one int/int division.
-MIX_W_SCALE = 1_000_000_000_000
 
 
 @register(

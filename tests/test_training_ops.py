@@ -629,3 +629,115 @@ def test_mixture_reweight_reads_stored_scores(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 0, p
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def _r6(x: float) -> float:
+    """round-half-away-from-zero to 6 places (Spark/DuckDB `round`)."""
+    import math
+
+    return math.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1)
+
+
+def _py_mixture_temperature(docs: list, alpha: float) -> dict:
+    """Pure-python re-derivation of docs_mixture_temperature over
+    (doc_id, n_tokens, lang, source) rows: lang -> column tuple."""
+    import math
+    from collections import defaultdict
+
+    from currency_etl_spark.queries.training import MIX_W_SCALE
+
+    per: dict = defaultdict(lambda: [0, 0])
+    for _, n, lang, _src in docs:
+        acc = per[lang]
+        acc[0] += 1
+        acc[1] += n
+    t = sum(a[1] for a in per.values())
+    w_q = {
+        lang: int(math.floor(math.pow(a[1] / t, alpha) * MIX_W_SCALE + 0.5))
+        for lang, a in per.items()
+    }
+    z = sum(w_q.values())
+    out = {}
+    for lang, a in per.items():
+        base = _r6(a[1] / t)
+        temp = _r6(w_q[lang] / z)
+        out[lang] = (a[0], a[1], base, temp, _r6(temp / base))
+    return out
+
+
+def _temp_rows(df) -> dict:
+    return {
+        r["lang"]: (
+            r["n_docs"], r["n_tokens"], r["base_share"], r["temp_share"],
+            r["upsample_factor"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_mixture_temperature_matches_python(spark, sf_dir):
+    import pandas as pd
+
+    from currency_etl_spark.queries.training import (
+        MIX_TEMP_ALPHA,
+        docs_mixture_temperature,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = [
+        (r.doc_id, len(r.text.split(" ")), r.lang, r.source)
+        for r in pdf.itertuples()
+    ]
+    want = _py_mixture_temperature(docs, MIX_TEMP_ALPHA)
+    assert _temp_rows(docs_mixture_temperature(spark, sf_dir)) == want
+
+
+def test_mixture_temperature_invariants(spark, sf_dir):
+    """Shares stay distributions; alpha<1 flattens MONOTONICALLY: a
+    lower-resource language never upsamples less than a higher-resource
+    one (up to the round-6 lattice)."""
+    from currency_etl_spark.queries.training import docs_mixture_temperature
+
+    rows = docs_mixture_temperature(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert abs(sum(r["base_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    by_base = sorted(rows, key=lambda r: r["base_share"])
+    for a, b in zip(by_base, by_base[1:]):
+        assert a["upsample_factor"] >= b["upsample_factor"] - 1e-5
+    # flattening direction: the smallest slice oversamples, the largest
+    # undersamples (strict on a non-uniform corpus)
+    assert by_base[0]["upsample_factor"] > 1.0 > by_base[-1]["upsample_factor"]
+
+
+def test_mixture_temperature_alpha_identity(spark, sf_dir):
+    """alpha=1 must reproduce the natural mixture: temp_share ==
+    base_share and upsample_factor == 1 on every row."""
+    from currency_etl_spark.queries.training import docs_mixture_temperature
+
+    for r in docs_mixture_temperature(spark, sf_dir, alpha=1.0).collect():
+        assert r["temp_share"] == r["base_share"]
+        assert r["upsample_factor"] == 1.0
+
+
+@given(
+    sizes=st.lists(st.integers(1, 60), min_size=2, max_size=6),
+)
+@_PROP
+def test_mixture_temperature_property(spark, tmp_path_factory, sizes):
+    """Every column agrees with the pure-python derivation for arbitrary
+    language-size distributions."""
+    from currency_etl_spark.queries.training import (
+        MIX_TEMP_ALPHA,
+        docs_mixture_temperature,
+    )
+
+    d = str(tmp_path_factory.mktemp("prop_temp"))
+    docs, i = [], 0
+    for li, n in enumerate(sizes):
+        for _ in range(n):
+            docs.append((i, 3 + (i % 5), f"l{li}", "s0"))
+            i += 1
+    _write_docs(d, docs)
+    want = _py_mixture_temperature(docs, MIX_TEMP_ALPHA)
+    assert _temp_rows(docs_mixture_temperature(spark, d)) == want
