@@ -503,6 +503,50 @@ HEADLINERS = {
         "the stored index entering from the memoized phash_base "
         "checkpoint (pinned in tests/test_phash_screen.py)."
     ),
+    # --- r13 headliners ---
+    "docs_packing_bestfit": (
+        "Best-fit-decreasing packer. Check: exactly ONE "
+        "FlatMapGroupsInPandas keyed on (lang, shard) — the sequential "
+        "greedy fold runs per bounded group (<= SHARD_DOCS docs), group "
+        "count grows with the corpus; ONE parquet scan (documents); no "
+        "BatchEvalPython, no window at all — everything downstream of "
+        "the grouped map is shard- then language-sized HashAggregates."
+    ),
+    "events_adaptive_salted_agg": (
+        "Audit-keyed adaptive aggregation. Check: on the graded skewed "
+        "key the plan IS the salted two-phase aggregate — xxhash64 salt "
+        "and a (key, __salt) phase-1 HashAggregate before the per-key "
+        "phase 2 (at the decision boundary the same builder plans the "
+        "plain one-phase GROUP BY: no xxhash64 anywhere — pinned in "
+        "tests/test_key_skew.py); the audit's decision scan prunes to "
+        "the key column; decision inputs enter as literals from the "
+        "1-row collected globals, never a data-sized driver relation."
+    ),
+    "knn_filtered_search": (
+        "Facet-filtered ANN. Check: the stored index enters from the "
+        "ivf_cents/ivf_index checkpoints (Scan ExistingRDD), ONE "
+        "parquet scan (the batch); the facet predicate composes INSIDE "
+        "the probe join (filter on the candidate relation BEFORE the "
+        "rank — at 100 TB the assignment table is partitioned by cell "
+        "and bucketed by the facet column so this prunes storage); the "
+        "only window partitions on vec_id."
+    ),
+    "docs_hybrid_search_rrf": (
+        "Hybrid BM25+vector RRF. Check: tf/df enter from the "
+        "text_tf/text_df checkpoints (Scan ExistingRDD — the memoized "
+        "stored index, zero documents scans); each arm truncates via "
+        "sort-limit (TakeOrderedAndProject) BEFORE its ranking window, "
+        "so both windows order 10-row relations; the fusion join is "
+        "arm_n x arm_n-bounded; the 1-row query vector and stats ride "
+        "broadcasts."
+    ),
+    "docs_mixture_temperature": (
+        "Temperature-scaled mixture. Check: one map-side-combinable "
+        "languages-keyed HashAggregate over the corpus scan; the grand "
+        "total and Z enter as 1-row broadcast cross joins (never an "
+        "unpartitioned window); the pow() lattice weights are computed "
+        "on the languages-sized relation only."
+    ),
 }
 
 
