@@ -21,12 +21,17 @@ Contract (same as the BFS/rfm pattern this generalizes): the checkpoint
 handed out stays live until the SAME tag is checkpointed again, so a
 consumer must execute its plan before re-invoking the entry family that
 owns the tag. The driver, bench, and oracle tests all run entries
-serially with immediate execution; concurrent same-tag builders in one
-session race benignly only because they compute identical data.
+serially with immediate execution; concurrent same-tag builders (the
+streaming pool's thread fan-out can warm the same stored-index tag from
+two builder threads) are serialized by a per-tag lock inside
+:func:`memo_checkpoint` — without it both would build, and the second
+swap would unpersist the first thread's fresh checkpoint while its
+query plan still references it (round-13 advice).
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from collections import deque
 from typing import Callable
@@ -35,6 +40,25 @@ from pyspark.sql import DataFrame
 
 _LIVE: dict = {}
 _KEYS: dict = {}
+
+#: Per-tag build locks (round-13 advice): the streaming pool's thread
+#: fan-out can invoke memo_checkpoint for the SAME tag from two builder
+#: threads (e.g. the knn screen and the drift screen both warming
+#: ivf_index on a cold pool start). Unserialized, both build and the
+#: second swap unpersists the first thread's fresh checkpoint while its
+#: query plan still references it. One lock per tag serializes the
+#: check-then-build-then-swap critical section; distinct tags still
+#: build concurrently, and the loser of a same-tag race gets a memo hit.
+_TAG_LOCKS: dict = {}
+_TAG_LOCKS_GUARD = threading.Lock()
+
+
+def _tag_lock(tag: str) -> threading.Lock:
+    with _TAG_LOCKS_GUARD:
+        lk = _TAG_LOCKS.get(tag)
+        if lk is None:
+            lk = _TAG_LOCKS[tag] = threading.Lock()
+        return lk
 
 
 def swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
@@ -79,17 +103,23 @@ def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
     DataFrame of a dead session (round-7 advice)."""
     from pyspark.sql import SparkSession
 
-    sess = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-local: a pool worker thread (the
+    # streaming fan-out) sees None, which would miss the memo key and
+    # rebuild on every thread — fall back to the process-wide session
+    sess = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     app = sess.sparkContext.applicationId if sess is not None else None
-    got = _LIVE.get(tag)
-    if got is not None and _KEYS.get(tag) == (key, app):
-        _BUILT.append((tag, False, 0.0))
-        return got
-    t0 = time.perf_counter()
-    out = swap_checkpoint(tag, build())
-    _KEYS[tag] = (key, out.sparkSession.sparkContext.applicationId)
-    _BUILT.append((tag, True, round(time.perf_counter() - t0, 3)))
-    return out
+    with _tag_lock(tag):
+        got = _LIVE.get(tag)
+        if got is not None and _KEYS.get(tag) == (key, app):
+            _BUILT.append((tag, False, 0.0))
+            return got
+        t0 = time.perf_counter()
+        out = swap_checkpoint(tag, build())
+        _KEYS[tag] = (key, out.sparkSession.sparkContext.applicationId)
+        _BUILT.append((tag, True, round(time.perf_counter() - t0, 3)))
+        return out
 
 
 def drain_memo_touches() -> "list[tuple[str, bool, float]]":

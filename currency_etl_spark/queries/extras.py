@@ -1454,7 +1454,11 @@ def events_adaptive_salted_agg(
         )
         .collect()[0]
     )
-    salted = g["topk"] * SKEW_BUCKETS > g["t"]
+    # empty filtered relation (empty table / all-NULL key): the audit
+    # aggregates are NULL — fall through to the plain GROUP BY, which
+    # yields the same empty result the oracle returns (round-13 advice)
+    topk, t = (0, 1) if g["t"] is None else (g["topk"], g["t"])
+    salted = topk * SKEW_BUCKETS > t
     src = e.select(key, "event_id", F.col("value").cast("decimal(18,4)").alias("v"))
     if salted:
         totals = salted_agg(
@@ -1463,7 +1467,10 @@ def events_adaptive_salted_agg(
             salt_src="event_id",
             aggs={
                 "total_dec": (F.sum, F.sum, "v"),
-                "n_events": (F.count, F.sum, "v"),
+                # count ROWS (count(*) semantics, matching the plain
+                # branch and the oracle), not non-NULL values of v
+                # (round-13 advice)
+                "n_events": (lambda _c: F.count(F.lit(1)), F.sum, "v"),
             },
         )
     else:
@@ -1477,7 +1484,7 @@ def events_adaptive_salted_agg(
             F.col("total_dec").cast("double").alias("total_value"),
             F.col("n_events").cast("long").alias("n_events"),
             F.round(
-                F.lit(g["topk"]).cast("double") / F.lit(g["t"]).cast("double"), 6
+                F.lit(topk).cast("double") / F.lit(t).cast("double"), 6
             ).alias("top_key_share"),
             F.lit(bool(salted)).alias("salted"),
         )

@@ -63,13 +63,17 @@ def write_documents(tmpdir: str, rows: list) -> str:
     return tmpdir
 
 
-def write_events(tmpdir: str, rows: list) -> str:
+def write_events(tmpdir: str, rows: list, values: list | None = None) -> str:
     """events-shaped parquet from (event_id, user_id) rows (timestamps,
     types, and values filled deterministically; user_id may be None) —
-    the ONE fixture writer for the corpus `events` schema."""
+    the ONE fixture writer for the corpus `events` schema. Pass
+    ``values`` (same length, entries may be None) to override the
+    deterministic value fill — the NULL-value regression corpora."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if values is None:
+        values = [float(e % 7) for e, _ in rows]
     t = pa.table(
         {
             "event_id": pa.array([e for e, _ in rows], pa.int64()),
@@ -82,7 +86,7 @@ def write_events(tmpdir: str, rows: list) -> str:
                 [("click", "view", "purchase")[e % 3] for e, _ in rows],
                 pa.string(),
             ),
-            "value": pa.array([float(e % 7) for e, _ in rows], pa.float64()),
+            "value": pa.array(values, pa.float64()),
             "props": pa.array(["{}" for _ in rows], pa.string()),
         }
     )

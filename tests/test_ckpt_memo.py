@@ -202,6 +202,46 @@ def test_memo_touches_carry_build_time(spark):
     assert ckpt.drain_memo_touches() == []  # drained
 
 
+def test_memo_same_tag_concurrent_builds_once(spark):
+    """Per-tag lock (round-13 advice): the streaming pool's thread
+    fan-out can hit memo_checkpoint for the SAME tag from two builder
+    threads on a cold pool start. The critical section must serialize —
+    exactly ONE build runs, both threads get the SAME live checkpoint,
+    and nobody's result was unpersisted under them (count still works).
+    Without the lock this intermittently double-builds and the second
+    swap frees the first thread's blocks mid-plan."""
+    import threading
+    import time as _time
+
+    from currency_etl_spark.operators import ckpt
+
+    ckpt.reset_memos()
+    calls, results, errs = [], {}, []
+
+    def build():
+        calls.append(1)
+        _time.sleep(0.3)  # widen the check-then-build window
+        return spark.range(7)
+
+    barrier = threading.Barrier(2)
+
+    def worker(name):
+        try:
+            barrier.wait()
+            df = ckpt.memo_checkpoint("t_race", "k", build)
+            results[name] = df
+        except Exception as ex:  # noqa: BLE001 — surfaced to the assert
+            errs.append(ex)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert len(calls) == 1, "same-tag concurrent memo must build once"
+    assert results[0] is results[1]
+    assert results[0].count() == 7  # still live — not unpersisted
+
+
 def test_built_ledger_is_bounded():
     """_BUILT must not grow without bound in a long-lived session that
     never drains (round-8 advice): it is a deque with a maxlen far above

@@ -211,3 +211,44 @@ def test_adaptive_both_plans_agree_with_direct_groupby(spark, tmp_path_factory):
             r["user_id"]: (r["total_value"], r["n_events"])
             for r in got.collect()
         } == want
+
+
+def test_adaptive_null_values_count_rows(spark, tmp_path_factory):
+    """n_events is count(*) — rows, not non-NULL values — in BOTH
+    physical plans (round-13 advice: the salted phase-1 F.count('v')
+    counted non-NULL values and diverged from the plain branch and the
+    oracle on any corpus with NULL event values)."""
+    from tests.fixtures import write_events
+
+    from currency_etl_spark.queries.extras import events_adaptive_salted_agg
+
+    # one hot key (salted plan) and a flat corpus (plain plan), each
+    # with NULL values sprinkled on the hot/first keys
+    cases = [
+        ("hot", [(e, 7 if e % 4 else e) for e in range(200)], True),
+        ("flat", [(e, e) for e in range(100)], False),
+    ]
+    for tag, rows, want_salted in cases:
+        vals = [None if e % 5 == 0 else float(e % 7) for e, _ in rows]
+        d = str(tmp_path_factory.mktemp(f"adaptive_null_{tag}"))
+        write_events(d, rows, values=vals)
+        got = events_adaptive_salted_agg(spark, d, key="user_id").collect()
+        assert got and all(r["salted"] == want_salted for r in got)
+        from collections import Counter
+
+        want_n = Counter(u for _, u in rows)
+        assert {r["user_id"]: r["n_events"] for r in got} == dict(want_n)
+
+
+def test_adaptive_empty_relation_is_empty_not_error(spark, tmp_path_factory):
+    """All-NULL grouping key -> the audit row is (NULL, NULL); the entry
+    must return the oracle's empty result, not raise TypeError on
+    topk * SKEW_BUCKETS (round-13 advice)."""
+    from tests.fixtures import write_events
+
+    from currency_etl_spark.queries.extras import events_adaptive_salted_agg
+
+    d = str(tmp_path_factory.mktemp("adaptive_empty"))
+    write_events(d, [(e, None) for e in range(10)])
+    got = events_adaptive_salted_agg(spark, d, key="user_id")
+    assert got.collect() == []
