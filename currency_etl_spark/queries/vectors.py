@@ -1790,6 +1790,191 @@ def knn_filtered_search(
     )
 
 
+#: Probe-escalation schedule: base depth, doubled, then every cell.
+#: Geometric growth bounds the round count at O(log cells) — at 4096
+#: centroids the same shape is (8, 64, 512, 4096), still 4 rounds.
+ESCALATE_SCHEDULE = (IVF_NPROBE, 2 * IVF_NPROBE, N_CENTROIDS)
+
+#: The escalating screen's own serving depth: top-10 within the facet (a
+#: realistic retrieval page). Deliberately DEEPER than FILTER_K=3 — at
+#: k=3 the graded corpus serves every query at the base depth and the
+#: escalation tiers would never fire on graded data; at 10 the expected
+#: base-depth facet pool (~|facet| x nprobe/cells) sits right at the
+#: threshold, so the output exercises every tier of the schedule.
+ESCALATE_K = 10
+
+_SQL_ESCALATE_SCHED = " UNION ALL ".join(
+    f"SELECT {p} AS p" for p in ESCALATE_SCHEDULE
+)
+
+
+@register(
+    "knn_filtered_escalate",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings),
+        corpus AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_REM}),
+        batch AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM}),
+        cents AS (
+            SELECT vec_id AS cid, qv AS cq FROM corpus ORDER BY vec_id LIMIT {N_CENTROIDS}
+        ),
+        ad AS (
+            SELECT c.vec_id, ce.cid, {_SQL_DIST_Q.format(a='c.qv', b='ce.cq')} AS d
+            FROM corpus c, cents ce
+        ),
+        idx AS (
+            SELECT c.vec_id, c.label, c.qv, a.cid
+            FROM corpus c JOIN (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM ad
+            ) a ON a.vec_id = c.vec_id AND a.rn = 1
+        ),
+        bd AS (
+            SELECT b.vec_id, ce.cid, {_SQL_DIST_Q.format(a='b.qv', b='ce.cq')} AS d
+            FROM batch b, cents ce
+        ),
+        pr AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prank
+            FROM bd
+        ),
+        cand AS (
+            SELECT b.vec_id, b.label, i.vec_id AS nn_vec_id, i.cid AS cell,
+                   p.prank, {_SQL_DIST_Q.format(a='b.qv', b='i.qv')} AS d
+            FROM batch b JOIN pr p ON p.vec_id = b.vec_id
+                         JOIN idx i ON i.cid = p.cid
+            WHERE i.label = b.label
+        ),
+        sched AS ({_SQL_ESCALATE_SCHED}),
+        cum AS (
+            SELECT c.vec_id, s.p, count(*) AS n
+            FROM cand c JOIN sched s ON c.prank <= s.p
+            GROUP BY c.vec_id, s.p
+        ),
+        eff AS (
+            SELECT vec_id,
+                   COALESCE(
+                       MIN(CASE WHEN n >= {ESCALATE_K} AND p < {N_CENTROIDS}
+                                THEN p END),
+                       {N_CENTROIDS}) AS eff_nprobe
+            FROM cum GROUP BY vec_id
+        ),
+        ranked AS (
+            SELECT c.vec_id, c.label, c.nn_vec_id, c.cell, c.d, e.eff_nprobe,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                      ORDER BY c.d, c.nn_vec_id) AS rnk,
+                   count(*) OVER (PARTITION BY c.vec_id) AS n_candidates
+            FROM cand c JOIN eff e
+                 ON e.vec_id = c.vec_id AND c.prank <= e.eff_nprobe
+        )
+        SELECT vec_id, label, CAST(rnk AS BIGINT) AS rank, nn_vec_id,
+               CAST(cell AS BIGINT) AS nn_cell,
+               round(CAST(d AS DOUBLE) / {_Q2}, 6) AS nn_dist,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(eff_nprobe AS BIGINT) AS eff_nprobe
+        FROM ranked WHERE rnk <= {ESCALATE_K}
+        ORDER BY vec_id, rank
+    """,
+    tags=("llm", "vector", "ann", "incremental"),
+    doc=(
+        "Probe-escalation filtered search — closing the recall hazard "
+        "knn_filtered_search itself surfaces (round-13 verdict item 2): "
+        "a query whose base-nprobe cells hold no facet member silently "
+        "drops out of the fixed-depth screen, the production failure "
+        "mode every vector store handles by escalating nprobe until k "
+        "results are served or cells are exhausted. Same persisted IVF "
+        "artifacts (memo tags ivf_cents/ivf_index) through the SHARED "
+        f"screen_candidates probe; schedule {ESCALATE_SCHEDULE} — "
+        "geometric doubling from the base depth to every cell, so the "
+        "round count is O(log cells) at any codebook size. Round "
+        "semantics: a query is SERVED at the first scheduled depth where "
+        f"its facet-filtered candidate pool reaches k={ESCALATE_K} (its "
+        f"top-{ESCALATE_K} ranks within exactly that pool), still-hungry "
+        "queries anti-join forward to the next round, and the final "
+        "full-depth round serves whatever the facet holds (possibly "
+        "fewer than k rows; a facet-empty query emits none — now a "
+        "truthful statement about the corpus, not a probe artifact). "
+        "eff_nprobe travels in the output so the cost of serving each "
+        "query IS graded, the operational signal a store uses to decide "
+        "when a facet needs its own index. Scale shape: each round's "
+        "screen touches ONLY the still-unserved remainder (the batch "
+        "anti-joins down, typically sharply after the base round), the "
+        "escalation never rebuilds the index, and the per-round work is "
+        "the same cell-pruned equi-join as the base screen; windows "
+        "partition on vec_id. The declarative twin (the oracle) states "
+        "the identical fixed point: eff = min scheduled depth whose "
+        "cumulative facet pool reaches k, else full depth."
+    ),
+)
+def knn_filtered_escalate(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = ESCALATE_K,
+    schedule: tuple = ESCALATE_SCHEDULE,
+) -> DataFrame:
+    """Graded defaults are the module constants. ``schedule`` must be
+    strictly increasing; a single-element schedule degenerates to the
+    fixed-depth screen at that depth (pinned against
+    knn_filtered_search in tests)."""
+    batch = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
+        .select("vec_id", "label", _q_longs().alias("qv"))
+    )
+    cents = _ivf_cents_base(spark, sf_dir)
+    idx = _ivf_index_base(spark, sf_dir)
+    q2 = F.lit(float(_Q2))
+    last = schedule[-1]
+    remaining, parts = batch, []
+    for p in schedule:
+        cand = screen_candidates(remaining, cents, idx, p).filter(
+            F.col("nn_label") == F.col("label")
+        )
+        pooled = cand.select(
+            "vec_id",
+            "label",
+            "nn_vec_id",
+            F.col("cell").cast("long").alias("nn_cell"),
+            "d",
+            F.row_number()
+            .over(W.partitionBy("vec_id").orderBy("d", "nn_vec_id"))
+            .cast("long")
+            .alias("rank"),
+            F.count(F.lit(1))
+            .over(W.partitionBy("vec_id"))
+            .cast("long")
+            .alias("n_candidates"),
+        )
+        served = pooled if p == last else pooled.filter(F.col("n_candidates") >= k)
+        parts.append(
+            served.filter(F.col("rank") <= k).withColumn(
+                "eff_nprobe", F.lit(p).cast("long")
+            )
+        )
+        if p != last:
+            served_ids = (
+                cand.groupBy("vec_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= k)
+                .select("vec_id")
+            )
+            remaining = remaining.join(served_ids, "vec_id", "left_anti")
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.select(
+        "vec_id",
+        "label",
+        "rank",
+        "nn_vec_id",
+        "nn_cell",
+        F.round(F.col("d").cast("double") / q2, 6).alias("nn_dist"),
+        "n_candidates",
+        "eff_nprobe",
+    ).orderBy("vec_id", "rank")
+
+
 @register(
     "knn_index_staleness",
     oracle=f"""

@@ -366,3 +366,171 @@ def test_knn_filtered_reads_stored_index(spark):
     assert "Scan ExistingRDD" in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# knn_filtered_escalate: probe escalation until k served or cells exhausted
+# ---------------------------------------------------------------------------
+
+
+def _np_escalate(sf: str, schedule, k):
+    """Pure-python escalation over _np_filtered's per-depth answers: each
+    query's effective depth is the first scheduled nprobe whose facet
+    pool reaches k, else the last scheduled depth; its rows are that
+    depth's top-k with eff_nprobe appended."""
+    per_depth = {p: _np_filtered(sf, p, k) for p in schedule}
+    pools = {
+        p: {r[0]: r[6] for r in rows} for p, rows in per_depth.items()
+    }  # vec_id -> n_candidates (absent == empty pool)
+    out = []
+    for q in sorted({r[0] for r in per_depth[schedule[-1]]}):
+        eff = next(
+            (p for p in schedule[:-1] if pools[p].get(q, 0) >= k), schedule[-1]
+        )
+        out.extend(r + (eff,) for r in per_depth[eff] if r[0] == q)
+    return out
+
+
+def _erows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_knn_escalate_matches_numpy(spark):
+    from currency_etl_spark.queries.vectors import (
+        ESCALATE_K,
+        ESCALATE_SCHEDULE,
+        knn_filtered_escalate,
+    )
+
+    got = _erows(knn_filtered_escalate(spark, SF))
+    assert got == _np_escalate(SF, ESCALATE_SCHEDULE, ESCALATE_K)
+    effs = {r[0]: r[7] for r in got}
+    assert set(effs.values()) <= set(ESCALATE_SCHEDULE)
+    # non-degenerate on the graded corpus: the escalation tier actually
+    # fires (some query needs more than the base depth)
+    assert any(e > ESCALATE_SCHEDULE[0] for e in effs.values())
+
+
+def test_knn_escalate_base_slice_is_filtered_search(spark):
+    """Cross-entry pin (round-13 verdict item 2): a single-stage schedule
+    at the base depth reproduces knn_filtered_search EXACTLY (drop the
+    eff_nprobe column, which is constant IVF_NPROBE)."""
+    from currency_etl_spark.queries.vectors import (
+        FILTER_K,
+        IVF_NPROBE,
+        knn_filtered_escalate,
+        knn_filtered_search,
+    )
+
+    got = _erows(
+        knn_filtered_escalate(spark, SF, k=FILTER_K, schedule=(IVF_NPROBE,))
+    )
+    assert all(r[7] == IVF_NPROBE for r in got)
+    assert [r[:7] for r in got] == _frows(knn_filtered_search(spark, SF))
+
+
+def test_knn_escalate_full_depth_serves_every_query(spark):
+    """Cross-entry pin: at schedule=(N_CENTROIDS,) the escalating screen
+    IS the exact facet-filtered search at full depth; and under the
+    default schedule no query with any facet member ever drops out —
+    the exact hazard the fixed-depth screen has."""
+    from currency_etl_spark.queries.vectors import (
+        FILTER_K,
+        knn_filtered_escalate,
+        knn_filtered_search,
+    )
+
+    full = _frows(knn_filtered_search(spark, SF, nprobe=N_CENTROIDS))
+    got = _erows(
+        knn_filtered_escalate(spark, SF, k=FILTER_K, schedule=(N_CENTROIDS,))
+    )
+    assert [r[:7] for r in got] == full
+    assert all(r[7] == N_CENTROIDS for r in got)
+    served = {r[0] for r in _erows(knn_filtered_escalate(spark, SF))}
+    assert served == {r[0] for r in full}
+
+
+def test_knn_escalate_eff_base_queries_match_fixed_screen(spark):
+    """Queries served at the base depth carry rows identical to the
+    fixed-depth screen at the escalate entry's own k — escalation must
+    be a pure extension, never a perturbation of already-good answers."""
+    from collections import defaultdict
+
+    from currency_etl_spark.queries.vectors import (
+        ESCALATE_K,
+        IVF_NPROBE,
+        knn_filtered_escalate,
+        knn_filtered_search,
+    )
+
+    got = _erows(knn_filtered_escalate(spark, SF))
+    base_rows = defaultdict(list)
+    for r in _frows(knn_filtered_search(spark, SF, k=ESCALATE_K)):
+        base_rows[r[0]].append(r)
+    for q in {r[0] for r in got if r[7] == IVF_NPROBE}:
+        assert [r[:7] for r in got if r[0] == q] == base_rows[q]
+
+
+def test_knn_escalate_rare_facet_exhausts_cells(spark, tmp_path):
+    """The hazard case end-to-end: a facet with fewer than k members
+    forces escalation to every cell (eff_nprobe = N_CENTROIDS) and the
+    query is served the facet's FULL membership — under the fixed-depth
+    screen the same query can return nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_spark.operators.ckpt import reset_memos
+    from currency_etl_spark.queries.vectors import knn_filtered_escalate
+
+    ids = list(range(60))
+    rng = np.random.RandomState(5)
+    emb = [(rng.randint(0, 3, 8) / 2.0).astype(np.float32) for _ in ids]
+    # batch query 7 shares rare label 9 with exactly two corpus vectors
+    labels = [9 if v in (7, 11, 23) else int(v % 3) for v in ids]
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([e.tolist() for e in emb], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    reset_memos()
+    try:
+        sf = str(tmp_path)
+        from currency_etl_spark.queries.vectors import (
+            ESCALATE_K,
+            ESCALATE_SCHEDULE,
+        )
+
+        got = _erows(knn_filtered_escalate(spark, sf))
+        assert got == _np_escalate(sf, ESCALATE_SCHEDULE, ESCALATE_K)
+        rare = [r for r in got if r[0] == 7]
+        assert len(rare) == 2  # the facet's full membership, not k
+        assert all(r[7] == N_CENTROIDS for r in rare)
+        assert {r[3] for r in rare} == {11, 23}
+    finally:
+        reset_memos()
+
+
+def test_knn_escalate_reads_stored_index(spark):
+    """Every escalation round probes the SAME stored artifacts: the plan
+    reads the memo checkpoints and scans the embeddings parquet only for
+    the batch side (once per round over the shrinking remainder — never
+    an index rebuild), with no cartesian product and no Python UDF."""
+    from currency_etl_spark.queries.vectors import (
+        ESCALATE_SCHEDULE,
+        knn_filtered_escalate,
+    )
+
+    knn_filtered_escalate(spark, SF).collect()  # memos live; now re-plan
+    df = knn_filtered_escalate(spark, SF)
+    jvm = df.sparkSession._jvm
+    plan = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Scan ExistingRDD" in plan
+    n_rounds = len(ESCALATE_SCHEDULE)
+    # batch-side parquet scans only: one per round plus one per
+    # anti-join remainder recomputation — bounded by the schedule, never
+    # proportional to the corpus
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3 * n_rounds, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
