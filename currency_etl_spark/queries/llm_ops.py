@@ -3020,11 +3020,12 @@ RRF_K = 60
 HYBRID_ARM_N = 10
 HYBRID_QUERY_K = 8
 
-
-@register(
-    "docs_hybrid_search_rrf",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+#: Shared CTE chain of the hybrid-retrieval oracle — single definition
+#: for docs_hybrid_search_rrf and its semantic-health eval
+#: (docs_hybrid_eval), so the two graded views of the same retrieval can
+#: never drift. Exposes: lex/sem (each arm's exact ranked top-N) and
+#: fused (the RRF pool with rrf_q on the 1e9 int lattice).
+_SQL_HYBRID_CTES = f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         dls AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
         stats AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS s_tokens FROM dls),
         tf AS (
@@ -3080,7 +3081,13 @@ HYBRID_QUERY_K = 8
                    COALESCE(CAST(round(1000000000.0 / ({RRF_K} + l.lex_rank)) AS BIGINT), 0)
                  + COALESCE(CAST(round(1000000000.0 / ({RRF_K} + s.sem_rank)) AS BIGINT), 0) AS rrf_q
             FROM lex l FULL JOIN sem s USING (doc_id)
-        )
+        )"""
+
+
+@register(
+    "docs_hybrid_search_rrf",
+    oracle=f"""
+        WITH {_SQL_HYBRID_CTES}
         SELECT doc_id, lex_rank, sem_rank,
                CAST(rrf_q AS DOUBLE) / 1000000000 AS rrf
         FROM fused
@@ -3125,6 +3132,17 @@ def docs_hybrid_search_rrf(
 ) -> DataFrame:
     """Graded default is the module constant; ``arm_n`` is each arm's
     result depth (the fusion pool is at most 2 x arm_n docs)."""
+    lex, sem = _hybrid_arms(spark, sf_dir, arm_n)
+    return _hybrid_fused(lex, sem).orderBy(F.desc("rrf"), "doc_id")
+
+
+def _hybrid_arms(spark: SparkSession, sf_dir: str, arm_n: int):
+    """The two exact ranked arm relations (lex: doc_id, lex_rank; sem:
+    doc_id, sem_rank) of the hybrid retrieval — SINGLE definition shared
+    by docs_hybrid_search_rrf and docs_hybrid_eval, mirroring
+    _SQL_HYBRID_CTES on the oracle side. Each arm is exact brute force
+    over its modality (full BM25 scoring of every candidate / full
+    cosine over every embedding) truncated by sort-limit."""
     from pyspark.sql import Window as W
 
     from currency_etl_spark.queries.vectors import _cosine
@@ -3201,21 +3219,112 @@ def docs_hybrid_search_rrf(
         .cast("long")
         .alias("sem_rank"),
     )
+    return lex, sem
+
+
+def _hybrid_fused(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """RRF fusion of the two ranked arms (shared with docs_hybrid_eval):
+    per arm 1e9-quantized 1/(RRF_K + rank) as exact int64, summed with
+    an absent arm contributing 0."""
     rk = F.lit(float(RRF_K))
     arm = lambda c: F.coalesce(  # noqa: E731 — 1e9-lattice reciprocal rank
         F.round(F.lit(1000000000.0) / (rk + F.col(c)), 0).cast("long"), F.lit(0)
     )
-    return (
-        lex.join(sem, ["doc_id"], "full_outer")
-        .select(
-            "doc_id",
-            "lex_rank",
-            "sem_rank",
-            ((arm("lex_rank") + arm("sem_rank")).cast("double") / F.lit(1000000000.0)).alias(
-                "rrf"
-            ),
+    return lex.join(sem, ["doc_id"], "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        ((arm("lex_rank") + arm("sem_rank")).cast("double") / F.lit(1000000000.0)).alias(
+            "rrf"
+        ),
+    )
+
+
+@register(
+    "docs_hybrid_eval",
+    oracle=f"""
+        WITH {_SQL_HYBRID_CTES},
+        fh AS (
+            SELECT doc_id FROM fused ORDER BY rrf_q DESC, doc_id
+            LIMIT {HYBRID_ARM_N}
         )
-        .orderBy(F.desc("rrf"), "doc_id")
+        SELECT CAST({HYBRID_ARM_N} AS BIGINT) AS k,
+               (SELECT CAST(count(*) AS BIGINT) FROM lex) AS n_lex,
+               (SELECT CAST(count(*) AS BIGINT) FROM sem) AS n_sem,
+               (SELECT CAST(count(*) AS BIGINT) FROM fused) AS n_fused,
+               (SELECT CAST(count(*) AS BIGINT) FROM fh JOIN lex USING (doc_id))
+                   AS lex_overlap,
+               (SELECT CAST(count(*) AS BIGINT) FROM fh JOIN sem USING (doc_id))
+                   AS sem_overlap,
+               (SELECT CAST(count(*) AS BIGINT) FROM lex JOIN sem USING (doc_id))
+                   AS both_arms,
+               round((SELECT count(*) FROM fh JOIN lex USING (doc_id))
+                     / CAST({HYBRID_ARM_N} AS DOUBLE), 6) AS lex_overlap_at_k,
+               round((SELECT count(*) FROM fh JOIN sem USING (doc_id))
+                     / CAST({HYBRID_ARM_N} AS DOUBLE), 6) AS sem_overlap_at_k
+    """,
+    tags=("llm", "text", "vector", "search", "eval"),
+    doc=(
+        "Retrieval semantic-health eval — the rung that closes the "
+        "hybrid-search loop the way dedup_lsh_recall closed dedup's "
+        "(round-13 verdict item 3), built because ORACLE AGREEMENT IS "
+        "NOT SEMANTIC HEALTH: the hybrid entry's first-cut stopword gate "
+        "emptied its lexical arm at sf0.01 while both engines happily "
+        "matched on the degenerate result. Over the SHARED arm/fusion "
+        "definitions (_hybrid_arms/_hybrid_fused, oracle twin "
+        "_SQL_HYBRID_CTES — the eval and the entry it grades can never "
+        "drift): each arm's result count (n_lex/n_sem — the "
+        "non-emptiness columns that would have read 0 during the "
+        "stopword incident), the fused pool size, and overlap@k of the "
+        f"fused top-{HYBRID_ARM_N} against each arm's exact brute-force "
+        f"top-{HYBRID_ARM_N} — RRF's defining property is that both "
+        "modalities keep representation in the head, so an overlap "
+        "collapsing to 0 on either side means one arm has silently "
+        "taken over (or died). both_arms counts the docs the two "
+        "modalities independently agree on — the strongest relevance "
+        "signal a label-free eval can extract. Scale shape: every input "
+        "relation here is arm-bounded (<= 2 x arm_n rows, broadcast "
+        "1-row aggregates); the expensive work is the arms themselves, "
+        "which are the entry under evaluation, served from the memoized "
+        "text_tf/text_df stored indexes. Exact integer counts; the two "
+        "round-6 shares are single IEEE divisions by the literal k."
+    ),
+)
+def docs_hybrid_eval(
+    spark: SparkSession, sf_dir: str, *, k: int = HYBRID_ARM_N
+) -> DataFrame:
+    """Graded default is the module constant; ``k`` is both the arm
+    depth and the fused-head depth the overlap is taken at."""
+    lex, sem = _hybrid_arms(spark, sf_dir, k)
+    fused = _hybrid_fused(lex, sem)
+    fh = fused.orderBy(F.desc("rrf"), "doc_id").limit(k).select("doc_id")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    out = (
+        cnt(lex, "n_lex")
+        .crossJoin(cnt(sem, "n_sem"))
+        .crossJoin(cnt(fused, "n_fused"))
+        .crossJoin(cnt(fh.join(lex, "doc_id"), "lex_overlap"))
+        .crossJoin(cnt(fh.join(sem, "doc_id"), "sem_overlap"))
+        .crossJoin(cnt(lex.join(sem, "doc_id"), "both_arms"))
+    )
+    kd = F.lit(float(k))
+    return out.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_lex",
+        "n_sem",
+        "n_fused",
+        "lex_overlap",
+        "sem_overlap",
+        "both_arms",
+        F.round(F.col("lex_overlap").cast("double") / kd, 6).alias(
+            "lex_overlap_at_k"
+        ),
+        F.round(F.col("sem_overlap").cast("double") / kd, 6).alias(
+            "sem_overlap_at_k"
+        ),
     )
 
 

@@ -163,3 +163,82 @@ def test_hybrid_rrf_arm_n_is_a_real_parameter(spark):
         for c in ("lex_rank", "sem_rank"):
             if r[c] is not None:
                 assert f[c] == r[c]
+
+
+# ---------------------------------------------------------------------------
+# docs_hybrid_eval: semantic health of the hybrid retrieval
+# ---------------------------------------------------------------------------
+
+
+def _py_eval(rows, k):
+    """Recompute every eval column from the hybrid entry's own fused
+    output (doc_id, lex_rank, sem_rank, rrf)."""
+    lex = {r["doc_id"] for r in rows if r["lex_rank"] is not None}
+    sem = {r["doc_id"] for r in rows if r["sem_rank"] is not None}
+    head = {
+        r["doc_id"]
+        for r in sorted(rows, key=lambda r: (-r["rrf"], r["doc_id"]))[:k]
+    }
+    return {
+        "k": k,
+        "n_lex": len(lex),
+        "n_sem": len(sem),
+        "n_fused": len(rows),
+        "lex_overlap": len(head & lex),
+        "sem_overlap": len(head & sem),
+        "both_arms": len(lex & sem),
+        "lex_overlap_at_k": round(len(head & lex) / k, 6),
+        "sem_overlap_at_k": round(len(head & sem) / k, 6),
+    }
+
+
+def test_hybrid_eval_recomputable_from_fused_output(spark):
+    """Every eval column must equal the pure-python recomputation over
+    docs_hybrid_search_rrf's own rows — the eval grades exactly the
+    relation it claims to grade (shared arm/fusion definitions)."""
+    from currency_etl_spark.queries.llm_ops import (
+        HYBRID_ARM_N,
+        docs_hybrid_eval,
+        docs_hybrid_search_rrf,
+    )
+
+    fused = docs_hybrid_search_rrf(spark, SF).collect()
+    got = docs_hybrid_eval(spark, SF).collect()
+    assert len(got) == 1
+    assert got[0].asDict() == _py_eval(fused, HYBRID_ARM_N)
+
+
+def test_hybrid_eval_would_catch_the_stopword_incident(spark):
+    """The columns that make oracle agreement insufficient: on a healthy
+    corpus both arms are FULL (n_lex == n_sem == k — during the r13
+    stopword incident n_lex read 0 while both engines matched), every
+    fused-head doc comes from at least one arm (overlaps sum to at
+    least k), and RRF keeps both modalities represented in the head."""
+    from currency_etl_spark.queries.llm_ops import (
+        HYBRID_ARM_N,
+        docs_hybrid_eval,
+    )
+
+    r = docs_hybrid_eval(spark, SF).collect()[0]
+    assert r["n_lex"] == HYBRID_ARM_N and r["n_sem"] == HYBRID_ARM_N
+    assert r["n_fused"] >= HYBRID_ARM_N
+    # head docs each belong to >= 1 arm; docs in both arms count twice
+    assert r["lex_overlap"] + r["sem_overlap"] >= HYBRID_ARM_N
+    assert r["lex_overlap"] > 0 and r["sem_overlap"] > 0
+    assert r["lex_overlap_at_k"] == round(r["lex_overlap"] / r["k"], 6)
+    assert r["sem_overlap_at_k"] == round(r["sem_overlap"] / r["k"], 6)
+
+
+def test_hybrid_eval_k_is_a_real_parameter(spark):
+    """k drives both the arm depth and the head depth: at k=3 the eval
+    must agree with the python recomputation over the arm_n=3 fused
+    list."""
+    from currency_etl_spark.queries.llm_ops import (
+        docs_hybrid_eval,
+        docs_hybrid_search_rrf,
+    )
+
+    fused3 = docs_hybrid_search_rrf(spark, SF, arm_n=3).collect()
+    got = docs_hybrid_eval(spark, SF, k=3).collect()[0].asDict()
+    assert got == _py_eval(fused3, 3)
+    assert got["n_lex"] == 3 and got["n_sem"] == 3
