@@ -907,6 +907,139 @@ def bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_rank")
 
 
+#: Merge-loop depth: real tokenizer training runs tens of thousands of
+#: merges; 5 keeps the graded output readable while exercising the same
+#: checkpointed iteration (each merge is one vocab-sized step).
+BPE_MERGES = 5
+
+
+def _bpe_loop_oracle(k: int) -> str:
+    """Chained-CTE oracle for ``k`` BPE merges: the Spark loop's exact
+    declarative twin (pair counts -> argmax -> greedy replace, k times).
+    enc/top CTEs carry MATERIALIZED hints — each is referenced twice and
+    DuckDB would otherwise re-derive the whole prefix per reference (the
+    docs_packing_bestfit recursion lesson)."""
+    parts = [
+        """words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+            WHERE length(w) > 0 GROUP BY w
+        )""",
+        "enc0 AS MATERIALIZED (SELECT freq, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc FROM words)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"pc{i} AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt "
+            f"FROM ({_SQL_PAIRS.format(enc=f'enc{i}')}) GROUP BY l, r)"
+        )
+        parts.append(
+            f"top{i} AS MATERIALIZED (SELECT l AS tl, r AS tr, cnt "
+            f"FROM pc{i} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f"enc{i + 1} AS MATERIALIZED (SELECT freq, "
+                f"replace(enc, '|' || tl || '|' || tr, '|' || tl || tr) AS enc "
+                f"FROM enc{i}, top{i})"
+            )
+    union = "\n            UNION ALL ".join(
+        f"SELECT {i + 1} AS step, tl, tr, cnt FROM top{i}" for i in range(k)
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT CAST(step AS BIGINT) AS step, tl AS left_sym, tr AS right_sym,
+               tl || tr AS merged_sym, cnt AS pair_count
+        FROM ({union})
+        ORDER BY step
+    """
+
+
+@register(
+    "bpe_merge_loop",
+    oracle=_bpe_loop_oracle(BPE_MERGES),
+    tags=("llm", "training", "tokenizer", "iterative"),
+    doc=(
+        f"K-step BPE tokenizer-training loop ({BPE_MERGES} merges) — the "
+        "iterative-training capability class bpe_pair_merge's single "
+        "iteration only previews (round-13 verdict item 6): per step, "
+        "count adjacent-symbol pairs over the vocab-sized encoding "
+        "relation, collect the 1-row argmax winner (the scalar training "
+        "decision — the supplier_reach_bfs convergence-check precedent), "
+        "apply the merge as a narrow map, and CHECKPOINT the new "
+        "encoding (chain_checkpoint: materialize first, then release — "
+        "the new step READS the previous step's blocks) so lineage stays "
+        "one step deep however many merges run. Output is the merge "
+        "TABLE itself — (step, left, right, merged, count), the artifact "
+        "tokenizer training persists — with winner counts provably "
+        "non-increasing (a merge can only create pairs at most as "
+        "frequent as itself; pinned). The loop exits early if the vocab "
+        "exhausts (single-symbol words only). Scale shape: the corpus is "
+        "touched ONCE (the distinct-word collapse feeding step 0's "
+        "checkpoint); every iteration is vocab-sized with a 1-row "
+        "driver transfer and a TakeOrderedAndProject argmax — the same "
+        "per-step shape real BPE trainers run distributed, where K is "
+        "tens of thousands and the encoding relation is the state. The "
+        "oracle replays the identical loop as a chained CTE pipeline "
+        "(MATERIALIZED hints so the prefix computes once per step); "
+        "bpe_pair_merge's rank-1 next-merge candidate == this loop's "
+        "step-2 row (cross-entry pin)."
+    ),
+)
+def bpe_merge_loop(
+    spark: SparkSession, sf_dir: str, *, k: int = BPE_MERGES
+) -> DataFrame:
+    """Graded default is the module constant; ``k`` is the merge count
+    (a k=i run's rows are the first i rows of any deeper run — pinned)."""
+    from currency_etl_spark.operators.ckpt import chain_checkpoint
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    enc = chain_checkpoint(
+        "bpe_enc",
+        words.select(
+            "freq",
+            F.concat(F.lit("|"), F.regexp_replace("w", "(.)", r"$1|")).alias("enc"),
+        ),
+    )
+    merges = []
+    for step in range(1, k + 1):
+        winner = (
+            enc.select("freq", F.explode(_sym_pairs(F.col("enc"))).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not winner:
+            break  # vocab exhausted: every word is a single symbol
+        tl, tr, cnt = winner[0]["l"], winner[0]["r"], winner[0]["cnt"]
+        merges.append((step, tl, tr, tl + tr, int(cnt)))
+        if step < k:
+            enc = chain_checkpoint(
+                "bpe_enc",
+                enc.select(
+                    "freq",
+                    F.replace(
+                        F.col("enc"),
+                        F.lit(f"|{tl}|{tr}"),
+                        F.lit(f"|{tl}{tr}"),
+                    ).alias("enc"),
+                ),
+            )
+    return spark.createDataFrame(
+        merges,
+        schema="step long, left_sym string, right_sym string, "
+        "merged_sym string, pair_count long",
+    ).orderBy("step")
+
+
 #: 2^52 — md5-derived 52-bit uniform denominator (exact double).
 _U_DENOM = 4503599627370496.0
 

