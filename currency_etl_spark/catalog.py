@@ -67,10 +67,95 @@ GRADING_WINDOW = 50
 #: this round — otherwise the pin self-rots the moment the round-end file
 #: lands (the round-9 verdict's one red test). Bump this together with
 #: every PRIORITY_ORDER rewrite.
-PRIORITY_ORDER_BASIS_ROUND = 12
+PRIORITY_ORDER_BASIS_ROUND = 13
 
 PRIORITY_ORDER = [
-    # ROUND 13 WINDOW — the standing staleness rotation, executing the
+    # ROUND 14 WINDOW — the standing staleness rotation, executing
+    # round-13 verdict item 1. Source: `python tools/make_window.py
+    # --through-round 13` — the committed list below is the tool's
+    # output with ONE documented nuance applied (the ceded-tail-first
+    # convention the rotation pin sanctions): the five r9 rows that
+    # ceded their r13 slots lead the stale fill in their CEDED order
+    # (streaming_scd2, events_anomaly_mad, events_sketch_rollup,
+    # lang_id_confusion, graph_pagerank_bipartite — the exact order the
+    # r13 window comment and round-13 verdict item 1 record), where the
+    # tool lists them in r9-window order. Composition: the four NEW r14
+    # entries lead (knn_filtered_escalate = verdict item 2,
+    # docs_hybrid_eval = item 3, text_index_staleness = item 4,
+    # bpe_merge_loop = item 6), then the five owed r9 rows, then the six
+    # remaining r9-stale standing greens (r9-window order), then the
+    # oldest 35 rows of the r10 block (r10-window order). 4 + 5 + 6 +
+    # 35 = 50. Each NEW entry took a slot from the r10 fill's tail: the
+    # ceding rows are supplier_reach_bfs, streaming_late_drop,
+    # multimodal_phash_dedup, multimodal_phash_near — they are owed the
+    # r15 fill head together with the 11 other waiting r10 rows
+    # (parts_revenue_pareto .. lineitem_equidepth_histogram) ahead of
+    # them in r10-window order. After r14 the staleness ledger is:
+    # 50×r14, 50×r13, 50×r12, 50×r11, 15×r10 — no entry's newest row
+    # older than r10 (the round-13 verdict's done-condition). All
+    # waiting rows remain locally oracle-verified at sf0.001 on every
+    # pytest run (tests/test_oracle.py); the builder's logged driver
+    # simulation repeats the comparison at sf0.01.
+    #
+    # --- NEW this round (first driver rows) ---
+    "docs_hybrid_eval",  # NEW
+    "text_index_staleness",  # NEW
+    "bpe_merge_loop",  # NEW
+    "knn_filtered_escalate",  # NEW
+    # --- the five owed r9 rows, in their r13-ceded order ---
+    "streaming_scd2",
+    "events_anomaly_mad",
+    "events_sketch_rollup",
+    "lang_id_confusion",
+    "graph_pagerank_bipartite",
+    # --- the six remaining r9-stale standing greens (r9-window order) ---
+    "docs_shard_manifest",
+    "docs_split_leakage",
+    "docs_importance_weights",
+    "docs_source_token_divergence",
+    "docs_shingle_novelty",
+    "docs_lang_source_chi2",
+    # --- the oldest 35 rows of the r10 block (r10-window order) ---
+    "knn_incremental",
+    "docs_quality_calibration",
+    "streaming_knn_screen",
+    "customers_l_diversity",
+    "customers_pseudonymize_audit",
+    "multimodal_storage_quota",
+    "docs_inverted_index",
+    "docs_skipgram_pairs",
+    "docs_bigram_surprisal",
+    "embeddings_dim_stats",
+    "embedding_label_outliers",
+    "embedding_power_iteration",
+    "knn_graph_bucketed",
+    "knn_truncation_recall",
+    "dedup_graph_degree_stats",
+    "events_ewma_revenue",
+    "events_quantile_rollup",
+    "events_hourly_interpolate",
+    "events_type_correlation",
+    "events_autocorrelation",
+    "events_zorder_audit",
+    "events_props_variant",
+    "orders_bloom_prefilter",
+    "tables_row_checksum",
+    "events_click_attribution",
+    "events_transition_dwell",
+    "events_state_machine_audit",
+    "events_journey_trigrams",
+    "events_time_to_convert",
+    "events_ab_experiment",
+    "events_dn_retention",
+    "events_growth_accounting",
+    "events_slo_burn",
+    "events_skew_report",
+    "customers_rfm_segments",
+]
+
+_ROUND13_WINDOW = [
+    # ROUND 13 WINDOW (kept for the rotation audit trail) — the standing
+    # staleness rotation, executing the
     # r13 plan written in round 12's window comment (and round-12
     # verdict item 1). Source: generated by `python tools/make_window.py
     # --through-round 12` — the committed list below is the tool's

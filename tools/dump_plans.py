@@ -547,6 +547,41 @@ HEADLINERS = {
         "unpartitioned window); the pow() lattice weights are computed "
         "on the languages-sized relation only."
     ),
+    # --- r14 headliners ---
+    "knn_filtered_escalate": (
+        "Probe-escalation filtered ANN. Check: every escalation round "
+        "reads the SAME ivf_cents/ivf_index checkpoints (Scan "
+        "ExistingRDD — never an index rebuild); parquet scans are "
+        "batch-side only and bounded by the 3-round schedule (the "
+        "anti-join remainder recomputes the shrinking batch slice, not "
+        "the corpus); the per-round windows partition on vec_id; no "
+        "CartesianProduct, no BatchEvalPython."
+    ),
+    "docs_hybrid_eval": (
+        "Hybrid retrieval semantic-health eval. Check: the arms are the "
+        "SHARED _hybrid_arms plans (tf/df from the text_tf/text_df "
+        "checkpoints, sort-limit truncation before the 10-row ranking "
+        "windows); everything the eval adds is arm-bounded — 1-row "
+        "HashAggregates glued by broadcast joins, the overlap joins "
+        "touch <= 2 x arm_n rows."
+    ),
+    "text_index_staleness": (
+        "Text-index staleness audit. Check: ZERO parquet scans in the "
+        "final plan — the stored side reads the text_tf checkpoint and "
+        "the batch tf enters from its own checkpoint (tokenized once at "
+        "build, the knn_index_staleness pattern); the top-term lists "
+        "truncate by sort-limit (TakeOrderedAndProject) before the "
+        "bounded overlap join; the rebuild flag computes from 1-row "
+        "broadcast aggregates, all integer cross-multiplications."
+    ),
+    "bpe_merge_loop": (
+        "K-step BPE merge loop. Check: the final plan is a "
+        "LocalTableScan of the <= BPE_MERGES collected winner rows — "
+        "the iteration's work happened in per-step jobs, each a "
+        "vocab-sized pair count over the chain-checkpointed encoding "
+        "with a TakeOrderedAndProject argmax and a 1-row collect; the "
+        "corpus parquet is scanned once, into step 0's checkpoint."
+    ),
 }
 
 
