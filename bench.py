@@ -203,6 +203,15 @@ def main() -> None:
             "startup_sec": overheads.get("stream_pool_startup", 0.0),
             "entries": stream_entries,
             "paid_by": _sj._POOL_STARTER,
+            # round-13 verdict item 7: family wall-time is the PRIMARY
+            # streaming line — per-entry streaming rows are
+            # attribution-shifted since the parallel pool start (early
+            # micro-batch work the serial starter's startup line used to
+            # absorb now lands on whichever entry awaits first), so
+            # round-over-round adjudication compares sec + startup_sec
+            # here, never individual stream-entry rows.
+            "primary": True,
+            "note": "attribution-shifted per-entry rows; compare family sec + startup_sec",
         }
     # Full per-query dict to a FILE (round-5 verdict item 6): the driver
     # keeps only the stdout tail, which truncates the per-query dict at

@@ -123,6 +123,19 @@ def test_bench_subtracts_shared_base_costs():
     assert "max(dt, 0.001)" in src, "no-free-operator floor removed"
 
 
+def test_bench_marks_stream_family_primary():
+    """Round-13 verdict item 7: per-entry streaming rows are
+    attribution-shifted since the parallel pool start, so the dump must
+    mark the stream_pool family row as the PRIMARY streaming signal —
+    round-over-round adjudication compares family sec + startup_sec,
+    never individual stream-entry rows."""
+    import inspect
+
+    src = inspect.getsource(bench_mod.main)
+    assert '"primary": True' in src, "stream_pool primary marker removed"
+    assert "attribution-shifted" in src, "stream_pool adjudication note removed"
+
+
 def test_subset_run_does_not_clobber_full_dump():
     """A subset or off-SF CLI run must leave bench_queries_r{N}.json
     untouched — the file is the round's machine-diffable full-catalog
