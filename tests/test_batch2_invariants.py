@@ -135,6 +135,29 @@ def test_bpe_merge_loop_step2_is_pair_merge_rank1(spark, sf_dir):
     )
 
 
+@settings(derandomize=True, max_examples=5, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8), min_size=1, max_size=30
+    ),
+    k=st.integers(1, 4),
+)
+def test_bpe_merge_loop_property(spark, tmp_path_factory, words, k):
+    """On ARBITRARY word corpora — tiny alphabets force pair-count ties
+    (broken by (l, r) lexicographic order), single-symbol words force
+    the empty-pair guard, duplicate words exercise the frequency
+    weighting — the Spark loop equals the pure-python loop exactly,
+    including early exit when the vocab exhausts."""
+    from tests.fixtures import write_documents
+
+    from currency_etl_spark.queries.training import bpe_merge_loop
+
+    d = str(tmp_path_factory.mktemp("prop_bpe"))
+    write_documents(d, [(i, " ".join(words), "en", "web") for i in range(2)])
+    got = [tuple(r) for r in bpe_merge_loop(spark, d, k=k).collect()]
+    assert got == _py_bpe_loop(d, k)
+
+
 def test_bpe_merge_loop_prefix_and_monotonicity(spark, sf_dir):
     """A k=2 run is the first two rows of the full run (each step
     depends only on the preceding merges); winner counts are

@@ -513,6 +513,54 @@ def test_knn_escalate_rare_facet_exhausts_cells(spark, tmp_path):
         reset_memos()
 
 
+@_PROP
+@given(
+    n_vec=st.integers(6, 40),
+    dim=st.integers(2, 8),
+    n_labels=st.integers(1, 6),
+    k=st.integers(1, 4),
+    seed=st.integers(0, 10**6),
+)
+def test_knn_escalate_property(spark, tmp_path_factory, n_vec, dim, n_labels, k, seed):
+    """On ARBITRARY corpora — random sizes, dimensions, label
+    cardinalities (rare facets happen naturally at high n_labels), k
+    settings, and low-entropy lattices that force distance ties — the
+    staged Spark escalation equals the pure-python fixed point
+    bit-for-bit, including eff_nprobe."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from currency_etl_spark.operators.ckpt import reset_memos
+    from currency_etl_spark.queries.vectors import (
+        ESCALATE_SCHEDULE,
+        knn_filtered_escalate,
+    )
+
+    rng = np.random.RandomState(seed)
+    ids = list(range(n_vec))
+    if not any(v % KNN_BATCH_MOD == KNN_BATCH_REM for v in ids):
+        ids.append(KNN_BATCH_REM)
+    emb = [(rng.randint(0, 3, dim) / 2.0).astype(np.float32) for _ in ids]
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([e.tolist() for e in emb], pa.list_(pa.float32())),
+            "label": pa.array(
+                [int(rng.randint(0, n_labels)) for _ in ids], pa.int32()
+            ),
+        }
+    )
+    d = tmp_path_factory.mktemp("prop_escalate")
+    pq.write_table(t, d / "embeddings.parquet")
+    reset_memos()
+    try:
+        sf = str(d)
+        got = _erows(knn_filtered_escalate(spark, sf, k=k))
+        assert got == _np_escalate(sf, ESCALATE_SCHEDULE, k)
+    finally:
+        reset_memos()
+
+
 def test_knn_escalate_reads_stored_index(spark):
     """Every escalation round probes the SAME stored artifacts: the plan
     reads the memo checkpoints and scans the embeddings parquet only for
