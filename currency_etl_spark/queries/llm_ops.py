@@ -3328,6 +3328,29 @@ def docs_hybrid_eval(
     )
 
 
+def _text_batch_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, cnt) of the ARRIVING batch slice (doc_id % 10 = 7)
+    — the maintenance family's shared input (text_index_staleness audits
+    it, text_index_merge folds it into the stored index). Checkpointed
+    (batch-sized) so the batch's documents slice is tokenized exactly
+    once per consumer, under the one-live-per-tag release discipline
+    (the knn_index_staleness probe-relation pattern)."""
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    return swap_checkpoint(
+        "text_batch_tf",
+        _with_tokens(
+            spread(table(spark, sf_dir, "documents")).filter(
+                F.col("doc_id") % 10 == 7
+            )
+        )
+        .select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+    )
+
+
+
 #: Head length of the per-side top-term lists the staleness audit
 #: compares (df-ranked; ties to the lexicographically smaller term).
 TEXT_STALE_TOP = 50
@@ -3424,26 +3447,11 @@ TEXT_STALE_TOP = 50
     ),
 )
 def text_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from currency_etl_spark.operators.ckpt import swap_checkpoint
-
     tf = _text_tf_base(spark, sf_dir)
     stored = tf.filter(F.col("doc_id") % 10 != 7)
     # the batch tf feeds five audit branches (globals, vocab, OOV, top
-    # list, and the per-term stats) — checkpoint it (batch-sized) so the
-    # batch's documents slice is tokenized exactly once per audit, under
-    # the one-live-per-tag release discipline (the knn_index_staleness
-    # probe-relation pattern)
-    batch_tf = swap_checkpoint(
-        "text_stale_batch",
-        _with_tokens(
-            spread(table(spark, sf_dir, "documents")).filter(
-                F.col("doc_id") % 10 == 7
-            )
-        )
-        .select("doc_id", F.explode("t").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("cnt")),
-    )
+    # list, and the per-term stats) — the shared checkpointed build
+    batch_tf = _text_batch_tf(spark, sf_dir)
     sdf = stored.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     bstat = batch_tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("dfb"), F.sum("cnt").cast("long").alias("tok")
@@ -3509,6 +3517,101 @@ def text_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "top_overlap",
         rebuild.alias("rebuild"),
+    )
+
+
+@register(
+    "text_index_merge",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ),
+        touched AS (SELECT DISTINCT term FROM tf WHERE doc_id % 10 = 7),
+        sdf AS (
+            SELECT term, count(*) AS df FROM tf
+            WHERE doc_id % 10 <> 7 GROUP BY term
+        ),
+        agg AS (
+            SELECT tf.term, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(cnt) AS BIGINT) AS tf,
+                   array_to_string(list_sort(list(doc_id))[1:{POSTING_HEAD_K}], ',')
+                       AS posting_head
+            FROM tf JOIN touched USING (term) GROUP BY tf.term
+        )
+        SELECT a.term,
+               CASE WHEN s.term IS NULL THEN 'new' ELSE 'grown' END AS term_class,
+               a.df, a.tf, a.posting_head
+        FROM agg a LEFT JOIN sdf s USING (term)
+        ORDER BY a.term
+    """,
+    tags=("llm", "text", "index", "incremental"),
+    doc=(
+        "Incremental index merge — the ACTION text_index_staleness's "
+        "audit decides on, completing the text side of the "
+        "decision->action pair the vector family has "
+        "(knn_index_staleness -> knn_incremental): fold the arriving "
+        "batch's postings into the STORED index and emit the delta "
+        "pages an index store writes back — for every term the batch "
+        "TOUCHED, the merged document frequency, total term frequency, "
+        f"and the first-{POSTING_HEAD_K} doc_id-sorted posting head "
+        "(docs_inverted_index's page convention, same rank-cap — the "
+        "aggregation state stays K-bounded however hot the term), plus "
+        "the term's maintenance class ('new' = the batch introduced it, "
+        "'grown' = postings appended to an existing page). THE ORACLE "
+        "IS THE CONTRACT: the Spark side computes every page through "
+        "the MERGE path (stored checkpoint unioned with the batch "
+        "checkpoint — doc-disjoint slices, a shuffle-free union), while "
+        "the DuckDB side computes the same pages from a from-scratch "
+        "REBUILD of the full corpus index; the driver's exact hash "
+        "compare is therefore the merge-equals-rebuild proof, the "
+        "invariant every incremental index maintainer must hold. Scale "
+        "shape: output and all post-union work are bounded by the "
+        "BATCH's vocabulary (the touched-term semi-join prunes the "
+        "stored side before the window); the stored relation reads the "
+        "text_tf memo, the batch reads its shared checkpoint "
+        "(_text_batch_tf, tokenized once for the whole maintenance "
+        "family); zero parquet scans in the final plan."
+    ),
+)
+def text_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tf = _text_tf_base(spark, sf_dir)
+    stored = tf.filter(F.col("doc_id") % 10 != 7)
+    batch = _text_batch_tf(spark, sf_dir)
+    touched = batch.select("term").distinct()
+    sdf = stored.groupBy("term").agg(F.count(F.lit(1)).alias("df_stored"))
+    merged = stored.unionByName(batch).join(F.broadcast(touched), "term")
+    w = W.partitionBy("term")
+    ranked = merged.select(
+        "term",
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("df"),
+        F.sum("cnt").over(w).cast("long").alias("tf"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+    ).filter(F.col("rn") <= POSTING_HEAD_K)
+    pages = ranked.groupBy("term").agg(
+        F.first("df").alias("df"),
+        F.first("tf").alias("tf"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+            "posting_head"
+        ),
+    )
+    return (
+        pages.join(sdf, "term", "left")
+        .select(
+            "term",
+            F.when(F.col("df_stored").isNull(), F.lit("new"))
+            .otherwise(F.lit("grown"))
+            .alias("term_class"),
+            "df",
+            "tf",
+            "posting_head",
+        )
+        .orderBy("term")
     )
 
 

@@ -582,6 +582,16 @@ HEADLINERS = {
         "with a TakeOrderedAndProject argmax and a 1-row collect; the "
         "corpus parquet is scanned once, into step 0's checkpoint."
     ),
+    "text_index_merge": (
+        "Incremental index merge (delta posting pages). Check: ZERO "
+        "parquet scans — the stored side reads the text_tf checkpoint, "
+        "the batch side its shared _text_batch_tf checkpoint; the "
+        "union is shuffle-free (doc-disjoint slices); the touched-term "
+        "broadcast semi-join prunes the stored postings BEFORE the "
+        "term window; the posting head is rank-capped to K rows per "
+        "term before any list materializes (no unbounded hot-term "
+        "collect_list)."
+    ),
 }
 
 
