@@ -79,23 +79,24 @@ PRIORITY_ORDER = [
     # (streaming_scd2, events_anomaly_mad, events_sketch_rollup,
     # lang_id_confusion, graph_pagerank_bipartite — the exact order the
     # r13 window comment and round-13 verdict item 1 record), where the
-    # tool lists them in r9-window order. Composition: the five NEW r14
+    # tool lists them in r9-window order. Composition: the six NEW r14
     # entries lead (knn_filtered_escalate = verdict item 2,
     # docs_hybrid_eval = item 3, text_index_staleness = item 4,
-    # bpe_merge_loop = item 6, and text_index_merge — the merge ACTION
-    # the staleness audit decides on, landed after the first rotation
-    # commit; list regenerated as it landed, per the standing
+    # bpe_merge_loop = item 6, plus two landed after the first rotation
+    # commit — text_index_merge, the merge ACTION the staleness audit
+    # decides on, and streaming_text_oov, its streaming drift twin; the
+    # list was regenerated as each landed, per the standing
     # convention), then the five owed r9 rows, then the six
     # remaining r9-stale standing greens (r9-window order), then the
-    # oldest 34 rows of the r10 block (r10-window order). 5 + 5 + 6 +
-    # 34 = 50. Each NEW entry took a slot from the r10 fill's tail: the
-    # ceding rows are customers_rfm_segments, supplier_reach_bfs,
-    # streaming_late_drop, multimodal_phash_dedup,
+    # oldest 33 rows of the r10 block (r10-window order). 6 + 5 + 6 +
+    # 33 = 50. Each NEW entry took a slot from the r10 fill's tail: the
+    # ceding rows are events_skew_report, customers_rfm_segments,
+    # supplier_reach_bfs, streaming_late_drop, multimodal_phash_dedup,
     # multimodal_phash_near — they are owed the
     # r15 fill head together with the 11 other waiting r10 rows
     # (parts_revenue_pareto .. lineitem_equidepth_histogram) ahead of
     # them in r10-window order. After r14 the staleness ledger is:
-    # 50×r14, 50×r13, 50×r12, 50×r11, 16×r10 — no entry's newest row
+    # 50×r14, 50×r13, 50×r12, 50×r11, 17×r10 — no entry's newest row
     # older than r10 (the round-13 verdict's done-condition). All
     # waiting rows remain locally oracle-verified at sf0.001 on every
     # pytest run (tests/test_oracle.py); the builder's logged driver
@@ -107,6 +108,7 @@ PRIORITY_ORDER = [
     "bpe_merge_loop",  # NEW
     "knn_filtered_escalate",  # NEW
     "text_index_merge",  # NEW
+    "streaming_text_oov",  # NEW
     # --- the five owed r9 rows, in their r13-ceded order ---
     "streaming_scd2",
     "events_anomaly_mad",
@@ -120,7 +122,7 @@ PRIORITY_ORDER = [
     "docs_source_token_divergence",
     "docs_shingle_novelty",
     "docs_lang_source_chi2",
-    # --- the oldest 34 rows of the r10 block (r10-window order) ---
+    # --- the oldest 33 rows of the r10 block (r10-window order) ---
     "knn_incremental",
     "docs_quality_calibration",
     "streaming_knn_screen",
@@ -154,7 +156,6 @@ PRIORITY_ORDER = [
     "events_dn_retention",
     "events_growth_accounting",
     "events_slo_burn",
-    "events_skew_report",
 ]
 
 _ROUND13_WINDOW = [

@@ -1103,6 +1103,104 @@ from currency_etl_spark.catalog import CATALOG as _CATALOG  # noqa: E402
 _CATALOG["streaming_dedup_screen"].oracle = _screen_oracle()
 
 
+@register(
+    "streaming_text_oov",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tok AS (
+            SELECT doc_id, unnest(t) AS term FROM toks WHERE doc_id % 10 = 7
+        ),
+        svocab AS (
+            SELECT DISTINCT term
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            WHERE doc_id % 10 <> 7
+        ),
+        o AS (
+            SELECT k.doc_id, k.term, (s.term IS NULL) AS oov
+            FROM tok k LEFT JOIN svocab s ON s.term = k.term
+        )
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_batch_docs,
+               CAST(count(DISTINCT term) AS BIGINT) AS batch_vocab,
+               CAST(count(*) AS BIGINT) AS batch_tokens,
+               CAST(count(DISTINCT CASE WHEN oov THEN term END) AS BIGINT)
+                   AS oov_terms,
+               CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT)
+                   AS oov_tokens,
+               round(sum(CASE WHEN oov THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS oov_token_share
+        FROM o
+    """,
+    tags=("streaming", "text", "search", "eval", "incremental", "llm"),
+    doc=(
+        "Streaming twin of text_index_staleness's OOV layer — the "
+        "continuously-ingesting form of the text-drift monitor, "
+        "completing the batch/stream drift square the vector side "
+        "already has (embeddings_drift_psi : streaming_drift_psi :: "
+        "text_index_staleness : this): arriving documents (doc_id % 10 "
+        "= 7 as a document stream) tokenize per row, explode to "
+        "(doc_id, term) token occurrences, and each token checks "
+        "membership against the STORED vocabulary via a stateless "
+        "stream-static LEFT join (the static side derives from the "
+        "memoized text_tf checkpoint pruned to pre-batch docs — the "
+        "persisted index, never rebuilt per micro-batch; term-keyed "
+        "join, the shape that scales to a millions-term vocab where an "
+        "in-row broadcast array lookup cannot). The sink holds "
+        "token-level (doc_id, term, oov) rows — the dedup-screen "
+        "convention — and the audit rollup (batch docs/vocab/tokens, "
+        "OOV terms and token mass, the round-6 OOV share that is the "
+        "staleness audit's first rebuild trigger) is batch "
+        "post-processing, pinned bit-identical to text_index_staleness "
+        "on the shared columns by a cross-entry test. Scale shape: "
+        "state-free stream (no watermark, no state store — the only "
+        "state is the static vocabulary), per-batch work linear in the "
+        "arriving tokens."
+    ),
+)
+def streaming_text_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = pooled_sink(spark, sf_dir, "streaming_text_oov")
+    agg = sink.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_batch_docs"),
+        F.countDistinct("term").cast("long").alias("batch_vocab"),
+        F.count(F.lit(1)).cast("long").alias("batch_tokens"),
+        F.countDistinct(F.when(F.col("oov"), F.col("term")))
+        .cast("long")
+        .alias("oov_terms"),
+        F.sum(F.when(F.col("oov"), 1).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+    return agg.select(
+        "n_batch_docs",
+        "batch_vocab",
+        "batch_tokens",
+        "oov_terms",
+        "oov_tokens",
+        F.round(
+            F.col("oov_tokens").cast("double") / F.col("batch_tokens"), 6
+        ).alias("oov_token_share"),
+    )
+
+
+@_stream_job("streaming_text_oov", "streaming_text_oov_out", mode="append")
+def _text_oov_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.llm_ops import _text_tf_base, _with_tokens
+
+    new = _documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
+    tok = _with_tokens(new, "text").select(
+        "doc_id", F.explode("t").alias("term")
+    )
+    svocab = (
+        _text_tf_base(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 != 7)
+        .select("term")
+        .distinct()
+        .withColumn("known", F.lit(True))
+    )
+    return tok.join(svocab, "term", "left").select(
+        "doc_id", "term", F.col("known").isNull().alias("oov")
+    )
+
+
 def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the embeddings table — the 'new vectors'
     side of the streaming ANN screen. Same stable-symlink landing-dir

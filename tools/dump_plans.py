@@ -592,6 +592,16 @@ HEADLINERS = {
         "term before any list materializes (no unbounded hot-term "
         "collect_list)."
     ),
+    "streaming_text_oov": (
+        "Streaming text-drift monitor (batch post-processing plan). "
+        "Check: the graded plan aggregates the memory sink's token-level "
+        "(doc_id, term, oov) rows — distinct + conditional counts, one "
+        "1-row result; the STREAM side (not in this plan) is a "
+        "stateless per-token stream-static LEFT join against the "
+        "stored-vocabulary relation derived from the text_tf checkpoint "
+        "(no watermark, no state store — pinned in "
+        "tests/test_streaming_text_oov.py)."
+    ),
 }
 
 
