@@ -79,24 +79,26 @@ PRIORITY_ORDER = [
     # (streaming_scd2, events_anomaly_mad, events_sketch_rollup,
     # lang_id_confusion, graph_pagerank_bipartite — the exact order the
     # r13 window comment and round-13 verdict item 1 record), where the
-    # tool lists them in r9-window order. Composition: the six NEW r14
-    # entries lead (knn_filtered_escalate = verdict item 2,
+    # tool lists them in r9-window order. Composition: the seven NEW
+    # r14 entries lead (knn_filtered_escalate = verdict item 2,
     # docs_hybrid_eval = item 3, text_index_staleness = item 4,
-    # bpe_merge_loop = item 6, plus two landed after the first rotation
-    # commit — text_index_merge, the merge ACTION the staleness audit
-    # decides on, and streaming_text_oov, its streaming drift twin; the
-    # list was regenerated as each landed, per the standing
-    # convention), then the five owed r9 rows, then the six
-    # remaining r9-stale standing greens (r9-window order), then the
-    # oldest 33 rows of the r10 block (r10-window order). 6 + 5 + 6 +
-    # 33 = 50. Each NEW entry took a slot from the r10 fill's tail: the
-    # ceding rows are events_skew_report, customers_rfm_segments,
+    # bpe_merge_loop = item 6, plus three landed after the first
+    # rotation commit — text_index_merge, the merge ACTION the
+    # staleness audit decides on; streaming_text_oov, its streaming
+    # drift twin; and knn_tombstone_screen, the DELETE verb completing
+    # the vector index-maintenance lifecycle; the list was regenerated
+    # as each landed, per the standing convention), then the five owed
+    # r9 rows, then the six remaining r9-stale standing greens
+    # (r9-window order), then the oldest 32 rows of the r10 block
+    # (r10-window order). 7 + 5 + 6 + 32 = 50. Each NEW entry took a
+    # slot from the r10 fill's tail: the ceding rows are
+    # events_slo_burn, events_skew_report, customers_rfm_segments,
     # supplier_reach_bfs, streaming_late_drop, multimodal_phash_dedup,
     # multimodal_phash_near — they are owed the
     # r15 fill head together with the 11 other waiting r10 rows
     # (parts_revenue_pareto .. lineitem_equidepth_histogram) ahead of
     # them in r10-window order. After r14 the staleness ledger is:
-    # 50×r14, 50×r13, 50×r12, 50×r11, 17×r10 — no entry's newest row
+    # 50×r14, 50×r13, 50×r12, 50×r11, 18×r10 — no entry's newest row
     # older than r10 (the round-13 verdict's done-condition). All
     # waiting rows remain locally oracle-verified at sf0.001 on every
     # pytest run (tests/test_oracle.py); the builder's logged driver
@@ -109,6 +111,7 @@ PRIORITY_ORDER = [
     "knn_filtered_escalate",  # NEW
     "text_index_merge",  # NEW
     "streaming_text_oov",  # NEW
+    "knn_tombstone_screen",  # NEW
     # --- the five owed r9 rows, in their r13-ceded order ---
     "streaming_scd2",
     "events_anomaly_mad",
@@ -122,7 +125,7 @@ PRIORITY_ORDER = [
     "docs_source_token_divergence",
     "docs_shingle_novelty",
     "docs_lang_source_chi2",
-    # --- the oldest 33 rows of the r10 block (r10-window order) ---
+    # --- the oldest 32 rows of the r10 block (r10-window order) ---
     "knn_incremental",
     "docs_quality_calibration",
     "streaming_knn_screen",
@@ -155,7 +158,6 @@ PRIORITY_ORDER = [
     "events_ab_experiment",
     "events_dn_retention",
     "events_growth_accounting",
-    "events_slo_burn",
 ]
 
 _ROUND13_WINDOW = [

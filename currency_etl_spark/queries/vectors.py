@@ -1975,6 +1975,110 @@ def knn_filtered_escalate(
     ).orderBy("vec_id", "rank")
 
 
+#: Deleted slice: vec_id % DELETE_MOD == DELETE_REM rows are tombstoned
+#: out of the stored index (disjoint from the arriving %10=7 batch).
+DELETE_MOD = 10
+DELETE_REM = 3
+
+
+@register(
+    "knn_tombstone_screen",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings),
+        corpus AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_REM}),
+        batch AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM}),
+        cents AS (
+            SELECT vec_id AS cid, qv AS cq FROM corpus ORDER BY vec_id LIMIT {N_CENTROIDS}
+        ),
+        ad AS (
+            SELECT c.vec_id, ce.cid, {_SQL_DIST_Q.format(a='c.qv', b='ce.cq')} AS d
+            FROM corpus c, cents ce
+        ),
+        idx AS (
+            SELECT c.vec_id, c.label, c.qv, a.cid
+            FROM corpus c JOIN (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM ad
+            ) a ON a.vec_id = c.vec_id AND a.rn = 1
+        ),
+        bd AS (
+            SELECT b.vec_id, ce.cid, {_SQL_DIST_Q.format(a='b.qv', b='ce.cq')} AS d
+            FROM batch b, cents ce
+        ),
+        probes AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM bd
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS (
+            SELECT b.vec_id, b.label, i.vec_id AS nn_vec_id, i.label AS nn_label,
+                   i.cid AS cell, {_SQL_DIST_Q.format(a='b.qv', b='i.qv')} AS d
+            FROM batch b JOIN probes p ON p.vec_id = b.vec_id
+                         JOIN idx i ON i.cid = p.cid
+            WHERE i.vec_id % {DELETE_MOD} <> {DELETE_REM}
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, nn_vec_id) AS rn,
+                   count(*) OVER (PARTITION BY vec_id) AS n_candidates
+            FROM cand
+        )
+        SELECT vec_id, label, CAST(n_candidates AS BIGINT) AS n_candidates,
+               nn_vec_id, nn_label, CAST(cell AS BIGINT) AS nn_cell,
+               round(CAST(d AS DOUBLE) / {_Q2}, 6) AS nn_dist
+        FROM ranked WHERE rn = 1
+        ORDER BY vec_id
+    """,
+    tags=("llm", "vector", "ann", "incremental"),
+    doc=(
+        "Tombstone-masked serving — the DELETE verb completing the "
+        "index-maintenance lifecycle (insert = knn_incremental, audit = "
+        "knn_index_staleness, filtered/escalated serve = the "
+        "knn_filtered pair, delete = this): a deterministic slice "
+        f"(vec_id % {DELETE_MOD} = {DELETE_REM}, disjoint from the "
+        "arriving batch) is deleted from the corpus, and the screen "
+        "serves AROUND the deletions by masking the persisted index at "
+        "probe time — the production delete path (FAISS remove-ids "
+        "semantics, vector-store soft deletes): no codebook retrain, no "
+        "assignment rewrite, the tombstone filter rides the stored "
+        "relation's scan until a compaction rebuilds. The codebook "
+        "deliberately keeps serving a DELETED member's centroid (a "
+        "quantization anchor is not a document; here cid 3 itself is "
+        "tombstoned as a member but stays an anchor) — and because cell "
+        "assignment is per-vector against the frozen codebook, masking "
+        "commutes with rebuild: serving over the masked index is "
+        "bit-identical to serving over an index compacted from the "
+        "survivors with the same codebook (the numpy re-derivation "
+        "test pins exactly this). n_candidates counts LIVE candidates "
+        "only — the true serve-time cost after deletions. Same output "
+        "contract as knn_incremental; queries whose probed cells were "
+        "emptied by deletion drop out (the hazard knn_filtered_escalate "
+        "generalizes the remedy for). Scale shape: one batch-side "
+        "parquet scan, stored checkpoints for codebook + assignments, "
+        "the mask a pushed filter on the checkpoint scan; window "
+        "partitions on vec_id."
+    ),
+)
+def knn_tombstone_screen(
+    spark: SparkSession, sf_dir: str, *, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """Graded default is the module constant; ``nprobe`` degrades to
+    the exact batch-vs-survivors NN at nprobe = N_CENTROIDS."""
+    batch = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
+        .select("vec_id", "label", _q_longs().alias("qv"))
+    )
+    cents = _ivf_cents_base(spark, sf_dir)
+    live = _ivf_index_base(spark, sf_dir).filter(
+        F.col("vec_id") % DELETE_MOD != DELETE_REM
+    )
+    return screen_top1(screen_candidates(batch, cents, live, nprobe))
+
+
 @register(
     "knn_index_staleness",
     oracle=f"""

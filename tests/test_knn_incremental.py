@@ -582,3 +582,90 @@ def test_knn_escalate_reads_stored_index(spark):
     # proportional to the corpus
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3 * n_rounds, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# knn_tombstone_screen: deletes served as index masks (the DELETE verb)
+# ---------------------------------------------------------------------------
+
+
+def _np_tombstone(sf: str, nprobe: int):
+    """Pure-python compacted rebuild: survivors assigned with the
+    ORIGINAL codebook — masking must be bit-identical to this."""
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    qv = {
+        r.vec_id: np.round(np.asarray(r.embedding, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        for r in emb.itertuples()
+    }
+    label = dict(zip(emb.vec_id, emb.label))
+    from currency_etl_spark.queries.vectors import DELETE_MOD, DELETE_REM
+
+    is_batch = lambda v: v % KNN_BATCH_MOD == KNN_BATCH_REM
+    corpus = sorted(v for v in qv if not is_batch(v))
+    batch = sorted(v for v in qv if is_batch(v))
+    cents = corpus[:N_CENTROIDS]  # ORIGINAL codebook — deletes never retrain
+    live = [v for v in corpus if v % DELETE_MOD != DELETE_REM]
+
+    def d2(a, b):
+        d = qv[a] - qv[b]
+        return int((d * d).sum())
+
+    cell = {v: min(cents, key=lambda c: (d2(v, c), c)) for v in live}
+    members: dict = {}
+    for v in live:
+        members.setdefault(cell[v], []).append(v)
+    out = []
+    for b in batch:
+        probe = sorted(cents, key=lambda c: (d2(b, c), c))[:nprobe]
+        cand = [v for c in probe for v in members.get(c, [])]
+        if not cand:
+            continue  # probed cells emptied by deletion: query drops out
+        nn = min(cand, key=lambda v: (d2(b, v), v))
+        out.append(
+            (b, label[b], len(cand), nn, label[nn], cell[nn], round(d2(b, nn) / 1e12, 6))
+        )
+    return out
+
+
+def test_tombstone_screen_equals_compacted_rebuild(spark):
+    """THE delete contract: serving over the masked index is
+    bit-identical to serving over an index compacted from the survivors
+    with the same codebook (assignment is per-vector against the frozen
+    codebook, so masking commutes with rebuild)."""
+    from currency_etl_spark.queries.vectors import knn_tombstone_screen
+
+    got = _rows(knn_tombstone_screen(spark, SF))
+    assert got == _np_tombstone(SF, IVF_NPROBE)
+    assert got, "graded corpus serves queries after deletion"
+
+
+def test_tombstone_screen_never_serves_deleted(spark):
+    """No deleted vector appears as a neighbor, live candidate pools
+    never exceed the undeleted screen's, and with cid 3 itself deleted
+    the anchor keeps serving as a cell while vanishing as a member."""
+    from currency_etl_spark.queries.vectors import (
+        DELETE_MOD,
+        DELETE_REM,
+        knn_tombstone_screen,
+    )
+
+    rows = _rows(knn_tombstone_screen(spark, SF))
+    base = {r[0]: r for r in _rows(knn_incremental(spark, SF))}
+    assert all(r[3] % DELETE_MOD != DELETE_REM for r in rows)
+    served_cells = {r[5] for r in rows}
+    for r in rows:
+        assert r[2] <= base[r[0]][2]  # mask only shrinks the pool
+        assert r[6] >= base[r[0]][6]  # deletion can only worsen the NN
+    # the deleted anchor's cell still serves its surviving members
+    assert DELETE_REM in served_cells
+
+
+def test_tombstone_full_probe_is_exact_over_survivors(spark):
+    """nprobe = N_CENTROIDS degrades to the exact batch-vs-survivors
+    nearest neighbor."""
+    from currency_etl_spark.queries.vectors import knn_tombstone_screen
+
+    got = _rows(knn_tombstone_screen(spark, SF, nprobe=N_CENTROIDS))
+    assert got == _np_tombstone(SF, N_CENTROIDS)

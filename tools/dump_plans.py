@@ -602,6 +602,14 @@ HEADLINERS = {
         "(no watermark, no state store — pinned in "
         "tests/test_streaming_text_oov.py)."
     ),
+    "knn_tombstone_screen": (
+        "Tombstone-masked ANN serving (the DELETE verb). Check: the "
+        "stored index enters from the ivf checkpoints with the delete "
+        "mask as a pushed Filter directly over Scan ExistingRDD — no "
+        "rebuild, no extra exchange vs knn_incremental; ONE parquet "
+        "scan (the batch); the top-1 election is the shared window-free "
+        "min(struct)."
+    ),
 }
 
 
