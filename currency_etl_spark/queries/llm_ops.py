@@ -3295,7 +3295,15 @@ def docs_hybrid_eval(
 ) -> DataFrame:
     """Graded default is the module constant; ``k`` is both the arm
     depth and the fused-head depth the overlap is taken at."""
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
     lex, sem = _hybrid_arms(spark, sf_dir, k)
+    # six count branches consume the arms — unchecked, each branch
+    # re-executes the full BM25/cosine arm lineage; checkpoint the two
+    # k-row ranked lists so each arm runs ONCE per eval (one-live-per-
+    # tag release discipline; the relations are arm-bounded)
+    lex = swap_checkpoint("hybrid_lex", lex)
+    sem = swap_checkpoint("hybrid_sem", sem)
     fused = _hybrid_fused(lex, sem)
     fh = fused.orderBy(F.desc("rrf"), "doc_id").limit(k).select("doc_id")
 

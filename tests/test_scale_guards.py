@@ -41,12 +41,10 @@ ALLOWED_GLOBAL_WINDOWS = {
         "truncated by sort-limit (TakeOrderedAndProject) — the window "
         "never sees a data-sized relation",
     ),
-    "docs_hybrid_eval": (
-        "per-arm top-10 ranked lists",
-        "the SAME shared arm windows as docs_hybrid_search_rrf "
-        "(_hybrid_arms is one definition); every relation the eval "
-        "itself adds is arm-bounded (<= 2 x arm_n rows)",
-    ),
+    # docs_hybrid_eval carried this allowlist entry until its arm
+    # relations were checkpointed (each arm now executes once, inside
+    # its checkpoint build) — the graded plan reads the k-row
+    # checkpoints and holds no global window at all.
     "docs_index_lookup": (
         "per-term document frequencies",
         "vocab-bounded (DF-capped posting lists); the window ranks "
