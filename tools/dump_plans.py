@@ -551,10 +551,11 @@ HEADLINERS = {
     "knn_filtered_escalate": (
         "Probe-escalation filtered ANN. Check: every escalation round "
         "reads the SAME ivf_cents/ivf_index checkpoints (Scan "
-        "ExistingRDD — never an index rebuild); parquet scans are "
-        "batch-side only and bounded by the 3-round schedule (the "
-        "anti-join remainder recomputes the shrinking batch slice, not "
-        "the corpus); the per-round windows partition on vec_id; no "
+        "ExistingRDD — never an index rebuild); the shrinking remainder "
+        "is checkpointed at each round boundary, so later rounds read "
+        "it as ExistingRDD instead of re-executing earlier rounds' "
+        "screens (one batch-side parquet scan remains — round 1's); "
+        "the per-round windows partition on vec_id; no "
         "CartesianProduct, no BatchEvalPython."
     ),
     "docs_hybrid_eval": (
