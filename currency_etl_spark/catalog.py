@@ -79,26 +79,27 @@ PRIORITY_ORDER = [
     # (streaming_scd2, events_anomaly_mad, events_sketch_rollup,
     # lang_id_confusion, graph_pagerank_bipartite — the exact order the
     # r13 window comment and round-13 verdict item 1 record), where the
-    # tool lists them in r9-window order. Composition: the seven NEW
+    # tool lists them in r9-window order. Composition: the eight NEW
     # r14 entries lead (knn_filtered_escalate = verdict item 2,
     # docs_hybrid_eval = item 3, text_index_staleness = item 4,
-    # bpe_merge_loop = item 6, plus three landed after the first
+    # bpe_merge_loop = item 6, plus four landed after the first
     # rotation commit — text_index_merge, the merge ACTION the
     # staleness audit decides on; streaming_text_oov, its streaming
-    # drift twin; and knn_tombstone_screen, the DELETE verb completing
-    # the vector index-maintenance lifecycle; the list was regenerated
-    # as each landed, per the standing convention), then the five owed
-    # r9 rows, then the six remaining r9-stale standing greens
-    # (r9-window order), then the oldest 32 rows of the r10 block
-    # (r10-window order). 7 + 5 + 6 + 32 = 50. Each NEW entry took a
-    # slot from the r10 fill's tail: the ceding rows are
-    # events_slo_burn, events_skew_report, customers_rfm_segments,
-    # supplier_reach_bfs, streaming_late_drop, multimodal_phash_dedup,
+    # drift twin; knn_tombstone_screen, the vector DELETE verb; and
+    # text_index_compact, the text DELETE verb (compaction==rebuild);
+    # the list was regenerated as each landed, per the standing
+    # convention), then the five owed r9 rows, then the six remaining
+    # r9-stale standing greens (r9-window order), then the oldest 31
+    # rows of the r10 block (r10-window order). 8 + 5 + 6 + 31 = 50.
+    # Each NEW entry took a slot from the r10 fill's tail: the ceding
+    # rows are events_growth_accounting, events_slo_burn,
+    # events_skew_report, customers_rfm_segments, supplier_reach_bfs,
+    # streaming_late_drop, multimodal_phash_dedup,
     # multimodal_phash_near — they are owed the
     # r15 fill head together with the 11 other waiting r10 rows
     # (parts_revenue_pareto .. lineitem_equidepth_histogram) ahead of
     # them in r10-window order. After r14 the staleness ledger is:
-    # 50×r14, 50×r13, 50×r12, 50×r11, 18×r10 — no entry's newest row
+    # 50×r14, 50×r13, 50×r12, 50×r11, 19×r10 — no entry's newest row
     # older than r10 (the round-13 verdict's done-condition). All
     # waiting rows remain locally oracle-verified at sf0.001 on every
     # pytest run (tests/test_oracle.py); the builder's logged driver
@@ -112,6 +113,7 @@ PRIORITY_ORDER = [
     "text_index_merge",  # NEW
     "streaming_text_oov",  # NEW
     "knn_tombstone_screen",  # NEW
+    "text_index_compact",  # NEW
     # --- the five owed r9 rows, in their r13-ceded order ---
     "streaming_scd2",
     "events_anomaly_mad",
@@ -125,7 +127,7 @@ PRIORITY_ORDER = [
     "docs_source_token_divergence",
     "docs_shingle_novelty",
     "docs_lang_source_chi2",
-    # --- the oldest 32 rows of the r10 block (r10-window order) ---
+    # --- the oldest 31 rows of the r10 block (r10-window order) ---
     "knn_incremental",
     "docs_quality_calibration",
     "streaming_knn_screen",
@@ -157,7 +159,6 @@ PRIORITY_ORDER = [
     "events_time_to_convert",
     "events_ab_experiment",
     "events_dn_retention",
-    "events_growth_accounting",
 ]
 
 _ROUND13_WINDOW = [

@@ -3624,6 +3624,102 @@ def text_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_index_compact",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ),
+        touched AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df_removed
+            FROM tf WHERE doc_id % 10 = 3 GROUP BY term
+        ),
+        live AS (
+            SELECT tf.term, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(cnt) AS BIGINT) AS tf,
+                   array_to_string(list_sort(list(doc_id))[1:{POSTING_HEAD_K}], ',')
+                       AS posting_head
+            FROM tf JOIN touched USING (term)
+            WHERE doc_id % 10 <> 3
+            GROUP BY tf.term
+        )
+        SELECT t.term, t.df_removed,
+               COALESCE(l.df, 0) AS df,
+               COALESCE(l.tf, 0) AS tf,
+               COALESCE(l.posting_head, '') AS posting_head,
+               (l.term IS NULL) AS vocab_lost
+        FROM touched t LEFT JOIN live l USING (term)
+        ORDER BY t.term
+    """,
+    tags=("llm", "text", "index", "incremental"),
+    doc=(
+        "Index compaction — the text-side DELETE verb, the mirror of "
+        "text_index_merge's insert contract and the compaction "
+        "knn_tombstone_screen's serve-time mask defers to: a "
+        "deterministic slice (doc_id % 10 = 3) deletes from the corpus "
+        "and the compactor REWRITES the affected posting pages from the "
+        "stored index — for every term the deleted docs carried, the "
+        "postings removed (df_removed), the surviving page (live df, "
+        "total tf, the rank-capped first-{K} doc_id-sorted posting "
+        "head — same page convention as the index build and the merge), "
+        "and the vocab_lost flag when a term's last posting died "
+        "(COALESCEd zero-rows, not silent absence — vocabulary loss is "
+        "a signal downstream BM25 scoring needs). THE ORACLE IS THE "
+        "CONTRACT, symmetric to the merge entry: the Spark side "
+        "computes pages by SUBTRACTING from the stored artifact (the "
+        "memoized tf checkpoint anti-masked on the deleted slice — no "
+        "corpus re-tokenization), the DuckDB side REBUILDS the pages "
+        "from the surviving documents from scratch; the driver's exact "
+        "hash compare is the compaction-equals-rebuild proof. Scale "
+        "shape: output and all post-mask work are bounded by the "
+        "DELETED docs' vocabulary (the touched-term broadcast semi-join "
+        "prunes before the term window); the one relation scanned is "
+        "the stored checkpoint; zero parquet scans in the final plan."
+    ).replace("{K}", str(POSTING_HEAD_K)),
+)
+def text_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tf = _text_tf_base(spark, sf_dir)
+    deleted = tf.filter(F.col("doc_id") % 10 == 3)
+    touched = deleted.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_removed")
+    )
+    live = tf.filter(F.col("doc_id") % 10 != 3).join(
+        F.broadcast(touched.select("term")), "term"
+    )
+    w = W.partitionBy("term")
+    ranked = live.select(
+        "term",
+        "doc_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("df"),
+        F.sum("cnt").over(w).cast("long").alias("tf"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+    ).filter(F.col("rn") <= POSTING_HEAD_K)
+    pages = ranked.groupBy("term").agg(
+        F.first("df").alias("df"),
+        F.first("tf").alias("tf"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+            "posting_head"
+        ),
+    )
+    return (
+        touched.join(pages, "term", "left")
+        .select(
+            "term",
+            "df_removed",
+            F.coalesce("df", F.lit(0)).cast("long").alias("df"),
+            F.coalesce("tf", F.lit(0)).cast("long").alias("tf"),
+            F.coalesce("posting_head", F.lit("")).alias("posting_head"),
+            F.col("df").isNull().alias("vocab_lost"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
     "docs_skipgram_pairs",
     oracle="""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -611,6 +611,15 @@ HEADLINERS = {
         "scan (the batch); the top-1 election is the shared window-free "
         "min(struct)."
     ),
+    "text_index_compact": (
+        "Text-index compaction (the text DELETE verb). Check: ZERO "
+        "parquet scans — compaction SUBTRACTS from the stored text_tf "
+        "checkpoint (no corpus re-tokenization); the touched-term "
+        "broadcast semi-join bounds everything by the deleted docs' "
+        "vocabulary before the term window; the rewritten posting head "
+        "is rank-capped to K rows per term; vocab-lost terms emit "
+        "COALESCEd zero pages via the left join, never silent absence."
+    ),
 }
 
 
