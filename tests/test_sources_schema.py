@@ -113,4 +113,11 @@ def test_streaming_path_matches_batch_for_both_encodings(spark, encoded_dirs):
         rows = streaming_hourly(spark, d).collect()
         assert rows, f"{unit}: empty streaming aggregate"
         results[unit] = rows
-    assert results["ns"] == results["us"]
+    # full row dumps in the message: this assert flaked ONCE in a
+    # full-suite run (round 14, 1-of-3 runs; green in isolation 8/8 and
+    # in the two other full runs) — if it fires again, the diff below is
+    # the evidence needed to localize the pool race
+    assert results["ns"] == results["us"], (
+        f"ns={sorted(map(tuple, results['ns']))} "
+        f"us={sorted(map(tuple, results['us']))}"
+    )
