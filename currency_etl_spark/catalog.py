@@ -67,10 +67,89 @@ GRADING_WINDOW = 50
 #: this round — otherwise the pin self-rots the moment the round-end file
 #: lands (the round-9 verdict's one red test). Bump this together with
 #: every PRIORITY_ORDER rewrite.
-PRIORITY_ORDER_BASIS_ROUND = 13
+PRIORITY_ORDER_BASIS_ROUND = 14
 
 PRIORITY_ORDER = [
-    # ROUND 14 WINDOW — the standing staleness rotation, executing
+    # ROUND 15 WINDOW — the standing staleness rotation, executing
+    # round-14 verdict item 1. Source: `python tools/make_window.py
+    # --through-round 14` — the committed list below is the tool's
+    # output VERBATIM. Composition: there are no never-graded entries
+    # at rotation time (any NEW r15 entry leads automatically when the
+    # list is regenerated as it lands, each taking a slot from the
+    # r11 fill's tail — the ceding rows are documented here when that
+    # happens); the 19 owed r10 rows lead the fill — the verdict item 1
+    # list: the four rows that ceded r14 slots and sit earliest in the
+    # r10 window (events_growth_accounting, events_slo_burn,
+    # events_skew_report, customers_rfm_segments), then the 11 waiting
+    # rows (parts_revenue_pareto .. lineitem_equidepth_histogram), then
+    # the other four ceded rows (supplier_reach_bfs, streaming_late_drop,
+    # multimodal_phash_dedup, multimodal_phash_near), all in r10-window
+    # order per the tool's within-round rule; then the oldest 31 rows of
+    # the r11 block (r11-window order). 19 + 31 = 50. After r15 the
+    # staleness ledger becomes: 50×r15, 50×r14, 50×r13, 50×r12, and the
+    # remaining 19 r11 rows — no entry's newest row older than r11
+    # (advancing the round-13 done-condition by one round). All waiting
+    # rows remain locally oracle-verified at sf0.001 on every pytest run
+    # (tests/test_oracle.py); the builder's logged driver simulation
+    # repeats the comparison at sf0.01.
+    #
+    # --- the 19 owed r10 rows (r10-window order) ---
+    "events_growth_accounting",
+    "events_slo_burn",
+    "events_skew_report",
+    "customers_rfm_segments",
+    "parts_revenue_pareto",
+    "orders_market_basket",
+    "customers_interorder_gap",
+    "customers_segment_migration",
+    "customers_churn_labels",
+    "customers_spend_gini",
+    "orders_sample_estimate",
+    "orders_forecast_backtest",
+    "part_brand_price_elasticity",
+    "nation_supplier_hhi",
+    "lineitem_equidepth_histogram",
+    "supplier_reach_bfs",
+    "streaming_late_drop",
+    "multimodal_phash_dedup",
+    "multimodal_phash_near",
+    # --- the oldest 31 rows of the r11 block (r11-window order) ---
+    "knn_index_staleness",
+    "streaming_phash_screen",
+    "customers_t_closeness",
+    "events_scd2_asof",
+    "events_session_stats",
+    "orders_weekday_seasonality",
+    "docs_embedding_coverage",
+    "docs_index_lookup",
+    "docs_deterministic_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "top_customers",
+    "topk_orders_per_segment",
+    "rollup_segment_nation",
+    "cube_status_priority",
+    "set_customers_both_statuses",
+    "set_customers_no_open_orders",
+    "cust_above_nation_avg",
+    "similar_part_names",
+    "ref_avg_value",
+    "ref_days_available",
+    "ref_num_types",
+    "ref_range_window",
+    "ref_last_value",
+    "ref_change_month",
+    "ref_rolling_avg7",
+    "ref_forecast5",
+    "text_stats",
+    "lang_id",
+]
+
+_ROUND14_WINDOW = [
+    # ROUND 14 WINDOW (kept for the rotation audit trail) — the
+    # standing staleness rotation, executing
     # round-13 verdict item 1. Source: `python tools/make_window.py
     # --through-round 13` — the committed list below is the tool's
     # output with ONE documented nuance applied (the ceded-tail-first
