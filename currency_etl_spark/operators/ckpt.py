@@ -100,7 +100,19 @@ def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
     The stored key additionally folds in the owning session's
     applicationId: a checkpointed DataFrame is bound to its SparkSession,
     so after a session restart a memo hit would otherwise hand back a
-    DataFrame of a dead session (round-7 advice)."""
+    DataFrame of a dead session (round-7 advice).
+
+    LOCK-ORDERING INVARIANT (r14 advice): ``build()`` runs while holding
+    this tag's lock, and builds may NESTED-call memo_checkpoint for a
+    second tag (ivf_index → ivf_cents, text_df → text_tf). That is safe
+    only because the tag dependency graph is a DAG and every nested call
+    goes strictly "downward" (a build may only depend on tags that never
+    — directly or transitively — build IT). A future cyclic tag
+    dependency would deadlock two pool threads acquiring the cycle from
+    opposite ends. When adding a memo tag whose build calls another
+    memoized builder, keep the dependency one-directional; if a genuine
+    mutual dependency ever appears, restructure so the shared piece is
+    its own (lower) tag both depend on."""
     from pyspark.sql import SparkSession
 
     # getActiveSession is THREAD-local: a pool worker thread (the

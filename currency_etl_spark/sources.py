@@ -7,6 +7,7 @@ discovery via partition pruning, S4 parquet scan, S6 multi-file glob scan.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,6 +80,22 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+#: Serializes the nanosAsLong set/read/restore window below. The conf is
+#: SESSION-global and the streaming pool invokes stream builders — which
+#: land here on every _SCHEMA_CACHE miss — from an 8-thread fan-out
+#: (streaming/jobs._start_pool_queries). Unlocked, two interleavings are
+#: real (both reproduced under a thread hammer, r15; the regression pin is
+#: tests/test_sources_schema.py::test_read_events_raw_thread_safety):
+#:   * thread A's finally-unset lands between B's set and B's footer
+#:     read → B reads a TIMESTAMP(NANOS) footer with the conf off →
+#:     AnalysisException [PARQUET_TYPE_ILLEGAL] — the suspected r14
+#:     1-in-3-runs dual-encoding flake (the pool stores the victim
+#:     builder's exception for its entry to raise);
+#:   * B captures A's transient "true" as its prev and restores it →
+#:     the legacy conf leaks session-wide for the process lifetime.
+_NANOS_CONF_LOCK = threading.Lock()
+
+
 def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read that tolerates both historical `ts` encodings.
 
@@ -86,17 +103,19 @@ def read_events_raw(spark: SparkSession, path: str) -> DataFrame:
     TIMESTAMP(NANOS) footer schema (nanos → long) and is a no-op for any
     other encoding; lazy execution of the returned plan no longer needs it
     (verified empirically, batch + stream), so restore the session value
-    instead of leaking a global.
+    instead of leaking a global. The whole window holds _NANOS_CONF_LOCK —
+    see there for the two thread races this prevents.
     """
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        return spark.read.parquet(path)
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    with _NANOS_CONF_LOCK:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            return spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -16,6 +16,7 @@ with a watermark instead of complete mode.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,8 +34,13 @@ STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"
 
 #: (applicationId, sf_dir) → raw events parquet schema. The batch
 #: schema-conversion read is identical for all three jobs — one footer
-#: read per session instead of one per graded entry.
+#: read per session instead of one per graded entry. Population is
+#: double-check-locked: the pool start fans builders out over threads,
+#: and without the lock every builder pays its own footer read on a cold
+#: cache (the nanosAsLong conf those reads flip is separately serialized
+#: by sources._NANOS_CONF_LOCK — the r15 flake fix).
 _SCHEMA_CACHE: dict = {}
+_SCHEMA_CACHE_LOCK = threading.Lock()
 
 
 def _landing_key(sf_dir: str) -> str:
@@ -62,8 +68,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
-        schema = read_events_raw(spark, path).schema
-        _SCHEMA_CACHE[key] = schema
+        with _SCHEMA_CACHE_LOCK:
+            schema = _SCHEMA_CACHE.get(key)
+            if schema is None:
+                schema = read_events_raw(spark, path).schema
+                _SCHEMA_CACHE[key] = schema
     stream_dir = os.path.join("/tmp", "ces_stream", _landing_key(sf_dir), "events")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")

@@ -101,6 +101,48 @@ def test_real_corpus_events_loads(spark, sf_dir):
     assert df.limit(1).count() == 1
 
 
+def test_read_events_raw_thread_safety(spark, encoded_dirs):
+    """r15 root-cause pin for the r14 1-in-3-runs dual-encoding flake.
+
+    read_events_raw flips the SESSION-global nanosAsLong conf around the
+    footer read, and the streaming pool calls it from an 8-thread builder
+    fan-out on every schema-cache miss. Before _NANOS_CONF_LOCK, a thread
+    hammer reproduced two race artifacts on this exact fixture:
+      * conf leak — a thread captures another's transient "true" as its
+        prev and restores it, leaving the legacy conf set for the rest of
+        the session (reproduced on the FIRST hammer run, r15 session);
+      * [PARQUET_TYPE_ILLEGAL] — a thread's finally-unset lands between
+        another's set and footer read, so the NANOS footer converts with
+        the conf off (the stored-exception path that matches the r14
+        flake's lost-traceback failure).
+    With the lock, neither can occur: no reader may observe another
+    caller's transient conf state.
+    """
+    import threading
+
+    ns_path = os.path.join(encoded_dirs["ns"], "events.parquet")
+    baseline = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    failures: list = []
+
+    def worker():
+        for _ in range(10):
+            try:
+                df = sources.read_events_raw(spark, ns_path)
+                assert isinstance(df.schema["ts"].dataType, T.LongType)
+            except Exception as ex:  # noqa: BLE001 — collected for the assert
+                failures.append(repr(ex))
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not failures, failures[:3]
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) == baseline
+    ), "nanosAsLong leaked out of read_events_raw under concurrency"
+
+
 def test_streaming_path_matches_batch_for_both_encodings(spark, encoded_dirs):
     """The streaming mirror (streaming/jobs._events_stream) must tolerate
     both physical encodings too — in round 4 it failed in lockstep with the
