@@ -93,6 +93,14 @@ PRIORITY_ORDER = [
     # (tests/test_oracle.py); the builder's logged driver simulation
     # repeats the comparison at sf0.01.
     #
+    # NEW this round (list regenerated as each landed, per the standing
+    # convention; each NEW entry takes a slot from the r11 fill's tail —
+    # the ceding rows, owed the r16 fill head, are documented per entry):
+    # knn_index_compact (the vector compaction ACTION, round-14 verdict
+    # item 3; ceded: lang_id).
+    #
+    # --- NEW this round (first driver rows) ---
+    "knn_index_compact",  # NEW
     # --- the 19 owed r10 rows (r10-window order) ---
     "events_growth_accounting",
     "events_slo_burn",
@@ -144,7 +152,6 @@ PRIORITY_ORDER = [
     "ref_rolling_avg7",
     "ref_forecast5",
     "text_stats",
-    "lang_id",
 ]
 
 _ROUND14_WINDOW = [

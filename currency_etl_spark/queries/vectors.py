@@ -2110,6 +2110,135 @@ def knn_tombstone_screen(
     return screen_top1(screen_candidates(batch, cents, live, nprobe))
 
 
+#: Surviving-member head length per compacted cell page (ascending
+#: vec_id) — the vector analog of the text index's POSTING_HEAD_K page
+#: convention. Shared verbatim by the oracle.
+MEMBER_HEAD_K = 8
+
+
+@register(
+    "knn_index_compact",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, label, {_SQL_QV} AS qv FROM embeddings),
+        corpus AS (SELECT * FROM q WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_REM}),
+        cents AS (
+            SELECT vec_id AS cid, qv AS cq FROM corpus ORDER BY vec_id LIMIT {N_CENTROIDS}
+        ),
+        ad AS (
+            SELECT c.vec_id, ce.cid, {_SQL_DIST_Q.format(a='c.qv', b='ce.cq')} AS d
+            FROM corpus c, cents ce
+        ),
+        asg AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM ad
+            ) WHERE rn = 1
+        ),
+        -- REBUILD from survivors: the oracle derives the compacted pages
+        -- from the surviving vectors alone (per-vector assignment against
+        -- the FROZEN codebook), never by subtracting from a stored
+        -- artifact — hash equality with the Spark side's subtraction IS
+        -- the compaction-equals-rebuild proof
+        sidx AS (
+            SELECT c.vec_id, a.cid,
+                   list_aggregate(list_transform(c.qv, x -> abs(x)), 'sum') AS l1
+            FROM corpus c JOIN asg a USING (vec_id)
+            WHERE c.vec_id % {DELETE_MOD} <> {DELETE_REM}
+        ),
+        rem AS (
+            SELECT a.cid, CAST(count(*) AS BIGINT) AS n_removed
+            FROM asg a WHERE a.vec_id % {DELETE_MOD} = {DELETE_REM}
+            GROUP BY a.cid
+        ),
+        pages AS (
+            SELECT cid, CAST(count(*) AS BIGINT) AS n_live,
+                   array_to_string(list_sort(list(vec_id))[1:{MEMBER_HEAD_K}], ',')
+                       AS member_head,
+                   CAST(sum(l1) AS VARCHAR) AS qv_l1
+            FROM sidx GROUP BY cid
+        )
+        SELECT CAST(rem.cid AS BIGINT) AS cid, rem.n_removed,
+               CAST(COALESCE(p.n_live, 0) AS BIGINT) AS n_live,
+               COALESCE(p.member_head, '') AS member_head,
+               COALESCE(p.qv_l1, '0') AS qv_l1,
+               p.n_live IS NULL AS cell_lost
+        FROM rem LEFT JOIN pages p USING (cid)
+        ORDER BY cid
+    """,
+    tags=("llm", "vector", "ann", "incremental"),
+    doc=(
+        "Index compaction — the ACTION the tombstone screen defers "
+        "(round-14 verdict item 3), promoting knn_tombstone_screen's "
+        "masked-equals-compacted numpy pin to a graded entry the way "
+        "text_index_compact did for the text index: the stored "
+        "cell-assignment relation is REWRITTEN minus the tombstoned "
+        f"slice (vec_id % {DELETE_MOD} = {DELETE_REM}), emitting one "
+        "page row per touched cell — members removed, surviving cell "
+        f"size, the first {MEMBER_HEAD_K} surviving member ids "
+        "(ascending, the text index's posting-head page convention), an "
+        "exact L1 checksum of the surviving quantized vectors (decimal "
+        "summed, emitted as a string so the contract survives any cell "
+        "size without int64 wrap), and a cell_lost flag for cells "
+        "deletion emptied — the signal that a codebook anchor now "
+        "quantizes nothing and a RETRAIN (knn_index_rebuild's verb) is "
+        "due. Spark compacts by SUBTRACTING from the persisted artifact "
+        "(one filter over the memoized ivf_index checkpoint — zero "
+        "parquet scans, plan-pinned); the oracle REBUILDS the pages "
+        "from the surviving vectors alone, so the driver's hash compare "
+        "is the compaction-equals-rebuild proof (valid because cell "
+        "assignment is per-vector against the frozen codebook — masking "
+        "commutes with rebuild; serving equality over the compacted "
+        "relation is pinned cross-entry against the masked screen in "
+        "tests/test_knn_incremental.py). Scale shape: output and all "
+        "post-filter work are cell-page-bounded; the per-cell window "
+        "rank-caps member heads before any list materializes (no "
+        "unbounded collect_list); the one relation scanned is the "
+        "stored checkpoint."
+    ),
+)
+def knn_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _ivf_index_base(spark, sf_dir)
+    l1 = F.aggregate(
+        "qv", F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+    )
+    removed = (
+        idx.filter(F.col("vec_id") % DELETE_MOD == DELETE_REM)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+    )
+    live = idx.filter(F.col("vec_id") % DELETE_MOD != DELETE_REM).select(
+        "cid", "vec_id", l1.alias("l1")
+    )
+    w = W.partitionBy("cid")
+    ranked = live.select(
+        "cid",
+        "vec_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_live"),
+        F.sum(F.col("l1").cast("decimal(28,0)")).over(w).alias("l1s"),
+        F.row_number().over(w.orderBy("vec_id")).alias("rn"),
+    ).filter(F.col("rn") <= MEMBER_HEAD_K)
+    pages = ranked.groupBy("cid").agg(
+        F.first("n_live").alias("n_live"),
+        F.first("l1s").cast("decimal(38,0)").cast("string").alias("qv_l1"),
+        F.concat_ws(",", F.sort_array(F.collect_list("vec_id"))).alias(
+            "member_head"
+        ),
+    )
+    return (
+        removed.join(pages, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_removed",
+            F.coalesce("n_live", F.lit(0)).cast("long").alias("n_live"),
+            F.coalesce("member_head", F.lit("")).alias("member_head"),
+            F.coalesce("qv_l1", F.lit("0")).alias("qv_l1"),
+            F.col("n_live").isNull().alias("cell_lost"),
+        )
+        .orderBy("cid")
+    )
+
+
 @register(
     "knn_index_staleness",
     oracle=f"""

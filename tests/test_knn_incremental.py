@@ -669,3 +669,91 @@ def test_tombstone_full_probe_is_exact_over_survivors(spark):
 
     got = _rows(knn_tombstone_screen(spark, SF, nprobe=N_CENTROIDS))
     assert got == _np_tombstone(SF, N_CENTROIDS)
+
+
+# ---------------------------------------------------------------------------
+# knn_index_compact: the compaction ACTION the tombstone screen defers
+# ---------------------------------------------------------------------------
+
+
+def test_compact_pages_match_numpy_rebuild(spark):
+    """The compacted cell pages must equal a pure-python rebuild from the
+    SURVIVORS alone (per-vector assignment against the frozen codebook)
+    — the artifact-level form of masking-commutes-with-rebuild."""
+    from currency_etl_spark.queries.vectors import (
+        DELETE_MOD,
+        DELETE_REM,
+        MEMBER_HEAD_K,
+        knn_index_compact,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    qv = {
+        r.vec_id: np.round(
+            np.asarray(r.embedding, dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        for r in emb.itertuples()
+    }
+    is_batch = lambda v: v % KNN_BATCH_MOD == KNN_BATCH_REM
+    corpus = sorted(v for v in qv if not is_batch(v))
+    cents = corpus[:N_CENTROIDS]
+
+    def d2(a, b):
+        d = qv[a] - qv[b]
+        return int((d * d).sum())
+
+    cell = {v: min(cents, key=lambda c: (d2(v, c), c)) for v in corpus}
+    removed: dict = {}
+    live: dict = {}
+    for v in corpus:
+        (removed if v % DELETE_MOD == DELETE_REM else live).setdefault(
+            cell[v], []
+        ).append(v)
+    want = []
+    for cid in sorted(removed):
+        members = sorted(live.get(cid, []))
+        want.append(
+            (
+                cid,
+                len(removed[cid]),
+                len(members),
+                ",".join(str(v) for v in members[:MEMBER_HEAD_K]),
+                str(sum(int(np.abs(qv[v]).sum()) for v in members)),
+                not members,
+            )
+        )
+    got = [tuple(r) for r in knn_index_compact(spark, SF).collect()]
+    assert got == want
+    assert got, "graded corpus has touched cells"
+
+
+def test_compact_serving_equals_masked_screen(spark):
+    """Cross-entry pin (round-14 verdict item 3): serving over the
+    REWRITTEN (compacted) assignment relation is bit-identical to
+    knn_tombstone_screen's serve-time masking of the stored artifact."""
+    from currency_etl_spark.queries.vectors import (
+        DELETE_MOD,
+        DELETE_REM,
+        _ivf_cents_base,
+        _ivf_index_base,
+        knn_tombstone_screen,
+        screen_candidates,
+        screen_top1,
+        table,
+    )
+    from pyspark.sql import functions as F
+
+    compacted = _ivf_index_base(spark, SF).filter(
+        F.col("vec_id") % DELETE_MOD != DELETE_REM
+    )
+    from currency_etl_spark.queries.vectors import _q_longs
+
+    batch = (
+        table(spark, SF, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
+        .select("vec_id", "label", _q_longs().alias("qv"))
+    )
+    served = screen_top1(
+        screen_candidates(batch, _ivf_cents_base(spark, SF), compacted, IVF_NPROBE)
+    )
+    assert _rows(served) == _rows(knn_tombstone_screen(spark, SF))

@@ -663,6 +663,19 @@ def test_dedup_canonical_shuffles_digests_not_text(spark, sf_dir):
     assert "text#" not in shuffled
 
 
+def test_index_compact_reads_stored_checkpoint_only(spark, sf_dir):
+    """The compaction ACTION rewrites the persisted assignment relation:
+    its whole plan reads the memoized ivf_index checkpoint — zero parquet
+    scans, no cartesian anything, no Python in the plan."""
+    from currency_etl_spark.queries.vectors import knn_index_compact
+
+    p = plan_of(knn_index_compact(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_lsh_recall_reads_memoized_bases(spark, sf_dir):
     """The recall report consumes the family's materialized index — no
     parquet rescan of the corpus anywhere in the final plan — and its
