@@ -97,10 +97,19 @@ PRIORITY_ORDER = [
     # convention; each NEW entry takes a slot from the r11 fill's tail —
     # the ceding rows, owed the r16 fill head, are documented per entry):
     # knn_index_compact (the vector compaction ACTION, round-14 verdict
-    # item 3; ceded: lang_id).
+    # item 3; ceded: lang_id); knn_index_rebuild (the codebook-retrain
+    # ACTION the drift monitors decide on, round-14 verdict item 4;
+    # ceded: text_stats); docs_bm25_escalate (BM25 posting-depth
+    # escalation for conjunctive retrieval, round-14 verdict item 6;
+    # ceded: ref_forecast5); streaming_sessions_append (append-mode
+    # session_window closure semantics, round-14 verdict item 8; ceded:
+    # ref_rolling_avg7).
     #
     # --- NEW this round (first driver rows) ---
     "knn_index_compact",  # NEW
+    "knn_index_rebuild",  # NEW
+    "docs_bm25_escalate",  # NEW
+    "streaming_sessions_append",  # NEW
     # --- the 19 owed r10 rows (r10-window order) ---
     "events_growth_accounting",
     "events_slo_burn",
@@ -149,9 +158,6 @@ PRIORITY_ORDER = [
     "ref_range_window",
     "ref_last_value",
     "ref_change_month",
-    "ref_rolling_avg7",
-    "ref_forecast5",
-    "text_stats",
 ]
 
 _ROUND14_WINDOW = [

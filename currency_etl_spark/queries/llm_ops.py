@@ -4087,3 +4087,341 @@ def docs_cdc_chunks(
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Posting-depth escalation (the text analog of knn_filtered_escalate)
+# ---------------------------------------------------------------------------
+
+#: Head-depth escalation schedule for serving through rank-capped posting
+#: pages: the stored page depth, its double, then the full posting — the
+#: (cap, 2xcap, full) ladder of the round-14 verdict. Capped tiers read
+#: the memoized rank-capped heads; the final tier reads the complete
+#: stored tf relation (no rank at all), emitted as eff_depth 0.
+IDX_ESC_SCHEDULE = (POSTING_HEAD_K, 2 * POSTING_HEAD_K)
+
+
+def _text_posting_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered rank-capped posting heads of the stored index —
+    (doc_id, term, cnt, prank), prank = position in the term's posting
+    under (cnt DESC, doc_id) and capped at the deepest scheduled tier
+    (2x the page depth). Impact ordering (Anh & Moffat's impact-sorted
+    postings) is the SERVING head convention — highest-tf documents
+    first — distinct from docs_inverted_index's doc_id-sorted display
+    head. Memoized per session/SF (memo tag ``text_posting_heads``): a
+    production index stores pages already rank-ordered, so serving reads
+    a bounded prefix per term and never sorts a posting at query time."""
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    def build():
+        from pyspark.sql import Window as W
+
+        cap = IDX_ESC_SCHEDULE[-1]
+        return (
+            _text_tf_base(spark, sf_dir)
+            .select(
+                "doc_id",
+                "term",
+                "cnt",
+                F.row_number()
+                .over(W.partitionBy("term").orderBy(F.desc("cnt"), "doc_id"))
+                .alias("prank"),
+            )
+            .filter(F.col("prank") <= cap)
+        )
+
+    return memo_checkpoint("text_posting_heads", sf_dir, build)
+
+
+def _index_escalate_impl(
+    q: DataFrame,
+    heads: DataFrame,
+    tf: DataFrame,
+    schedule: tuple = IDX_ESC_SCHEDULE,
+) -> DataFrame:
+    """Core escalation over prepared relations (factored so the
+    cap-exhaustion fixture test can drive a crafted corpus): ``q`` is the
+    2-term conjunctive query relation (qid, term, qrn), ``heads`` the
+    rank-capped impact-ordered SCORED postings (doc_id, term, score_q,
+    prank), ``tf`` the full scored postings (doc_id, term, score_q) —
+    score_q is whatever integer per-(term, doc) relevance the caller
+    quantized (BM25 in the graded entry, raw tf in fixtures); serving
+    sums it per document. A query is SERVED at the first scheduled head
+    depth where BOTH its terms' depth-capped postings share at least one
+    foreign document; the final uncapped round serves whatever the full
+    intersection holds (a query whose true intersection is empty emits
+    nothing — a statement about the corpus, not the cap). Still-hungry
+    queries anti-join forward between rounds over a checkpointed
+    shrinking remainder, exactly the knn_filtered_escalate boundary
+    discipline."""
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    def _pool(postings: DataFrame, qs: DataFrame) -> DataFrame:
+        return (
+            postings.join(F.broadcast(qs), "term")
+            .filter(F.col("doc_id") != F.col("qid"))
+            .groupBy("qid", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("nt"),
+                F.sum("score_q").cast("long").alias("sq"),
+            )
+            .filter(F.col("nt") == 2)
+        )
+
+    def _serve(pool: DataFrame, depth: int) -> DataFrame:
+        w = W.partitionBy("qid")
+        return (
+            pool.select(
+                "qid",
+                F.col("doc_id").alias("nn_doc_id"),
+                "sq",
+                F.row_number()
+                .over(w.orderBy(F.desc("sq"), "doc_id"))
+                .alias("rn"),
+                F.count(F.lit(1)).over(w).cast("long").alias("n_candidates"),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "qid",
+                "nn_doc_id",
+                "sq",
+                "n_candidates",
+                F.lit(depth).cast("long").alias("eff_depth"),
+            )
+        )
+
+    remaining, parts = q, []
+    for i, p in enumerate(schedule):
+        pool = _pool(heads.filter(F.col("prank") <= p), remaining)
+        parts.append(_serve(pool, p))
+        served_ids = pool.select("qid").distinct()
+        # checkpoint the shrinking remainder at every round boundary —
+        # without it each later round's anti-join lineage re-executes all
+        # earlier rounds' pools. Bounded tag pool: len(schedule)+1 tags.
+        remaining = swap_checkpoint(
+            f"idx_esc_rem{i + 1}",
+            remaining.join(served_ids, "qid", "left_anti"),
+        )
+    parts.append(_serve(_pool(tf, remaining), 0))
+
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    lbl = q.groupBy("qid").agg(
+        F.max(F.when(F.col("qrn") == 1, F.col("term"))).alias("term1"),
+        F.max(F.when(F.col("qrn") == 2, F.col("term"))).alias("term2"),
+    )
+    return (
+        out.join(F.broadcast(lbl), "qid")
+        .select(
+            "qid",
+            "term1",
+            "term2",
+            "nn_doc_id",
+            F.col("sq").alias("score_q"),
+            "n_candidates",
+            "eff_depth",
+        )
+        .orderBy("qid")
+    )
+
+
+#: Shared formula text of the per-(term, doc) quantized BM25 contribution
+#: — char-identical to docs_bm25_search's scored CTE so the IEEE op
+#: sequence (and therefore every 1e-6 lattice point) is the same in both
+#: entries and both engines. Placeholders: {cnt} {df} {dl}.
+_SQL_BM25_TERM = (
+    "CAST(round("
+    "ln(1.0 + (CAST(nd AS DOUBLE) - {df} + 0.5) / ({df} + 0.5))"
+    " * ({cnt} * 2.2 / ({cnt} + 1.2 * (0.25 + 0.75 * CAST({dl} * nd AS DOUBLE) / s_tokens)))"
+    " * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    "docs_bm25_escalate",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            GROUP BY doc_id, term
+        ),
+        dls AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        stats AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS s_tokens FROM dls),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        btf AS (SELECT * FROM tf WHERE doc_id % 10 = 7),
+        q AS (
+            SELECT doc_id AS qid, term, rn AS qrn FROM (
+                SELECT doc_id, term,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, term) AS rn
+                FROM btf
+            ) WHERE rn <= 2
+        ),
+        lbl AS (
+            SELECT qid,
+                   max(CASE WHEN qrn = 1 THEN term END) AS term1,
+                   max(CASE WHEN qrn = 2 THEN term END) AS term2
+            FROM q GROUP BY qid
+        ),
+        sp AS (
+            SELECT t.doc_id, t.term,
+                   ROW_NUMBER() OVER (PARTITION BY t.term
+                                      ORDER BY t.cnt DESC, t.doc_id) AS prank,
+                   {_SQL_BM25_TERM.format(cnt='t.cnt', df='f.df', dl='d.dl')} AS score_q
+            FROM tf t JOIN dfreq f USING (term) JOIN dls d USING (doc_id)
+            CROSS JOIN stats
+            WHERE t.term IN (SELECT term FROM q)
+        ),
+        sched AS ({" UNION ALL ".join(f"SELECT {p} AS p" for p in IDX_ESC_SCHEDULE)}),
+        cpool AS (
+            SELECT qs.qid, h.doc_id, s.p,
+                   CAST(sum(h.score_q) AS BIGINT) AS sq
+            FROM q qs
+            JOIN sp h ON h.term = qs.term AND h.doc_id <> qs.qid
+            JOIN sched s ON h.prank <= s.p
+            GROUP BY qs.qid, h.doc_id, s.p
+            HAVING count(*) = 2
+        ),
+        eff AS (SELECT qid, min(p) AS eff_p FROM cpool GROUP BY qid),
+        fpool AS (
+            SELECT qs.qid, h.doc_id, CAST(sum(h.score_q) AS BIGINT) AS sq
+            FROM q qs
+            JOIN sp h ON h.term = qs.term AND h.doc_id <> qs.qid
+            GROUP BY qs.qid, h.doc_id
+            HAVING count(*) = 2
+        ),
+        pool AS (
+            SELECT c.qid, c.doc_id, c.sq, CAST(e.eff_p AS BIGINT) AS eff_depth
+            FROM cpool c JOIN eff e ON e.qid = c.qid AND c.p = e.eff_p
+            UNION ALL
+            SELECT f.qid, f.doc_id, f.sq, CAST(0 AS BIGINT)
+            FROM fpool f LEFT JOIN eff e ON e.qid = f.qid
+            WHERE e.qid IS NULL
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY sq DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY qid) AS n_candidates
+            FROM pool
+        )
+        SELECT r.qid, l.term1, l.term2, r.doc_id AS nn_doc_id,
+               CAST(r.sq AS DOUBLE) / 1000000 AS bm25,
+               CAST(r.n_candidates AS BIGINT) AS n_candidates, r.eff_depth
+        FROM ranked r JOIN lbl l ON l.qid = r.qid
+        WHERE r.rn = 1
+        ORDER BY r.qid
+    """,
+    tags=("llm", "text", "index", "search", "incremental"),
+    doc=(
+        "Posting-depth escalation for BM25 retrieval through rank-capped "
+        "posting heads — the text analog of knn_filtered_escalate, "
+        "closing the recall hazard the round-14 verdict named (item 6): "
+        "an index that SERVES from capped posting pages can exhaust a "
+        "head before a rare conjunctive query finds any co-occurrence, "
+        "so production stores escalate page depth until the query is "
+        "served or the posting is exhausted. Queries are the arriving "
+        "batch's docs (doc_id % 10 = 7, the text-maintenance slice), "
+        "each asking for documents sharing BOTH of its two highest-tf "
+        "terms (ties to the lexicographically smaller term) — the "
+        "rare-conjunction shape. Schedule "
+        f"({IDX_ESC_SCHEDULE[0]}, {IDX_ESC_SCHEDULE[1]}, full): capped "
+        "tiers read the MEMOIZED impact-ordered heads "
+        "(text_posting_heads — Anh & Moffat impact order, cnt DESC then "
+        "doc_id, the serving convention as opposed to the display page's "
+        "doc_id sort), the final tier reads the complete stored tf "
+        "relation with no rank at all and is emitted as eff_depth 0; a "
+        "query whose TRUE intersection is empty emits nothing — a "
+        "truthful statement about the corpus, not a cap artifact. A "
+        "query is served at the first scheduled depth where its two "
+        "depth-capped postings share a foreign document, ranked by "
+        "summed BM25 (docs_bm25_search's exact per-term idf x "
+        "tf-saturation contribution, quantized to 1e-6 int64 BEFORE the "
+        "per-doc sum so the ordering is integer-backed in both engines) "
+        "with pool size (n_candidates) and eff_depth graded in the "
+        "output — the operational signal that a term pair needs deeper "
+        "pages. Scale shape: the query relation is tiny and broadcast "
+        "on every tier; scoring joins touch ONLY the query terms' "
+        "postings (the q-term semi-filter precedes the df/dl joins); "
+        "capped tiers read bounded posting prefixes (<= 2x page depth "
+        "rows per term) from one checkpointed scored-heads relation; "
+        "only queries that exhausted BOTH capped tiers pay the "
+        "full-posting join, and the remainder anti-joins down over "
+        "checkpointed round boundaries so no tier re-executes an "
+        "earlier one. The declarative twin states the identical fixed "
+        "point: eff = min scheduled depth whose conjunctive pool is "
+        "non-empty, else full."
+    ),
+)
+def docs_bm25_escalate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    btf = _text_batch_tf(spark, sf_dir)
+    # the 2-term query relation: every tier's pool join plus the label
+    # rollup read it — checkpoint once, 2 rows per batch doc
+    q = swap_checkpoint(
+        "bm25_esc_q",
+        btf.select(
+            F.col("doc_id").alias("qid"),
+            "term",
+            F.row_number()
+            .over(
+                W.partitionBy("doc_id").orderBy(F.desc("cnt"), "term")
+            )
+            .alias("qrn"),
+        ).filter(F.col("qrn") <= 2),
+    )
+    tf = _text_tf_base(spark, sf_dir)
+    dfreq = _text_df_base(spark, sf_dir)
+    dls = tf.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("dl").cast("long").alias("s_tokens"),
+    )
+    # per-(term, doc) quantized BM25 contribution over the QUERY TERMS'
+    # postings only: the broadcast q-term semi-filter precedes the df/dl
+    # joins, so scoring never touches a non-query posting
+    qt = q.select("term").distinct()
+    qdf = dfreq.join(F.broadcast(qt), "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("nd").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    sat = (F.col("cnt") * F.lit(2.2)) / (
+        F.col("cnt")
+        + F.lit(1.2)
+        * (
+            F.lit(0.25)
+            + F.lit(0.75)
+            * (F.col("dl") * F.col("nd")).cast("double")
+            / F.col("s_tokens")
+        )
+    )
+    score_q = F.round(idf * sat * F.lit(1000000), 0).cast("long").alias("score_q")
+
+    def _scored(postings: DataFrame, *extra: str) -> DataFrame:
+        return (
+            postings.join(F.broadcast(qdf), "term")
+            .join(dls, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .select("doc_id", "term", *extra, score_q)
+        )
+
+    # both capped tiers read the one scored-heads checkpoint (bounded:
+    # <= 2x page depth rows per query term)
+    heads = swap_checkpoint(
+        "bm25_esc_heads",
+        _scored(_text_posting_heads(spark, sf_dir), "prank"),
+    )
+    return _index_escalate_impl(q, heads, _scored(tf)).withColumn(
+        "bm25", F.col("score_q").cast("double") / F.lit(1000000)
+    ).select(
+        "qid", "term1", "term2", "nn_doc_id", "bm25", "n_candidates", "eff_depth"
+    )

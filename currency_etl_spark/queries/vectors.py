@@ -2239,6 +2239,58 @@ def knn_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cell_topk_tile(k: int):
+    """Arrow cogroup kernel shared by the index-audit family
+    (knn_index_staleness, knn_index_rebuild): exact batch-vs-members
+    top-``k`` per IVF cell as ONE cluster-local int64 matmul
+    (aa + bb - 2ab == int_l2's sum((a-b)^2) on the quantization
+    lattice — the dedup_semantic rule for pair-dense vector work).
+    ``left`` is the cell's member slice (vec_id, qv, ...), ``right``
+    the query slice stamped with that cell's probe rank (vec_id, qv,
+    prank, ...); emits the cell-local top-k per query carrying the
+    stamp, so the global top-k election downstream orders at most
+    cells x k rows per query."""
+    import numpy as np
+    import pandas as pd
+
+    def _topk_tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "prank": pd.Series(dtype="int32"),
+                    "nn_vec_id": pd.Series(dtype="int64"),
+                    "d": pd.Series(dtype="int64"),
+                }
+            )
+        C = np.stack(left["qv"].to_numpy()).astype(np.int64)  # members x dim
+        Q = np.stack(right["qv"].to_numpy()).astype(np.int64)  # queries x dim
+        d = (
+            (Q * Q).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2 * (Q @ C.T)
+        )
+        mid = left["vec_id"].to_numpy()
+        kk = min(k, len(mid))
+        out = []
+        for i in range(len(Q)):
+            # exact (d, nn_vec_id) tie order, cell-local top-K
+            order = np.lexsort((mid, d[i]))[:kk]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": right["vec_id"].iat[i],
+                        "prank": right["prank"].iat[i],
+                        "nn_vec_id": mid[order],
+                        "d": d[i][order],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return _topk_tile
+
+
 @register(
     "knn_index_staleness",
     oracle=f"""
@@ -2353,9 +2405,6 @@ def knn_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def knn_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
     from currency_etl_spark.operators.ckpt import swap_checkpoint
 
     # probe rank of EVERY cell per query vector: posexplode of the full
@@ -2397,42 +2446,7 @@ def knn_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-K is inside the union of per-cell top-Ks), already stamped
     # with the querying vector's probe rank for THAT cell — so the
     # downstream window orders at most cells x K rows per query.
-    k = RECALL_K
-
-    def _topk_tile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if left.empty or right.empty:
-            return pd.DataFrame(
-                {
-                    "vec_id": pd.Series(dtype="int64"),
-                    "prank": pd.Series(dtype="int32"),
-                    "nn_vec_id": pd.Series(dtype="int64"),
-                    "d": pd.Series(dtype="int64"),
-                }
-            )
-        C = np.stack(left["qv"].to_numpy()).astype(np.int64)  # members x dim
-        Q = np.stack(right["qv"].to_numpy()).astype(np.int64)  # queries x dim
-        d = (
-            (Q * Q).sum(axis=1)[:, None]
-            + (C * C).sum(axis=1)[None, :]
-            - 2 * (Q @ C.T)
-        )
-        mid = left["vec_id"].to_numpy()
-        kk = min(k, len(mid))
-        out = []
-        for i in range(len(Q)):
-            # exact (d, nn_vec_id) tie order, cell-local top-K
-            order = np.lexsort((mid, d[i]))[:kk]
-            out.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": right["vec_id"].iat[i],
-                        "prank": right["prank"].iat[i],
-                        "nn_vec_id": mid[order],
-                        "d": d[i][order],
-                    }
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+    _topk_tile = _cell_topk_tile(RECALL_K)
 
     tile = (
         idx.select("cid", "vec_id", "qv")
@@ -2721,4 +2735,382 @@ def psi_report(
             .alias("rebuild"),
         )
         .orderBy("cell")
+    )
+
+
+@register(
+    "knn_index_rebuild",
+    oracle=f"""
+        WITH q AS (SELECT vec_id, {_SQL_QV} AS qv FROM embeddings),
+        corpus AS (SELECT vec_id, qv FROM q WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_REM}),
+        batch AS (SELECT vec_id, qv FROM q WHERE vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_REM}),
+        cents AS (
+            SELECT vec_id AS cid, qv AS cq FROM corpus ORDER BY vec_id LIMIT {N_CENTROIDS}
+        ),
+        ca AS (
+            SELECT c.vec_id, ce.cid, {_SQL_DIST_Q.format(a='c.qv', b='ce.cq')} AS d
+            FROM corpus c, cents ce
+        ),
+        idx AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM ca
+            ) WHERE rn = 1
+        ),
+        bd AS (
+            SELECT b.vec_id, ce.cid, {_SQL_DIST_Q.format(a='b.qv', b='ce.cq')} AS d
+            FROM batch b, cents ce
+        ),
+        pro AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prank
+            FROM bd
+        ),
+        mem AS (
+            SELECT vec_id, cid FROM idx
+            UNION ALL
+            SELECT vec_id, cid FROM pro WHERE prank = 1
+        ),
+        va AS (SELECT vec_id, generate_subscripts(qv, 1) AS dd, unnest(qv) AS v FROM q),
+        m AS (
+            SELECT mem.cid, va.dd, CAST(sum(va.v) AS DOUBLE) / count(*) AS mu
+            FROM mem JOIN va ON va.vec_id = mem.vec_id
+            GROUP BY mem.cid, va.dd
+        ),
+        cent1 AS (SELECT cid, list(mu ORDER BY dd) AS cm FROM m GROUP BY cid),
+        d1 AS (
+            SELECT u.vec_id, ce.cid, {_SQL_DIST_D.format(qv='u.qv', cm='ce.cm')} AS d
+            FROM q u, cent1 ce
+        ),
+        idx1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        bn AS (
+            SELECT b.vec_id, ce.cid, {_SQL_DIST_D.format(qv='b.qv', cm='ce.cm')} AS d
+            FROM batch b, cent1 ce
+        ),
+        prn AS (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS prank
+            FROM bn
+        ),
+        fulld AS (
+            SELECT b.vec_id, c.vec_id AS nn_vec_id,
+                   {_SQL_DIST_Q.format(a='b.qv', b='c.qv')} AS d
+            FROM batch b, corpus c
+        ),
+        topk AS (
+            SELECT vec_id, nn_vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, nn_vec_id)
+                       AS exact_rank
+            FROM fulld
+            QUALIFY exact_rank <= {RECALL_K}
+        ),
+        tb AS (
+            SELECT t.vec_id, po.prank AS prank_old, pn.prank AS prank_new
+            FROM topk t
+            JOIN idx i ON i.vec_id = t.nn_vec_id
+            JOIN pro po ON po.vec_id = t.vec_id AND po.cid = i.cid
+            JOIN idx1 i1 ON i1.vec_id = t.nn_vec_id
+            JOIN prn pn ON pn.vec_id = t.vec_id AND pn.cid = i1.cid
+        ),
+        grid AS (SELECT unnest(generate_series(1, {N_CENTROIDS})) AS nprobe),
+        ra AS (
+            SELECT g.nprobe,
+                   count(DISTINCT tb.vec_id) AS n_queries,
+                   sum(CASE WHEN tb.prank_old <= g.nprobe THEN 1 ELSE 0 END) AS hkb,
+                   sum(CASE WHEN tb.prank_new <= g.nprobe THEN 1 ELSE 0 END) AS hka
+            FROM tb, grid g
+            GROUP BY g.nprobe
+        ),
+        cso AS (SELECT cid, count(*) AS sz FROM idx GROUP BY cid),
+        csn AS (SELECT cid, count(*) AS sz FROM idx1 GROUP BY cid),
+        cb AS (
+            SELECT g.nprobe,
+                   sum(CASE WHEN p.prank <= g.nprobe THEN c.sz ELSE 0 END) AS cands
+            FROM pro p JOIN cso c ON c.cid = p.cid, grid g
+            GROUP BY g.nprobe
+        ),
+        cn AS (
+            SELECT g.nprobe,
+                   sum(CASE WHEN p.prank <= g.nprobe THEN c.sz ELSE 0 END) AS cands
+            FROM prn p JOIN csn c ON c.cid = p.cid, grid g
+            GROUP BY g.nprobe
+        )
+        SELECT CAST(ra.nprobe AS BIGINT) AS nprobe,
+               CAST(ra.n_queries AS BIGINT) AS n_queries,
+               round(CAST(ra.hkb AS DOUBLE) / (ra.n_queries * {RECALL_K}), 6)
+                   AS recall_before,
+               round(CAST(ra.hka AS DOUBLE) / (ra.n_queries * {RECALL_K}), 6)
+                   AS recall_after,
+               round(CAST(ra.hka - ra.hkb AS DOUBLE) / (ra.n_queries * {RECALL_K}), 6)
+                   AS recall_delta,
+               round(CAST(cb.cands AS DOUBLE) / ra.n_queries, 6) AS cands_before,
+               round(CAST(cn.cands AS DOUBLE) / ra.n_queries, 6) AS cands_after
+        FROM ra
+        JOIN cb ON cb.nprobe = ra.nprobe
+        JOIN cn ON cn.nprobe = ra.nprobe
+        ORDER BY nprobe
+    """,
+    tags=("llm", "vector", "ann", "kmeans", "incremental", "action"),
+    doc=(
+        "Index REBUILD — the ACTION the drift monitors decide on "
+        "(embeddings_drift_psi's rebuild flag, knn_index_staleness's "
+        "recall-vs-cost curve), closing the vector side's decision-to-"
+        "action pair the way text_index_merge closed text's: retrain the "
+        "coarse codebook on CORPUS+BATCH (one Lloyd refinement seeded "
+        "from the STORED codebook — assign every vector to its stored-"
+        "codebook cell, then per-cell exact integer-sum means, the "
+        "knn_ivf_kmeans training plan over the post-ingest population), "
+        "re-assign the full population to the retrained centroids, and "
+        "grade the rebuild by the before/after containment-recall@"
+        f"{RECALL_K} delta of the arriving batch's queries against the "
+        f"exact batch-vs-corpus truth, per nprobe 1..{N_CENTROIDS} — the "
+        "row a pipeline reads to verify the rebuild PAID (recall_delta) "
+        "and what it costs at serve time (cands_before/after: average "
+        "probed-candidate count per query, old index members vs the "
+        "rebuilt index which now also carries the ingested batch). "
+        "Before-side machinery is shared verbatim with the staleness "
+        "audit: the full-probe election relation (probe_cells order) is "
+        "checkpointed once and feeds the truth tiles, the batch's step-0 "
+        "assignment AND the cost rollup; exact ground truth is per-CELL "
+        "numpy tiles (_cell_topk_tile — one cluster-local int64 matmul "
+        "per cell, never an interpreted per-pair HOF). Retrained "
+        "centroid means are exact int64 sums divided once in double and "
+        "all new-centroid distances fold sequentially in double "
+        "(_dist_d == list_reduce order), so every argmin and probe rank "
+        "is bit-identical across engines. The only corpus-sized inputs "
+        "are the memoized ivf_cents/ivf_index checkpoints; every "
+        "intermediate the final plan reads is locally checkpointed "
+        "(plan-pinned: zero parquet scans). Scale shape: retraining is "
+        "one narrow map over the stored assignment relation plus a "
+        "k x dims mean shuffle (map-side combine on the posexploded "
+        "tall form); re-assignment is a broadcast argmin map; the "
+        "exact-truth evaluation is the same cell-partitionable "
+        "O(|batch| x |corpus|) tile work the staleness audit pays — at "
+        "100 TB both run over a sampled probe set, and the rebuild's "
+        "write-back is a partitioned-by-cell parquet rewrite exactly "
+        "like knn_index_compact's."
+    ),
+)
+def knn_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    cents = _ivf_cents_base(spark, sf_dir)
+    idx = _ivf_index_base(spark, sf_dir)
+
+    batch = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_REM)
+        .select("vec_id", _q_longs().alias("qv"))
+    )
+    # full probe election over the STORED codebook, stamped with prank —
+    # the staleness audit's pr shape. THREE consumers (truth tiles, the
+    # batch's step-0 assignment at prank==1, the before-cost rollup):
+    # checkpoint, so the embeddings parquet is scanned exactly once.
+    pr = swap_checkpoint(
+        "rebuild_pr_old",
+        batch.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "qv",
+            F.posexplode(probe_cells(N_CENTROIDS)).alias("pidx", "p"),
+        )
+        .select(
+            "vec_id",
+            "qv",
+            (F.col("pidx") + 1).cast("int").alias("prank"),
+            F.col("p.cid").alias("cid"),
+        ),
+    )
+
+    # one Lloyd step over CORPUS+BATCH, seeded from the stored codebook:
+    # step-0 assignment is the stored relation for the corpus (ivf_index
+    # IS that assignment) plus the batch's nearest stored cell; means via
+    # the tall posexplode form (map-side combine, small codegen unit —
+    # the knn_ivf_kmeans training plan).
+    members0 = idx.select("cid", "qv").unionByName(
+        pr.filter(F.col("prank") == 1).select("cid", "qv")
+    )
+    per = (
+        members0.select("cid", F.posexplode("qv").alias("d", "v"))
+        .groupBy("cid", "d")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cents1 = swap_checkpoint(
+        "rebuild_cents_new",
+        per.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("d"),
+                            (F.col("s").cast("double") / F.col("n")).alias("m"),
+                        )
+                    )
+                ),
+                lambda x: x["m"],
+            ).alias("cm")
+        )
+        .select(F.struct(F.col("cid"), F.col("cm")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents")),
+    )
+
+    def _new_argmin(qv: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    _dist_d(qv, c["cm"]).alias("d"), c["cid"].alias("cid")
+                ),
+            )
+        )["cid"]
+
+    # re-assign the FULL post-ingest population (corpus members from the
+    # stored relation + the batch rows riding the pr checkpoint) to the
+    # retrained centroids — the rebuilt index. Feeds the truth join and
+    # the new cell-size rollup.
+    idx1 = swap_checkpoint(
+        "rebuild_idx_new",
+        idx.select("vec_id", "qv")
+        .unionByName(pr.filter(F.col("prank") == 1).select("vec_id", "qv"))
+        .crossJoin(F.broadcast(cents1))
+        .select("vec_id", _new_argmin(F.col("qv")).alias("cid")),
+    )
+
+    # the batch's full probe election over the RETRAINED centroids
+    # (double distances, same (d, cid) tie order) — feeds the after-hit
+    # join and the after-cost rollup.
+    pr_new = swap_checkpoint(
+        "rebuild_pr_new",
+        pr.filter(F.col("prank") == 1)
+        .select("vec_id", "qv")
+        .crossJoin(F.broadcast(cents1))
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.array_sort(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            _dist_d(F.col("qv"), c["cm"]).alias("d"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )
+            ).alias("pidx", "p"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pidx") + 1).cast("int").alias("prank"),
+            F.col("p.cid").alias("cid"),
+        ),
+    )
+
+    # exact batch-vs-corpus truth via per-cell tiles stamped with the
+    # OLD probe rank (shared kernel with the staleness audit), global
+    # top-K election, then the truth neighbor's NEW cell + the query's
+    # NEW probe rank join — every join is total (all 8 stored cells
+    # survive retraining: each seed is its own step-0 member).
+    tile = (
+        idx.select("cid", "vec_id", "qv")
+        .groupBy("cid")
+        .cogroup(pr.groupBy("cid"))
+        .applyInPandas(
+            _cell_topk_tile(RECALL_K),
+            "vec_id long, prank int, nn_vec_id long, d long",
+        )
+    )
+    truth = swap_checkpoint(
+        "rebuild_truth",
+        tile.withColumn(
+            "exact_rank",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("d", "nn_vec_id")
+            ),
+        )
+        .filter(F.col("exact_rank") <= RECALL_K)
+        .select("vec_id", F.col("prank").alias("prank_old"), "nn_vec_id"),
+    )
+
+    tb = (
+        truth.join(
+            idx1.select(
+                F.col("vec_id").alias("nn_vec_id"), F.col("cid").alias("ncid")
+            ),
+            "nn_vec_id",
+        )
+        .join(
+            pr_new.select(
+                "vec_id",
+                F.col("prank").alias("prank_new"),
+                F.col("cid").alias("ncid"),
+            ),
+            ["vec_id", "ncid"],
+        )
+        .select("vec_id", "prank_old", "prank_new")
+    )
+
+    nprobe_grid = F.explode(
+        F.sequence(F.lit(1), F.lit(N_CENTROIDS))
+    ).alias("nprobe")
+    ra = (
+        tb.select("vec_id", "prank_old", "prank_new", nprobe_grid)
+        .groupBy("nprobe")
+        .agg(
+            F.countDistinct("vec_id").cast("long").alias("n_queries"),
+            F.sum((F.col("prank_old") <= F.col("nprobe")).cast("long")).alias(
+                "hkb"
+            ),
+            F.sum((F.col("prank_new") <= F.col("nprobe")).cast("long")).alias(
+                "hka"
+            ),
+        )
+    )
+
+    def _cost(probes: DataFrame, sizes: DataFrame, out: str) -> DataFrame:
+        return (
+            probes.select("prank", "cid", nprobe_grid)
+            .join(F.broadcast(sizes), "cid")
+            .groupBy("nprobe")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("prank") <= F.col("nprobe"), F.col("sz")
+                    ).otherwise(0)
+                ).alias(out)
+            )
+        )
+
+    cb = _cost(pr, idx.groupBy("cid").agg(F.count(F.lit(1)).alias("sz")), "cb")
+    cn = _cost(
+        pr_new, idx1.groupBy("cid").agg(F.count(F.lit(1)).alias("sz")), "cn"
+    )
+
+    kq = F.col("n_queries") * RECALL_K
+    return (
+        ra.join(cb, "nprobe")
+        .join(cn, "nprobe")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_queries",
+            F.round(F.col("hkb").cast("double") / kq, 6).alias("recall_before"),
+            F.round(F.col("hka").cast("double") / kq, 6).alias("recall_after"),
+            F.round((F.col("hka") - F.col("hkb")).cast("double") / kq, 6).alias(
+                "recall_delta"
+            ),
+            F.round(
+                F.col("cb").cast("double") / F.col("n_queries"), 6
+            ).alias("cands_before"),
+            F.round(
+                F.col("cn").cast("double") / F.col("n_queries"), 6
+            ).alias("cands_after"),
+        )
+        .orderBy("nprobe")
     )

@@ -31,7 +31,8 @@ def test_warmup_names_resolve():
 KNOWN_MEMO_TAGS = frozenset(
     {"minhash_sh", "minhash_sig", "minhash_pairs", "cc_map", "rfm_base",
      "phash_base", "stream_pool", "dup_hits", "ivf_cents", "ivf_index",
-     "surp_base", "text_tf", "text_df"}
+     "surp_base", "text_tf", "text_df", "text_batch_tf",
+     "text_posting_heads"}
 )
 
 

@@ -59,3 +59,90 @@ def test_index_lookup_misses_docs_with_one_term_only(spark, sf_dir):
         if term1 in row.text.split(" ") and term2 in row.text.split(" ")
     }
     assert set(hits["doc_id"]) == expected
+
+
+# ---------------------------------------------------------------------------
+# docs_bm25_escalate: head-depth escalation until served or exhausted
+# ---------------------------------------------------------------------------
+
+
+def _mk_escalate_fixture(spark):
+    """A crafted corpus with one query per escalation tier: qid 100 is
+    served from the base page, qid 200's only co-occurrence hides at
+    posting rank 12 (exhausts the base head, served at 2x), qid 300's at
+    rank 20 (exhausts BOTH capped heads, served by the full posting),
+    and qid 400's terms never co-occur (emits nothing)."""
+    rows = []
+    # qid 100: a&b — doc 1 carries both at head-grade impact
+    rows += [(1, "a", 9), (1, "b", 7), (100, "a", 5), (100, "b", 4)]
+    # qid 200: c&d — 11 high-impact docs bury doc 2 to prank 12 in c
+    rows += [(500 + i, "c", 100) for i in range(11)]
+    rows += [(2, "c", 1), (2, "d", 5), (200, "c", 3), (200, "d", 2)]
+    # qid 300: e&f — 19 high-impact docs bury doc 3 to prank 20 in e
+    rows += [(600 + i, "e", 100) for i in range(19)]
+    rows += [(3, "e", 1), (3, "f", 6), (300, "e", 2), (300, "f", 1)]
+    # qid 400: g&h — never co-occur outside the query doc
+    rows += [(4, "g", 2), (5, "h", 2), (400, "g", 1), (400, "h", 1)]
+    # the impl contract takes pre-scored postings; the fixture uses the
+    # raw term frequency as score_q (BM25 is the graded entry's choice)
+    tf = spark.createDataFrame(rows, "doc_id long, term string, cnt long")
+    q = spark.createDataFrame(
+        [
+            (100, "a", 1), (100, "b", 2),
+            (200, "c", 1), (200, "d", 2),
+            (300, "e", 1), (300, "f", 2),
+            (400, "g", 1), (400, "h", 2),
+        ],
+        "qid long, term string, qrn int",
+    )
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.queries.llm_ops import IDX_ESC_SCHEDULE
+
+    heads = tf.select(
+        "doc_id",
+        "term",
+        F.col("cnt").alias("score_q"),
+        F.row_number()
+        .over(W.partitionBy("term").orderBy(F.desc("cnt"), "doc_id"))
+        .alias("prank"),
+    ).filter(F.col("prank") <= IDX_ESC_SCHEDULE[-1])
+    return q, heads, tf.select("doc_id", "term", F.col("cnt").alias("score_q"))
+
+
+def test_index_escalate_cap_exhaustion_tiers(spark):
+    """The cap-exhaustion fixture: each tier of the (cap, 2xcap, full)
+    ladder serves exactly the query built to exhaust the tiers before
+    it, and a query with an empty true intersection emits nothing."""
+    from currency_etl_spark.queries.llm_ops import (
+        IDX_ESC_SCHEDULE,
+        _index_escalate_impl,
+    )
+
+    q, heads, tf = _mk_escalate_fixture(spark)
+    got = {r.qid: r for r in _index_escalate_impl(q, heads, tf).collect()}
+    assert set(got) == {100, 200, 300}
+    assert got[100].eff_depth == IDX_ESC_SCHEDULE[0]
+    assert got[100].nn_doc_id == 1 and got[100].score_q == 9 + 7
+    assert got[200].eff_depth == IDX_ESC_SCHEDULE[1]
+    assert got[200].nn_doc_id == 2 and got[200].score_q == 1 + 5
+    assert got[300].eff_depth == 0  # full posting
+    assert got[300].nn_doc_id == 3 and got[300].score_q == 1 + 6
+    for r in got.values():
+        assert r.n_candidates == 1
+
+
+def test_index_escalate_graded_corpus_exercises_every_tier(spark, sf_dir):
+    """On the graded corpus the schedule is non-degenerate: every tier
+    (base page, doubled page, full posting) serves at least one query —
+    the tier-spread property the entry was sized for."""
+    from currency_etl_spark.queries.llm_ops import (
+        IDX_ESC_SCHEDULE,
+        docs_bm25_escalate,
+    )
+
+    depths = {
+        r.eff_depth
+        for r in docs_bm25_escalate(spark, sf_dir).select("eff_depth").collect()
+    }
+    assert set(IDX_ESC_SCHEDULE) | {0} <= depths

@@ -200,3 +200,50 @@ def test_staleness_property(spark, tmp_path_factory, n_vec, dim, seed, data):
         assert got == want
     finally:
         reset_memos()
+
+
+# ---------------------------------------------------------------------------
+# knn_index_rebuild: the retrain ACTION the audit decides on
+# ---------------------------------------------------------------------------
+
+
+def test_rebuild_before_curve_equals_staleness_audit(spark):
+    """Cross-entry pin: knn_index_rebuild's recall_before is the SAME
+    containment-recall@K the staleness audit reports (truth neighbor's
+    stored cell probed at nprobe n), and its cands_before is the audit's
+    avg_candidates — the rebuild grades itself against exactly the
+    curve that triggered it, so the decision and the action can never
+    disagree about the 'before' state."""
+    from currency_etl_spark.queries.vectors import knn_index_rebuild
+
+    audit = {
+        r["nprobe"]: r
+        for r in knn_index_staleness(spark, SF).collect()
+    }
+    for r in knn_index_rebuild(spark, SF).collect():
+        assert r["recall_before"] == audit[r["nprobe"]]["recall_at_k"]
+        assert r["cands_before"] == audit[r["nprobe"]]["avg_candidates"]
+
+
+def test_rebuild_curve_shape(spark):
+    """Both recall curves are monotone in nprobe and saturate at exactly
+    1.0 at full depth (containment over all cells is total on both the
+    stored and the retrained index); the delta is their exact difference;
+    and the rebuild must PAY somewhere below full depth (a retrain that
+    buys nothing anywhere would mean the drift monitors triggered on a
+    corpus the codebook already fits — degenerate for the graded data)."""
+    from currency_etl_spark.queries.vectors import knn_index_rebuild
+
+    rows = sorted(knn_index_rebuild(spark, SF).collect(), key=lambda r: r["nprobe"])
+    assert [r["nprobe"] for r in rows] == list(range(1, N_CENTROIDS + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["recall_before"] >= prev["recall_before"]
+        assert cur["recall_after"] >= prev["recall_after"]
+        assert cur["cands_before"] >= prev["cands_before"]
+        assert cur["cands_after"] >= prev["cands_after"]
+    last = rows[-1]
+    assert last["recall_before"] == 1.0 and last["recall_after"] == 1.0
+    assert last["recall_delta"] == 0.0
+    for r in rows:
+        assert r["recall_delta"] == round(r["recall_after"] - r["recall_before"], 6)
+    assert any(r["recall_delta"] > 0 for r in rows[:-1])

@@ -676,6 +676,23 @@ def test_index_compact_reads_stored_checkpoint_only(spark, sf_dir):
     assert "BatchEvalPython" not in p
 
 
+def test_index_rebuild_reads_stored_checkpoints_only(spark, sf_dir):
+    """The rebuild ACTION retrains from the memoized codebook/assignment
+    checkpoints and its own locally-checkpointed intermediates (probe
+    elections, retrained centroids, rebuilt assignment, truth tiles):
+    the final plan reads checkpoints only — zero parquet scans, nothing
+    cartesian, no Python (the numpy truth tiles are paid inside the
+    truth checkpoint's build, not in the served plan)."""
+    from currency_etl_spark.queries.vectors import knn_index_rebuild
+
+    p = plan_of(knn_index_rebuild(spark, sf_dir))
+    assert "Scan parquet" not in p
+    assert "Scan ExistingRDD" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "FlatMapCoGroupsInPandas" not in p
+
+
 def test_lsh_recall_reads_memoized_bases(spark, sf_dir):
     """The recall report consumes the family's materialized index — no
     parquet rescan of the corpus anywhere in the final plan — and its

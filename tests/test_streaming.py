@@ -336,3 +336,44 @@ def test_streaming_scd2_versions_continue_across_micro_batches(spark, sf_dir, tm
     )
     want = {(r["user_id"], r["version"]): (r["event_type"], r["vf"]) for r in hist.collect()}
     assert got == want
+
+
+def test_sessions_append_is_closed_subset_of_batch_sessionize(spark, sf_dir):
+    """The append-mode session entry is pinned row-identical to the batch
+    twin: every emitted session matches the sessionize operator's
+    (start, end, count) for that (user_id, session ordinal), the emitted
+    set is EXACTLY the sessions closing by max(ts) - 1h (the final
+    no-data batch's eviction watermark), and at least one trailing
+    session is withheld (otherwise the append semantics are vacuous on
+    this corpus)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from currency_etl_spark.operators.sessionize import sessionize
+    from currency_etl_spark.sources import table
+    from currency_etl_spark.streaming.jobs import streaming_sessions_append
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in streaming_sessions_append(spark, sf_dir).collect()
+    }
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    batch = (
+        sessionize(ev, gap_s=1800)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    wm = ev.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=1)
+    want_all = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in batch.collect()
+    }
+    want_closed = {k: v for k, v in want_all.items() if k[2] <= wm}
+    assert got == want_closed
+    assert len(want_closed) < len(want_all)  # something was withheld
