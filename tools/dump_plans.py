@@ -620,6 +620,46 @@ HEADLINERS = {
         "is rank-capped to K rows per term; vocab-lost terms emit "
         "COALESCEd zero pages via the left join, never silent absence."
     ),
+    "knn_index_compact": (
+        "Vector-index compaction (the vector DELETE verb's ACTION). "
+        "Check: ZERO parquet scans — the page rewrite SUBTRACTS from "
+        "the memoized ivf_index checkpoint; the member head is "
+        "rank-capped (row_number <= K) BEFORE any list materializes; "
+        "the L1 checksum is a decimal window sum (no int64 wrap); "
+        "cell_lost rides the left join's null, never a second pass."
+    ),
+    "knn_index_rebuild": (
+        "Codebook retrain ACTION (the rebuild the drift monitors "
+        "decide on). Check: the final plan reads ONLY checkpoints "
+        "(Scan ExistingRDD — probe elections, retrained centroids, "
+        "rebuilt assignment, truth top-K are all paid inside their "
+        "checkpoint builds, so no FlatMapCoGroupsInPandas and no "
+        "parquet appear here); the rollups are grid Generates + "
+        "hash aggregates; both cost joins broadcast the 8-row cell "
+        "sizes. At 100 TB the retrain is one narrow map over the "
+        "stored assignment plus a k x dims mean shuffle; re-assignment "
+        "is a broadcast argmin map."
+    ),
+    "docs_bm25_escalate": (
+        "BM25 posting-depth escalation. Check: every tier's pool join "
+        "BROADCASTS the tiny query relation; the capped tiers read the "
+        "one checkpointed scored-heads relation (<= 2x page depth rows "
+        "per query term); the full tier's tf join is reached only by "
+        "the anti-joined remainder (itself a checkpoint scan); scoring "
+        "touches only query-term postings — the broadcast q-term "
+        "semi-filter sits below the df/dl joins; per-query windows "
+        "partition on qid, never a global sort."
+    ),
+    "streaming_sessions_append": (
+        "Append-mode session closure (batch post-processing plan). "
+        "Check: the graded plan is a projection + sort over the memory "
+        "sink's already-closed session rows — the session merge state "
+        "and the watermark eviction live in the STREAM side "
+        "(session_window + withWatermark, state bounded by the "
+        "watermark horizon; pinned row-identical to the batch "
+        "sessionize operator on the emitted subset in "
+        "tests/test_streaming.py)."
+    ),
 }
 
 
