@@ -103,13 +103,15 @@ PRIORITY_ORDER = [
     # escalation for conjunctive retrieval, round-14 verdict item 6;
     # ceded: ref_forecast5); streaming_sessions_append (append-mode
     # session_window closure semantics, round-14 verdict item 8; ceded:
-    # ref_rolling_avg7).
+    # ref_rolling_avg7); docs_bpe_encode (the tokenizer train→apply
+    # closure; ceded: ref_change_month).
     #
     # --- NEW this round (first driver rows) ---
     "knn_index_compact",  # NEW
     "knn_index_rebuild",  # NEW
     "docs_bm25_escalate",  # NEW
     "streaming_sessions_append",  # NEW
+    "docs_bpe_encode",  # NEW
     # --- the 19 owed r10 rows (r10-window order) ---
     "events_growth_accounting",
     "events_slo_burn",
@@ -157,7 +159,6 @@ PRIORITY_ORDER = [
     "ref_num_types",
     "ref_range_window",
     "ref_last_value",
-    "ref_change_month",
 ]
 
 _ROUND14_WINDOW = [

@@ -4100,6 +4100,16 @@ def docs_cdc_chunks(
 #: stored tf relation (no rank at all), emitted as eff_depth 0.
 IDX_ESC_SCHEDULE = (POSTING_HEAD_K, 2 * POSTING_HEAD_K)
 
+#: Round-boundary checkpoint tags for the posting-depth escalation — a
+#: LITERAL tuple so the process-global tag family stays bounded by
+#: construction (the tag-boundedness AST pin's subscript convention);
+#: 8 boundaries cover a doubling ladder from the page depth to a
+#: 2^8-page-deep full posting tier.
+_IDX_ESC_REM_TAGS = (
+    "idx_esc_rem1", "idx_esc_rem2", "idx_esc_rem3", "idx_esc_rem4",
+    "idx_esc_rem5", "idx_esc_rem6", "idx_esc_rem7", "idx_esc_rem8",
+)
+
 
 def _text_posting_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impact-ordered rank-capped posting heads of the stored index —
@@ -4199,9 +4209,11 @@ def _index_escalate_impl(
         served_ids = pool.select("qid").distinct()
         # checkpoint the shrinking remainder at every round boundary —
         # without it each later round's anti-join lineage re-executes all
-        # earlier rounds' pools. Bounded tag pool: len(schedule)+1 tags.
+        # earlier rounds' pools. The tag pool is the literal
+        # _IDX_ESC_REM_TAGS tuple (bounded by construction, the
+        # tag-boundedness AST pin's subscript convention).
         remaining = swap_checkpoint(
-            f"idx_esc_rem{i + 1}",
+            _IDX_ESC_REM_TAGS[i],
             remaining.join(served_ids, "qid", "left_anti"),
         )
     parts.append(_serve(_pool(tf, remaining), 0))

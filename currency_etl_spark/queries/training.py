@@ -991,20 +991,52 @@ def bpe_merge_loop(
 ) -> DataFrame:
     """Graded default is the module constant; ``k`` is the merge count
     (a k=i run's rows are the first i rows of any deeper run — pinned)."""
-    from currency_etl_spark.operators.ckpt import chain_checkpoint
+    merges, _ = _bpe_train(spark, sf_dir, k)
+    return spark.createDataFrame(
+        merges,
+        schema="step long, left_sym string, right_sym string, "
+        "merged_sym string, pair_count long",
+    ).orderBy("step")
 
-    docs = table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus word-frequency relation BPE trains on and encodes over
+    — (w, freq), lowercased whitespace words. Shared by bpe_merge_loop /
+    docs_bpe_encode so the trainer and the encoder can never tokenize
+    differently."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+
+
+#: The trainer's symbol-boundary encoding of a word column: "|h|e|l|l|o"
+#: — every token starts with "|", so token count == "|" count and one
+#: literal replace('|l|r' -> '|lr') applies a merge with BPE's
+#: leftmost-first non-overlap semantics.
+def _bpe_enc0(w: Column) -> Column:
+    return F.concat(F.lit("|"), F.regexp_replace(w, "(.)", r"$1|"))
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, k: int):
+    """The K-step greedy BPE trainer (the bpe_merge_loop body, factored
+    so the encode entry reuses the identical training artifact): returns
+    ([(step, left, right, merged, pair_count)], enc) — the merge table
+    (the k-rows-small artifact a production tokenizer persists) plus the
+    trainer's final checkpointed encoding relation, which has every
+    recorded merge EXCEPT a full run's k-th already applied (the trainer
+    never pays a merge it won't count over; on early vocab exhaustion
+    all recorded merges are applied). The encoder finishes the chain
+    instead of re-deriving it."""
+    from currency_etl_spark.operators.ckpt import chain_checkpoint
+
     enc = chain_checkpoint(
         "bpe_enc",
-        words.select(
-            "freq",
-            F.concat(F.lit("|"), F.regexp_replace("w", "(.)", r"$1|")).alias("enc"),
+        _bpe_words(spark, sf_dir).select(
+            "freq", _bpe_enc0(F.col("w")).alias("enc")
         ),
     )
     merges = []
@@ -1033,11 +1065,7 @@ def bpe_merge_loop(
                     ).alias("enc"),
                 ),
             )
-    return spark.createDataFrame(
-        merges,
-        schema="step long, left_sym string, right_sym string, "
-        "merged_sym string, pair_count long",
-    ).orderBy("step")
+    return merges, enc
 
 
 #: 2^52 — md5-derived 52-bit uniform denominator (exact double).
@@ -1297,3 +1325,143 @@ _CATALOG["docs_mixture_reweight"].oracle = f"""
     FROM w, z
     ORDER BY w.source
 """
+
+
+#: Post-encoding vocabulary report width.
+BPE_TOP_TOKENS = 20
+
+
+def _bpe_encode_oracle(k: int, top_n: int) -> str:
+    """Chained-CTE oracle for encode-after-k-merges: the loop oracle's
+    exact training chain extended by the final merge application, then
+    the frequency-weighted post-encoding token census. MATERIALIZED
+    hints as in _bpe_loop_oracle (every enc/top is referenced twice)."""
+    parts = [
+        """words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+            WHERE length(w) > 0 GROUP BY w
+        )""",
+        "enc0 AS MATERIALIZED (SELECT freq, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc FROM words)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"pc{i} AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt "
+            f"FROM ({_SQL_PAIRS.format(enc=f'enc{i}')}) GROUP BY l, r)"
+        )
+        parts.append(
+            f"top{i} AS MATERIALIZED (SELECT l AS tl, r AS tr, cnt "
+            f"FROM pc{i} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"enc{i + 1} AS MATERIALIZED (SELECT freq, "
+            f"replace(enc, '|' || tl || '|' || tr, '|' || tl || tr) AS enc "
+            f"FROM enc{i}, top{i})"
+        )
+    parts.append(
+        f"""toks AS (
+            SELECT t AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+            FROM (SELECT freq, unnest(string_split(enc, '|')) AS t FROM enc{k})
+            WHERE t <> '' GROUP BY t
+        )"""
+    )
+    parts.append(
+        "tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total FROM toks)"
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+                    AS BIGINT) AS rank,
+               token,
+               n_occurrences,
+               CAST(length(token) AS BIGINT) AS token_len,
+               round(CAST(n_occurrences AS DOUBLE) / total, 6) AS share
+        FROM (
+            SELECT token, n_occurrences FROM toks
+            ORDER BY n_occurrences DESC, token LIMIT {top_n}
+        ), tot
+        ORDER BY rank
+    """
+
+
+@register(
+    "docs_bpe_encode",
+    oracle=_bpe_encode_oracle(BPE_MERGES, BPE_TOP_TOKENS),
+    tags=("llm", "text", "tokenizer", "training", "action"),
+    doc=(
+        "BPE ENCODE — the apply side of the tokenizer family, closing "
+        "the train→apply pair the way the index families close "
+        "decision→action (bpe_pair_merge and bpe_merge_loop train the "
+        f"merge table; nothing previously used it): the {BPE_MERGES} "
+        "learned merges are applied to the corpus vocabulary in training "
+        "order (the Sennrich apply convention — one full literal-replace "
+        "pass per merge over the trainer's own '|'-boundary encoding, "
+        "which gives leftmost-first non-overlap semantics for free: "
+        "replace() consumes '|l|r' occurrences left to right and a "
+        "just-merged token no longer matches), and the entry reports "
+        f"the post-encoding vocabulary census — the top-{BPE_TOP_TOKENS} "
+        "tokens by frequency-weighted occurrence count with exact "
+        "counts, token length (merged tokens surface as len > 1), and "
+        "the corpus-share ratio — the report a tokenizer pipeline reads "
+        "to see what the merge budget actually bought. The training "
+        "chain is shared VERBATIM with bpe_merge_loop (_bpe_train — "
+        "same per-step argmax collects, same chain-checkpointed "
+        "encoding; the encoder takes the trainer's final checkpoint and "
+        "applies only the not-yet-applied final merge, so the corpus is "
+        "tokenized and re-encoded exactly once per step, never twice). "
+        "Encoding runs over the DISTINCT-word relation weighted by "
+        "frequency — vocab-sized, never per-occurrence — and the census "
+        "explodes vocab-sized encodings with an exact int64 weighted "
+        "sum; top-N is sort-limit-first (TakeOrderedAndProject) with "
+        f"the rank label a {BPE_TOP_TOKENS}-row window. The oracle "
+        "re-derives the whole train+apply chain declaratively "
+        "(the k-step loop oracle extended by the final application and "
+        "the census). Scale: at 100 TB the merge table is the persisted "
+        "artifact (k tiny rows) and encode is a narrow map over the "
+        "vocabulary relation; every division is one exact-int ratio."
+    ),
+)
+def docs_bpe_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = BPE_MERGES,
+    top_n: int = BPE_TOP_TOKENS,
+) -> DataFrame:
+    """Graded defaults are the module constants; ``k`` merges are
+    trained-and-applied, ``top_n`` census rows return."""
+    merges, enc = _bpe_train(spark, sf_dir, k)
+    # the trainer applied every recorded merge except a full run's k-th
+    applied = len(merges) - 1 if len(merges) == k else len(merges)
+    for _, tl, tr, _m, _c in merges[applied:]:
+        enc = enc.select(
+            "freq",
+            F.replace(
+                F.col("enc"), F.lit(f"|{tl}|{tr}"), F.lit(f"|{tl}{tr}")
+            ).alias("enc"),
+        )
+    toks = (
+        enc.select("freq", F.explode(F.split("enc", r"\|")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+    )
+    tot = toks.agg(F.sum("n_occurrences").cast("long").alias("total"))
+    top = toks.orderBy(F.desc("n_occurrences"), "token").limit(top_n)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_occurrences"), "token"))
+            .cast("long")
+            .alias("rank"),
+            "token",
+            "n_occurrences",
+            F.length("token").cast("long").alias("token_len"),
+            F.round(
+                F.col("n_occurrences").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+        .orderBy("rank")
+    )

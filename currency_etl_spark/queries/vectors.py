@@ -1809,6 +1809,18 @@ def _escalate_schedule(base: int = IVF_NPROBE, full: int = N_CENTROIDS) -> tuple
 
 ESCALATE_SCHEDULE = _escalate_schedule()
 
+#: Round-boundary checkpoint tags for the escalating screen — a LITERAL
+#: tuple so the process-global tag family stays bounded by construction
+#: (tests/test_ckpt_memo.py AST-verifies every checkpoint tag is either
+#: a string literal or a subscript of a literal tuple like this one).
+#: 16 boundaries cover a doubling schedule over 2^16 cells.
+_ESCALATE_REM_TAGS = (
+    "escalate_rem1", "escalate_rem2", "escalate_rem3", "escalate_rem4",
+    "escalate_rem5", "escalate_rem6", "escalate_rem7", "escalate_rem8",
+    "escalate_rem9", "escalate_rem10", "escalate_rem11", "escalate_rem12",
+    "escalate_rem13", "escalate_rem14", "escalate_rem15", "escalate_rem16",
+)
+
 #: The escalating screen's own serving depth: top-10 within the facet (a
 #: realistic retrieval page). Deliberately DEEPER than FILTER_K=3 — at
 #: k=3 the graded corpus serves every query at the base depth and the
@@ -1982,13 +1994,16 @@ def knn_filtered_escalate(
             # reference these blocks until the final action, so a single
             # chained tag would release blocks a part still needs (the
             # one-live-per-tag contract frees them on the NEXT call).
-            # The tag pool is bounded: a strictly increasing schedule
-            # derived by doubling has ≤ ilog2(cells)+1 rounds, so at most
-            # a few dozen escalate_rem* tags can ever exist per process
-            # (r14 advice: the previous two hardcoded boundaries left a
-            # longer caller schedule re-executing earlier rounds).
+            # The tag pool is the LITERAL tuple _ESCALATE_REM_TAGS —
+            # bounded by construction (the tag-boundedness AST pin
+            # credits subscripts of literal tuples); a strictly
+            # increasing schedule derived by doubling has
+            # ilog2(cells)+1 rounds, so 16 boundary tags cover any
+            # codebook up to 2^16 cells (r14 advice: the previous two
+            # hardcoded boundaries left a longer caller schedule
+            # re-executing earlier rounds).
             remaining = swap_checkpoint(
-                f"escalate_rem{len(parts)}",
+                _ESCALATE_REM_TAGS[len(parts) - 1],
                 remaining.join(served_ids, "vec_id", "left_anti"),
             )
     out = parts[0]

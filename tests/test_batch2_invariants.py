@@ -87,6 +87,13 @@ def test_bpe_pair_merge_shape(spark, sf_dir):
 def _py_bpe_loop(sf_dir: str, k: int) -> list[tuple]:
     """Pure-python K-merge BPE loop over the corpus's word-frequency
     table — the third engine beside Spark and the DuckDB oracle."""
+    return _py_bpe_train(sf_dir, k)[0]
+
+
+def _py_bpe_train(sf_dir: str, k: int):
+    """(merges, final word encodings with ALL recorded merges applied,
+    weighted by frequency) — the loop reference plus the encode side's
+    ground truth."""
     from collections import Counter
 
     import pandas as pd
@@ -109,7 +116,7 @@ def _py_bpe_loop(sf_dir: str, k: int) -> list[tuple]:
         (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         out.append((step, l, r, l + r, c))
         encs = [(e.replace(f"|{l}|{r}", f"|{l}{r}"), f) for e, f in encs]
-    return out
+    return out, encs
 
 
 def test_bpe_merge_loop_matches_python(spark, sf_dir):
@@ -331,3 +338,56 @@ def test_split_leakage_accounts_for_all_lsh_pairs(spark, sf_dir):
     for r in leak:
         assert r.split_a <= r.split_b  # normalized pair labels
         assert r.n_pairs > 0
+
+
+# ---------------------------------------------------------------------------
+# docs_bpe_encode: the train→apply closure (merge table applied, census)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_census(sf_dir: str, k: int, top_n: int) -> list[tuple]:
+    """Pure-python train + encode + census reference: the top-N
+    post-encoding tokens by frequency-weighted occurrence, exactly the
+    entry's output rows."""
+    from collections import Counter
+
+    _, encs = _py_bpe_train(sf_dir, k)
+    toks: Counter = Counter()
+    for e, f in encs:
+        for t in e.split("|"):
+            if t:
+                toks[t] += f
+    total = sum(toks.values())
+    head = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    return [
+        (rank, t, c, len(t), round(c / total, 6))
+        for rank, (t, c) in enumerate(head, start=1)
+    ]
+
+
+def test_bpe_encode_matches_python(spark, sf_dir):
+    from currency_etl_spark.queries.training import BPE_MERGES, BPE_TOP_TOKENS
+
+    got = [tuple(r) for r in CATALOG["docs_bpe_encode"].spark_fn(spark, sf_dir).collect()]
+    assert got == _py_bpe_census(sf_dir, BPE_MERGES, BPE_TOP_TOKENS)
+
+
+def test_bpe_encode_census_reflects_the_merge_table(spark, sf_dir):
+    """The apply side actually applied the training artifact: every
+    learned merged symbol either appears in the census as a multi-char
+    token or was itself consumed by a later merge (its pair no longer
+    occurs as adjacent singles anywhere — checked via the reference
+    encodings); and the top-1 trained merge, by construction the
+    corpus's most frequent pair, surfaces in the census head."""
+    from currency_etl_spark.queries.training import BPE_MERGES, BPE_TOP_TOKENS
+
+    merges, encs = _py_bpe_train(sf_dir, BPE_MERGES)
+    census = CATALOG["docs_bpe_encode"].spark_fn(spark, sf_dir).collect()
+    tokens = {r["token"] for r in census}
+    assert any(r["token_len"] > 1 for r in census), "no merged token surfaced"
+    merged_syms = {m[3] for m in merges}
+    # every multi-char census token is a trained merge product
+    assert {t for t in tokens if len(t) > 1} <= merged_syms
+    # the first merge's product must exist somewhere in the encodings
+    first = merges[0][3]
+    assert any(f"|{first}" in e for e, _ in encs)

@@ -148,6 +148,27 @@ def test_checkpoint_tags_are_bounded_source_literals():
     # checked below to pass only literals into that parameter
     param_carriers: dict[str, int] = {"spend_quartile": 1}  # tag is arg index 1
     offenders, literals = [], set()
+
+    def _literal_tuple_pools(tree) -> dict:
+        """Module-level NAME = ("lit", "lit", ...) assignments — a tag
+        POOL bounded by construction (the escalation round-boundary
+        convention): a subscript of such a tuple is as bounded as a
+        literal, and every element counts toward the family set."""
+        pools = {}
+        for node in tree.body:
+            if (
+                isinstance(node, ast.Assign)
+                and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
+                and isinstance(node.value, ast.Tuple)
+                and node.value.elts
+                and all(
+                    isinstance(e, ast.Constant) and isinstance(e.value, str)
+                    for e in node.value.elts
+                )
+            ):
+                pools[node.targets[0].id] = [e.value for e in node.value.elts]
+        return pools
     for root, _dirs, files in os.walk(pkg):
         for f in files:
             if not f.endswith(".py"):
@@ -155,6 +176,7 @@ def test_checkpoint_tags_are_bounded_source_literals():
             path = os.path.join(root, f)
             with open(path) as fh:
                 tree = ast.parse(fh.read())
+            pools = _literal_tuple_pools(tree)
             for node in ast.walk(tree):
                 if not isinstance(node, ast.Call) or not node.args:
                     continue
@@ -166,6 +188,12 @@ def test_checkpoint_tags_are_bounded_source_literals():
                     a0 = node.args[0]
                     if isinstance(a0, ast.Constant) and isinstance(a0.value, str):
                         literals.add(a0.value)
+                    elif (
+                        isinstance(a0, ast.Subscript)
+                        and isinstance(a0.value, ast.Name)
+                        and a0.value.id in pools
+                    ):
+                        literals.update(pools[a0.value.id])
                     elif isinstance(a0, ast.Name):
                         # must be a parameter of a known literal-fed carrier
                         offenders.append((f, node.lineno, f"name tag '{a0.id}'"))

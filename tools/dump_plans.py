@@ -650,6 +650,17 @@ HEADLINERS = {
         "semi-filter sits below the df/dl joins; per-query windows "
         "partition on qid, never a global sort."
     ),
+    "docs_bpe_encode": (
+        "BPE encode (train→apply closure). Check: encoding runs over "
+        "the DISTINCT-word relation weighted by frequency (one word "
+        "groupBy, never per-occurrence encode); the merge applications "
+        "are literal replaces over the trainer's final chain "
+        "checkpoint (Scan ExistingRDD — the corpus tokenizes once per "
+        "training step, never again for encode); the census is one "
+        "token-keyed hash aggregate with map-side combine and the "
+        "top-N is TakeOrderedAndProject with the rank label a "
+        "top_n-row window."
+    ),
     "streaming_sessions_append": (
         "Append-mode session closure (batch post-processing plan). "
         "Check: the graded plan is a projection + sort over the memory "
