@@ -104,7 +104,8 @@ PRIORITY_ORDER = [
     # ceded: ref_forecast5); streaming_sessions_append (append-mode
     # session_window closure semantics, round-14 verdict item 8; ceded:
     # ref_rolling_avg7); docs_bpe_encode (the tokenizer train→apply
-    # closure; ceded: ref_change_month).
+    # closure; ceded: ref_change_month); customers_erasure_cascade (the
+    # governance DELETE-planning verb; ceded: ref_last_value).
     #
     # --- NEW this round (first driver rows) ---
     "knn_index_compact",  # NEW
@@ -112,6 +113,7 @@ PRIORITY_ORDER = [
     "docs_bm25_escalate",  # NEW
     "streaming_sessions_append",  # NEW
     "docs_bpe_encode",  # NEW
+    "customers_erasure_cascade",  # NEW
     # --- the 19 owed r10 rows (r10-window order) ---
     "events_growth_accounting",
     "events_slo_burn",
@@ -158,7 +160,6 @@ PRIORITY_ORDER = [
     "ref_days_available",
     "ref_num_types",
     "ref_range_window",
-    "ref_last_value",
 ]
 
 _ROUND14_WINDOW = [

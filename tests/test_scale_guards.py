@@ -35,6 +35,12 @@ ALLOWED_GLOBAL_WINDOWS = {
         "relation is vocab²-bounded and pre-truncated to top-15 by "
         "sort-limit (TakeOrderedAndProject) before the ranking window",
     ),
+    "docs_bpe_encode": (
+        "post-encoding token census head",
+        "the rank label orders the BPE_TOP_TOKENS-row (20) relation "
+        "already truncated by sort-limit (TakeOrderedAndProject) — the "
+        "window never sees the vocab-sized census",
+    ),
     "docs_hybrid_search_rrf": (
         "per-arm top-10 ranked lists",
         "both ranking windows order arm_n-row (10) relations already "

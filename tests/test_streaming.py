@@ -377,3 +377,43 @@ def test_sessions_append_is_closed_subset_of_batch_sessionize(spark, sf_dir):
     want_closed = {k: v for k, v in want_all.items() if k[2] <= wm}
     assert got == want_closed
     assert len(want_closed) < len(want_all)  # something was withheld
+
+
+def test_landing_link_setup_is_thread_safe(tmp_path):
+    """The pool's 8 builder threads all race the landing-dir symlink
+    setup on a COLD start (fresh /tmp): lexists-then-symlink crashed the
+    loser with FileExistsError and took the whole pool start down (first
+    sf0.1 bench pass of round 15). The serialized helper must survive
+    the fan-out and land exactly one correct link; a stale link (the
+    regenerated-corpus armor) must retarget."""
+    import os
+    import threading
+
+    from currency_etl_spark.streaming.jobs import _ensure_landing_link
+
+    target = tmp_path / "t.parquet"
+    target.write_bytes(b"x")
+    for trial in range(20):
+        d = tmp_path / f"land{trial}"
+        errs = []
+
+        def go():
+            try:
+                _ensure_landing_link(str(d), "t.parquet", str(target))
+            except Exception as ex:  # pragma: no cover - the regression
+                errs.append(ex)
+
+        ts = [threading.Thread(target=go) for _ in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert errs == []
+        assert os.readlink(str(d / "t.parquet")) == str(target)
+    # retarget armor: a link left behind by a regenerated corpus moves
+    stale = tmp_path / "stale.parquet"
+    stale.write_bytes(b"y")
+    d = tmp_path / "land_retarget"
+    _ensure_landing_link(str(d), "t.parquet", str(stale))
+    _ensure_landing_link(str(d), "t.parquet", str(target))
+    assert os.readlink(str(d / "t.parquet")) == str(target)

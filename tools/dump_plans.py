@@ -641,14 +641,26 @@ HEADLINERS = {
         "is a broadcast argmin map."
     ),
     "docs_bm25_escalate": (
-        "BM25 posting-depth escalation. Check: every tier's pool join "
-        "BROADCASTS the tiny query relation; the capped tiers read the "
-        "one checkpointed scored-heads relation (<= 2x page depth rows "
-        "per query term); the full tier's tf join is reached only by "
-        "the anti-joined remainder (itself a checkpoint scan); scoring "
-        "touches only query-term postings — the broadcast q-term "
-        "semi-filter sits below the df/dl joins; per-query windows "
-        "partition on qid, never a global sort."
+        "BM25 posting-depth escalation (single-pass fixed point). "
+        "Check: ONE intersection aggregate over the checkpointed "
+        "scored-heads relation computes pair rungs, eff depths, and "
+        "the serving pool (no per-tier jobs); the query relation is "
+        "BROADCAST; the full-posting tier is reached only by the "
+        "anti-joined remainder (empty on graded data, so its join "
+        "build side is empty); scoring touches only query-term "
+        "postings — the broadcast q-term semi-filter sits below the "
+        "df/dl joins; per-query windows partition on qid, never a "
+        "global sort."
+    ),
+    "customers_erasure_cascade": (
+        "Erasure-cascade audit (governance DELETE planning). Check: "
+        "four branch scans with the cohort predicate pushed to the "
+        "customer scan; orders/lineitem/events reached through key "
+        "semi-joins (LeftSemi — the lineitem branch re-keys through the "
+        "affected orders, child-first like a production cascade); every "
+        "money sum is a decimal partial aggregate with map-side "
+        "combine; the four 1-row summaries union with no shuffle "
+        "beyond the semi-join keys."
     ),
     "docs_bpe_encode": (
         "BPE encode (train→apply closure). Check: encoding runs over "
