@@ -105,7 +105,9 @@ PRIORITY_ORDER = [
     # session_window closure semantics, round-14 verdict item 8; ceded:
     # ref_rolling_avg7); docs_bpe_encode (the tokenizer train→apply
     # closure; ceded: ref_change_month); customers_erasure_cascade (the
-    # governance DELETE-planning verb; ceded: ref_last_value).
+    # governance DELETE-planning verb; ceded: ref_last_value);
+    # streaming_bpe_encode (tokenize-on-ingest, the tokenizer family's
+    # batch/stream square; ceded: ref_range_window).
     #
     # --- NEW this round (first driver rows) ---
     "knn_index_compact",  # NEW
@@ -114,6 +116,7 @@ PRIORITY_ORDER = [
     "streaming_sessions_append",  # NEW
     "docs_bpe_encode",  # NEW
     "customers_erasure_cascade",  # NEW
+    "streaming_bpe_encode",  # NEW
     # --- the 19 owed r10 rows (r10-window order) ---
     "events_growth_accounting",
     "events_slo_burn",
@@ -159,7 +162,6 @@ PRIORITY_ORDER = [
     "ref_avg_value",
     "ref_days_available",
     "ref_num_types",
-    "ref_range_window",
 ]
 
 _ROUND14_WINDOW = [

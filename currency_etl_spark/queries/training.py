@@ -999,14 +999,20 @@ def bpe_merge_loop(
     ).orderBy("step")
 
 
-def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_words(
+    spark: SparkSession, sf_dir: str, docs_filter: "Column | None" = None
+) -> DataFrame:
     """The corpus word-frequency relation BPE trains on and encodes over
     — (w, freq), lowercased whitespace words. Shared by bpe_merge_loop /
-    docs_bpe_encode so the trainer and the encoder can never tokenize
-    differently."""
+    docs_bpe_encode / the streaming encode twin so no consumer can
+    tokenize differently; ``docs_filter`` restricts the documents the
+    relation derives from (the streaming twin trains on the STORED
+    corpus slice only)."""
+    docs = table(spark, sf_dir, "documents")
+    if docs_filter is not None:
+        docs = docs.filter(docs_filter)
     return (
-        table(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1021,7 +1027,13 @@ def _bpe_enc0(w: Column) -> Column:
     return F.concat(F.lit("|"), F.regexp_replace(w, "(.)", r"$1|"))
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str, k: int):
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    tag: str = "bpe_enc",
+    words: "DataFrame | None" = None,
+):
     """The K-step greedy BPE trainer (the bpe_merge_loop body, factored
     so the encode entry reuses the identical training artifact): returns
     ([(step, left, right, merged, pair_count)], enc) — the merge table
@@ -1055,7 +1067,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str, k: int):
         merges.append((step, tl, tr, tl + tr, int(cnt)))
         if step < k:
             enc = chain_checkpoint(
-                "bpe_enc",
+                tag,
                 enc.select(
                     "freq",
                     F.replace(
@@ -1465,3 +1477,80 @@ def docs_bpe_encode(
         )
         .orderBy("rank")
     )
+
+
+def _bpe_stream_census_oracle(k: int, top_n: int) -> str:
+    """Oracle for tokenize-on-ingest (the streaming encode twin): the
+    k-merge training chain runs over the STORED corpus slice only
+    (doc_id % 10 <> 7 — the tokenizer is a pre-batch artifact), then the
+    ARRIVING slice's distinct words are boundary-encoded from scratch
+    and pushed through the same k learned merges (chained replaces —
+    OOV batch words encode fine, they just never merge), and the census
+    is the batch's frequency-weighted post-encoding token count.
+    MATERIALIZED hints as in _bpe_loop_oracle."""
+    parts = [
+        """words AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents WHERE doc_id % 10 <> 7)
+            WHERE length(w) > 0 GROUP BY w
+        )""",
+        "enc0 AS MATERIALIZED (SELECT freq, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc FROM words)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"pc{i} AS (SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt "
+            f"FROM ({_SQL_PAIRS.format(enc=f'enc{i}')}) GROUP BY l, r)"
+        )
+        parts.append(
+            f"top{i} AS MATERIALIZED (SELECT l AS tl, r AS tr, cnt "
+            f"FROM pc{i} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f"enc{i + 1} AS MATERIALIZED (SELECT freq, "
+                f"replace(enc, '|' || tl || '|' || tr, '|' || tl || tr) AS enc "
+                f"FROM enc{i}, top{i})"
+            )
+    parts.append(
+        """bw AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS bfreq
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM documents WHERE doc_id % 10 = 7)
+            WHERE length(w) > 0 GROUP BY w
+        )""",
+    )
+    parts.append(
+        "benc0 AS MATERIALIZED (SELECT bfreq, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS enc FROM bw)"
+    )
+    for i in range(k):
+        parts.append(
+            f"benc{i + 1} AS MATERIALIZED (SELECT bfreq, "
+            f"replace(enc, '|' || tl || '|' || tr, '|' || tl || tr) AS enc "
+            f"FROM benc{i}, top{i})"
+        )
+    parts.append(
+        f"""toks AS (
+            SELECT t AS token, CAST(sum(bfreq) AS BIGINT) AS n_occurrences
+            FROM (SELECT bfreq, unnest(string_split(enc, '|')) AS t FROM benc{k})
+            WHERE t <> '' GROUP BY t
+        )"""
+    )
+    parts.append(
+        "tot AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total FROM toks)"
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+                    AS BIGINT) AS rank,
+               token,
+               n_occurrences,
+               CAST(length(token) AS BIGINT) AS token_len,
+               round(CAST(n_occurrences AS DOUBLE) / total, 6) AS share
+        FROM (
+            SELECT token, n_occurrences FROM toks
+            ORDER BY n_occurrences DESC, token LIMIT {top_n}
+        ), tot
+        ORDER BY rank
+    """

@@ -1307,6 +1307,99 @@ def _text_oov_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from currency_etl_spark.queries.training import (  # noqa: E402
+    BPE_MERGES,
+    BPE_TOP_TOKENS,
+    _bpe_stream_census_oracle,
+)
+
+
+@register(
+    "streaming_bpe_encode",
+    oracle=_bpe_stream_census_oracle(BPE_MERGES, BPE_TOP_TOKENS),
+    tags=("streaming", "text", "tokenizer", "incremental", "llm"),
+    doc=(
+        "Tokenize-on-ingest — the streaming twin of docs_bpe_encode, "
+        "completing the batch/stream square for the tokenizer family "
+        "the way streaming_text_oov completed text drift's: the merge "
+        "table is TRAINED ONCE on the stored pre-batch corpus slice "
+        "(doc_id % 10 <> 7 — the persisted tokenizer artifact, built at "
+        "pool start; its per-step argmax collects are the enumerated "
+        "_bpe_train sites, chained under the stream's own checkpoint "
+        "tag so a concurrent batch training can never release its "
+        "blocks), and arriving documents encode PER ROW: whitespace "
+        "words boundary-encode and the k learned merges apply as "
+        "literal replaces — a stateless narrow map, so out-of-"
+        "vocabulary words encode fine (they simply never merge), no "
+        "watermark, no state store, the only state is the k-row merge "
+        "table baked into the plan. The sink holds occurrence-level "
+        "token rows of the arriving slice (the streaming_text_oov "
+        "convention) and the graded rollup is the batch-side census: "
+        f"top-{BPE_TOP_TOKENS} post-encoding tokens by occurrence "
+        "count with exact counts, token length, and batch-share. The "
+        "oracle re-derives the stored-corpus training chain AND the "
+        "batch's from-scratch encoding declaratively. Scale shape: the "
+        "merge table is k tiny literals (the artifact a production "
+        "tokenizer ships to every ingest worker); per-row encode cost "
+        "is O(word length x k); the census is one token-keyed "
+        "map-side-combinable count and a TakeOrderedAndProject head."
+    ),
+)
+def streaming_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sink = pooled_sink(spark, sf_dir, "streaming_bpe_encode")
+    from pyspark.sql import Window as W
+
+    toks = sink.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    tot = toks.agg(F.sum("n_occurrences").cast("long").alias("total"))
+    top = toks.orderBy(F.desc("n_occurrences"), "token").limit(BPE_TOP_TOKENS)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.desc("n_occurrences"), "token"))
+            .cast("long")
+            .alias("rank"),
+            "token",
+            "n_occurrences",
+            F.length("token").cast("long").alias("token_len"),
+            F.round(
+                F.col("n_occurrences").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+        .orderBy("rank")
+    )
+
+
+@_stream_job("streaming_bpe_encode", "streaming_bpe_encode_out", mode="append")
+def _bpe_encode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.training import (
+        _bpe_enc0,
+        _bpe_train,
+        _bpe_words,
+    )
+
+    merges, _ = _bpe_train(
+        spark,
+        sf_dir,
+        BPE_MERGES,
+        "bpe_enc_stream",
+        words=_bpe_words(spark, sf_dir, F.col("doc_id") % 10 != 7),
+    )
+    new = _documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
+    words = new.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    enc = _bpe_enc0(F.col("w"))
+    for _step, tl, tr, _m, _c in merges:
+        enc = F.replace(enc, F.lit(f"|{tl}|{tr}"), F.lit(f"|{tl}{tr}"))
+    return (
+        words.select(F.explode(F.split(enc, r"\|")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+
+
 def _embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the embeddings table — the 'new vectors'
     side of the streaming ANN screen. Same stable-symlink landing-dir

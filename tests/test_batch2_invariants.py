@@ -90,16 +90,20 @@ def _py_bpe_loop(sf_dir: str, k: int) -> list[tuple]:
     return _py_bpe_train(sf_dir, k)[0]
 
 
-def _py_bpe_train(sf_dir: str, k: int):
+def _py_bpe_train(sf_dir: str, k: int, stored_only: bool = False):
     """(merges, final word encodings with ALL recorded merges applied,
     weighted by frequency) — the loop reference plus the encode side's
-    ground truth."""
+    ground truth. ``stored_only`` trains on the pre-batch corpus slice
+    (doc_id % 10 <> 7), the streaming twin's persisted tokenizer."""
     from collections import Counter
 
     import pandas as pd
 
     words: Counter = Counter()
-    for t in pd.read_parquet(f"{sf_dir}/documents.parquet").text:
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    if stored_only:
+        df = df[df.doc_id % 10 != 7]
+    for t in df.text:
         for w in t.lower().split(" "):
             if w:
                 words[w] += 1
@@ -391,3 +395,46 @@ def test_bpe_encode_census_reflects_the_merge_table(spark, sf_dir):
     # the first merge's product must exist somewhere in the encodings
     first = merges[0][3]
     assert any(f"|{first}" in e for e, _ in encs)
+
+
+def test_streaming_bpe_encode_matches_python(spark, sf_dir):
+    """Tokenize-on-ingest ground truth, third engine: train on the
+    STORED slice only, encode the arriving slice's words from scratch
+    through the learned merges (OOV words char-encode and never merge),
+    census weighted by batch occurrence counts."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from currency_etl_spark.queries.training import BPE_MERGES, BPE_TOP_TOKENS
+
+    merges, _ = _py_bpe_train(sf_dir, BPE_MERGES, stored_only=True)
+    bw: Counter = Counter()
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for t in df[df.doc_id % 10 == 7].text:
+        for w in t.lower().split(" "):
+            if w:
+                bw[w] += 1
+    toks: Counter = Counter()
+    for w, f in bw.items():
+        e = _encode(w)
+        for _s, l, r, _m, _c in merges:
+            e = e.replace(f"|{l}|{r}", f"|{l}{r}")
+        for t in e.split("|"):
+            if t:
+                toks[t] += f
+    total = sum(toks.values())
+    head = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_TOKENS]
+    want = [
+        (rank, t, c, len(t), round(c / total, 6))
+        for rank, (t, c) in enumerate(head, start=1)
+    ]
+    got = [
+        tuple(r)
+        for r in CATALOG["streaming_bpe_encode"].spark_fn(spark, sf_dir).collect()
+    ]
+    assert got == want
+    # the stream used the STORED tokenizer: its merge table must differ
+    # from nothing structurally but derive from the stored slice —
+    # re-deriving with the full corpus must NOT be assumed equal (they
+    # may coincide on tiny corpora; assert only the stored-slice truth)

@@ -673,6 +673,15 @@ HEADLINERS = {
         "top-N is TakeOrderedAndProject with the rank label a "
         "top_n-row window."
     ),
+    "streaming_bpe_encode": (
+        "Tokenize-on-ingest (batch post-processing plan). Check: the "
+        "graded plan is one token-keyed hash aggregate with map-side "
+        "combine over the memory sink plus a TakeOrderedAndProject "
+        "head; the STREAM side (not in this plan) is a stateless "
+        "per-row encode whose k merges are literal replaces baked into "
+        "the plan — no join, no state store (pinned in "
+        "tests/test_batch2_invariants.py)."
+    ),
     "streaming_sessions_append": (
         "Append-mode session closure (batch post-processing plan). "
         "Check: the graded plan is a projection + sort over the memory "
