@@ -107,7 +107,9 @@ PRIORITY_ORDER = [
     # closure; ceded: ref_change_month); customers_erasure_cascade (the
     # governance DELETE-planning verb; ceded: ref_last_value);
     # streaming_bpe_encode (tokenize-on-ingest, the tokenizer family's
-    # batch/stream square; ceded: ref_range_window).
+    # batch/stream square; ceded: ref_range_window);
+    # multimodal_asset_gc (the multimodal DELETE/GC action; ceded:
+    # ref_num_types).
     #
     # --- NEW this round (first driver rows) ---
     "knn_index_compact",  # NEW
@@ -117,6 +119,7 @@ PRIORITY_ORDER = [
     "docs_bpe_encode",  # NEW
     "customers_erasure_cascade",  # NEW
     "streaming_bpe_encode",  # NEW
+    "multimodal_asset_gc",  # NEW
     # --- the 19 owed r10 rows (r10-window order) ---
     "events_growth_accounting",
     "events_slo_burn",
@@ -161,7 +164,6 @@ PRIORITY_ORDER = [
     "similar_part_names",
     "ref_avg_value",
     "ref_days_available",
-    "ref_num_types",
 ]
 
 _ROUND14_WINDOW = [

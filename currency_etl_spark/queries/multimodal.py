@@ -526,3 +526,94 @@ def multimodal_storage_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "multimodal_asset_gc",
+    oracle="""
+        WITH addressed AS (
+            SELECT doc_id, md5(text) AS checksum,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        ),
+        g AS (
+            SELECT checksum,
+                   CAST(count(*) AS BIGINT) AS n_refs,
+                   CAST(sum(CASE WHEN doc_id % 10 <> 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_live_refs,
+                   min(CASE WHEN doc_id % 10 <> 3 THEN doc_id END)
+                       AS canon,
+                   min(n_bytes) AS n_bytes
+            FROM addressed
+            GROUP BY checksum
+        )
+        SELECT checksum, n_refs, n_live_refs,
+               COALESCE(canon, -1) AS canonical_doc,
+               (n_live_refs = 0) AS collected,
+               n_bytes,
+               CAST(n_refs * n_bytes
+                    - CASE WHEN n_live_refs = 0 THEN 0 ELSE n_bytes END
+                    AS BIGINT) AS bytes_reclaimed
+        FROM g
+        ORDER BY checksum
+    """,
+    tags=("llm", "multimodal", "dedup", "action"),
+    doc=(
+        "Asset-store garbage collection — the ACTION "
+        "multimodal_dedup_assets plans and the multimodal DELETE verb "
+        "(the family mirror of knn_index_compact / text_index_compact): "
+        "the raw lake (one blob per document) rewrites to a "
+        "content-addressed store holding ONE blob per checksum that "
+        "still has a LIVE reference, where the deleted slice is the "
+        "repo's shared tombstone cohort (doc_id % 10 = 3 — the same "
+        "slice the index families tombstone and the erasure cascade "
+        "audits). Per address: total and LIVE reference counts, the "
+        "canonical surviving document (lowest live doc_id; -1 when the "
+        "address collected — never a silent NULL), the collected flag "
+        "(the last live reference died, the blob itself is garbage), "
+        "the per-copy byte size (copies of one checksum share it by "
+        "construction), and the exact bytes the rewrite reclaims "
+        "(every raw copy minus the single surviving store blob; a "
+        "collected address reclaims all of them). Scale shape: GC runs "
+        "at METADATA speed — only (doc_id, checksum, n_bytes) cross "
+        "the wire, 48 bytes per asset whatever the asset size, one "
+        "checksum-keyed shuffle with map-side combine, and the blob "
+        "column never leaves the scan (the meta_stats pruning "
+        "property); the physical rewrite a production store performs "
+        "from this relation is a partitioned-by-address copy of "
+        "surviving blobs, exactly knn_index_compact's write-back "
+        "shape. Every output is an exact integer."
+    ),
+)
+def multimodal_asset_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_blob(table(spark, sf_dir, "documents"))
+    live = F.col("doc_id") % 10 != 3
+    g = (
+        blobs.select(
+            "doc_id",
+            F.col("meta.checksum").alias("checksum"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .groupBy("checksum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_refs"),
+            F.sum(live.cast("long")).cast("long").alias("n_live_refs"),
+            F.min(F.when(live, F.col("doc_id"))).alias("canon"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+    )
+    collected = F.col("n_live_refs") == 0
+    return g.select(
+        "checksum",
+        "n_refs",
+        "n_live_refs",
+        F.coalesce("canon", F.lit(-1)).cast("long").alias("canonical_doc"),
+        collected.alias("collected"),
+        "n_bytes",
+        (
+            F.col("n_refs") * F.col("n_bytes")
+            - F.when(collected, F.lit(0)).otherwise(F.col("n_bytes"))
+        )
+        .cast("long")
+        .alias("bytes_reclaimed"),
+    ).orderBy("checksum")

@@ -214,3 +214,37 @@ def test_perceptual_hash_gradient_kernel_exact(spark):
 
     with pytest.raises(NotImplementedError):
         phash_image(b"\x89PNG...")
+
+
+def test_asset_gc_agrees_with_dedup_plan(spark, sf_dir):
+    """Cross-entry pin: the GC action and the dedup plan describe the
+    same address space — identical reference counts per checksum, the
+    same canonical election whenever the dedup canonical is still live,
+    collected exactly when no live reference remains, and the GC
+    reclaims at least the dedup plan's waste (it additionally collects
+    addresses whose last reference died)."""
+    from currency_etl_spark.catalog import load_catalog
+
+    cat = load_catalog()
+    gc = {r["checksum"]: r for r in cat["multimodal_asset_gc"].spark_fn(spark, sf_dir).collect()}
+    dd = {r["checksum"]: r for r in cat["multimodal_dedup_assets"].spark_fn(spark, sf_dir).collect()}
+    assert set(gc) == set(dd)
+    some_collected = False
+    for ck, g in gc.items():
+        d = dd[ck]
+        assert g["n_refs"] == d["n_copies"]
+        assert 0 <= g["n_live_refs"] <= g["n_refs"]
+        assert g["collected"] == (g["n_live_refs"] == 0)
+        if g["collected"]:
+            some_collected = True
+            assert g["canonical_doc"] == -1
+            assert g["bytes_reclaimed"] == g["n_refs"] * g["n_bytes"]
+        else:
+            assert g["canonical_doc"] >= 0 and g["canonical_doc"] % 10 != 3
+            if d["canonical_doc"] % 10 != 3:
+                assert g["canonical_doc"] == d["canonical_doc"]
+            assert g["bytes_reclaimed"] == (g["n_refs"] - 1) * g["n_bytes"]
+    assert some_collected, "the tombstone cohort collected nothing — degenerate"
+    assert sum(g["bytes_reclaimed"] for g in gc.values()) >= sum(
+        d["wasted_bytes"] for d in dd.values()
+    )

@@ -673,6 +673,14 @@ HEADLINERS = {
         "top-N is TakeOrderedAndProject with the rank label a "
         "top_n-row window."
     ),
+    "multimodal_asset_gc": (
+        "Asset-store GC (the multimodal DELETE verb). Check: the scan's "
+        "ReadSchema carries only the reference metadata (blob bytes "
+        "never cross the wire); ONE checksum-keyed exchange with "
+        "partial_count/partial_min map-side combine; liveness and "
+        "reclaimed bytes are narrow projections over the aggregate — "
+        "no join, no window."
+    ),
     "streaming_bpe_encode": (
         "Tokenize-on-ingest (batch post-processing plan). Check: the "
         "graded plan is one token-keyed hash aggregate with map-side "
