@@ -84,10 +84,12 @@ PRIORITY_ORDER = [
     # rows (parts_revenue_pareto .. lineitem_equidepth_histogram), then
     # the other four ceded rows (supplier_reach_bfs, streaming_late_drop,
     # multimodal_phash_dedup, multimodal_phash_near), all in r10-window
-    # order per the tool's within-round rule; then the oldest 31 rows of
-    # the r11 block (r11-window order). 19 + 31 = 50. After r15 the
+    # order per the tool's within-round rule; then the oldest rows of
+    # the r11 block (r11-window order) fill to 50 — with the EIGHT NEW
+    # r15 entries below leading, that is 8 + 19 + 23 = 50. After r15 the
     # staleness ledger becomes: 50×r15, 50×r14, 50×r13, 50×r12, and the
-    # remaining 19 r11 rows — no entry's newest row older than r11
+    # remaining 27 r11 rows (19 un-refreshed + the 8 ceded, which lead
+    # the r16 fill) — no entry's newest row older than r11
     # (advancing the round-13 done-condition by one round). All waiting
     # rows remain locally oracle-verified at sf0.001 on every pytest run
     # (tests/test_oracle.py); the builder's logged driver simulation

@@ -41,6 +41,12 @@ ALLOWED_GLOBAL_WINDOWS = {
         "already truncated by sort-limit (TakeOrderedAndProject) — the "
         "window never sees the vocab-sized census",
     ),
+    "streaming_bpe_encode": (
+        "ingest-census head (batch rollup of the memory sink)",
+        "same shape as docs_bpe_encode: the rank label orders the "
+        "BPE_TOP_TOKENS-row (20) relation already truncated by "
+        "sort-limit — the window never sees the batch-vocab census",
+    ),
     "docs_hybrid_search_rrf": (
         "per-arm top-10 ranked lists",
         "both ranking windows order arm_n-row (10) relations already "
