@@ -17,6 +17,9 @@ ordered — the rules from catalog.py's module docstring.
 
 from __future__ import annotations
 
+import threading
+import time
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1027,12 +1030,35 @@ def _bpe_enc0(w: Column) -> Column:
     return F.concat(F.lit("|"), F.regexp_replace(w, "(.)", r"$1|"))
 
 
+#: Trained-merge-table cache: tag -> (key, merges, enc). A BPE merge
+#: table is a session-scoped stored artifact exactly like the IVF/text
+#: indexes (memo_checkpoint families), but its product pairs a
+#: Python-side list with the live final-encoding checkpoint, which
+#: memo_checkpoint's DataFrame-only contract can't carry — so the cache
+#: lives here, keyed the same way ((content inputs, applicationId)),
+#: invalidated through ckpt.register_reset_hook by the same
+#: reset_memos()/release_all() calls that reset every other memo (the
+#: bench's per-pass honesty guard covers it automatically), and its
+#: touches feed the same ledger via ckpt.note_build so bench.py
+#: subtracts the one training cost from the paying entry and reports it
+#: as a memo_build:<tag> line. Round-16: bpe_merge_loop /
+#: docs_bpe_encode previously each re-ran the full K-step training
+#: chain per entry (the r15 bpe_merge_loop row adjudication).
+_BPE_CACHE: dict = {}
+_BPE_CACHE_LOCK = threading.Lock()
+
+
+def _bpe_cache_clear() -> None:
+    _BPE_CACHE.clear()
+
+
 def _bpe_train(
     spark: SparkSession,
     sf_dir: str,
     k: int,
     tag: str = "bpe_enc",
     words: "DataFrame | None" = None,
+    corpus_key: "str | None" = None,
 ):
     """The K-step greedy BPE trainer (the bpe_merge_loop body, factored
     so the encode entry reuses the identical training artifact): returns
@@ -1042,14 +1068,46 @@ def _bpe_train(
     recorded merge EXCEPT a full run's k-th already applied (the trainer
     never pays a merge it won't count over; on early vocab exhaustion
     all recorded merges are applied). The encoder finishes the chain
-    instead of re-deriving it."""
+    instead of re-deriving it.
+
+    ``words`` overrides the training corpus relation (the streaming twin
+    trains on the STORED slice only — round-15 advice: the override is
+    the relation actually trained on, not just documented); callers
+    passing it MUST pass a distinct ``corpus_key`` naming the override's
+    identity, because the session cache can't key on a DataFrame. One
+    training run per (tag, sf_dir, k, corpus, session) — every
+    same-artifact consumer after the first gets the cached merge table
+    and live encoding checkpoint."""
+    from currency_etl_spark.operators.ckpt import note_build, register_reset_hook
+
+    register_reset_hook(_bpe_cache_clear)
+    app = spark.sparkContext.applicationId
+    key = (sf_dir, k, corpus_key, app)
+    with _BPE_CACHE_LOCK:
+        hit = _BPE_CACHE.get(tag)
+        if hit is not None and hit[0] == key:
+            note_build(tag, False, 0.0)
+            return hit[1], hit[2]
+        t0 = time.perf_counter()
+        merges, enc = _bpe_train_build(spark, sf_dir, k, tag, words)
+        _BPE_CACHE[tag] = (key, merges, enc)
+        note_build(tag, True, time.perf_counter() - t0)
+        return merges, enc
+
+
+def _bpe_train_build(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    tag: str,
+    words: "DataFrame | None",
+):
     from currency_etl_spark.operators.ckpt import chain_checkpoint
 
+    rel = words if words is not None else _bpe_words(spark, sf_dir)
     enc = chain_checkpoint(
-        "bpe_enc",
-        _bpe_words(spark, sf_dir).select(
-            "freq", _bpe_enc0(F.col("w")).alias("enc")
-        ),
+        tag,
+        rel.select("freq", _bpe_enc0(F.col("w")).alias("enc")),
     )
     merges = []
     for step in range(1, k + 1):

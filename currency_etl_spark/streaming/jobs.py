@@ -100,7 +100,12 @@ def _ensure_landing_link(stream_dir: str, basename: str, path: str) -> None:
         os.makedirs(stream_dir, exist_ok=True)
         link = os.path.join(stream_dir, basename)
         if os.path.islink(link) and os.readlink(link) != path:
-            os.unlink(link)
+            try:
+                os.unlink(link)
+            except FileNotFoundError:
+                pass  # another PROCESS retargeted the stale link first
+                # (the in-process lock doesn't cover other processes —
+                # mirror of the FileExistsError tolerance on creation)
         if not os.path.lexists(link):
             try:
                 os.symlink(path, link)
@@ -1386,6 +1391,7 @@ def _bpe_encode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         BPE_MERGES,
         "bpe_enc_stream",
         words=_bpe_words(spark, sf_dir, F.col("doc_id") % 10 != 7),
+        corpus_key="stored_slice_mod10ne7",
     )
     new = _documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 7)
     words = new.select(
