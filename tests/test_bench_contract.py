@@ -32,6 +32,7 @@ KNOWN_MEMO_TAGS = frozenset(
     {"minhash_sh", "minhash_sig", "minhash_pairs", "cc_map", "rfm_base",
      "phash_base", "stream_pool", "dup_hits", "ivf_cents", "ivf_index",
      "surp_base", "text_tf", "text_df", "text_batch_tf",
+     "bpe_enc", "bpe_enc_stream",
      "text_posting_heads"}
 )
 
