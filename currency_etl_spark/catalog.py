@@ -67,9 +67,79 @@ GRADING_WINDOW = 50
 #: this round — otherwise the pin self-rots the moment the round-end file
 #: lands (the round-9 verdict's one red test). Bump this together with
 #: every PRIORITY_ORDER rewrite.
-PRIORITY_ORDER_BASIS_ROUND = 14
+PRIORITY_ORDER_BASIS_ROUND = 15
 
 PRIORITY_ORDER = [
+    # ROUND 16 WINDOW — the standing staleness rotation, executing
+    # round-15 verdict item 4. Source: `python tools/make_window.py
+    # --through-round 15` — the committed list below is the tool's
+    # output VERBATIM (regenerated as each NEW r16 entry lands, per the
+    # standing convention; NEW entries lead and each takes a slot from
+    # the fill's tail, documented per entry when that happens).
+    # Composition: the nine rows that ceded their r15 slots — the seven
+    # ref_* reference-report entries plus text_stats and lang_id, all
+    # last oracled in r11, five rounds stale, exactly the staleness the
+    # r15 verdict flagged — lead, followed by the remaining 19 r11 rows
+    # in r11-window order, then the oldest r12 rows fill to 50. After
+    # r16 the staleness ledger becomes 50×r16 + 50×r15 + 50×r14 +
+    # 50×r13 + 28×r12: no entry's newest driver row older than r12 (the
+    # ledger advances one full round again). All waiting rows remain
+    # locally oracle-verified at sf0.001 on every pytest run
+    # (tests/test_oracle.py); the builder's logged driver simulation
+    # repeats the comparison at sf0.01.
+    "ref_days_available",
+    "ref_num_types",
+    "ref_range_window",
+    "ref_last_value",
+    "ref_change_month",
+    "ref_rolling_avg7",
+    "ref_forecast5",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "tfidf_top_terms",
+    "docs_clean_corpus",
+    "docs_chunk_tokens",
+    "docs_stratified_sample",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "knn_brute",
+    "knn_ivf",
+    "knn_lsh",
+    "embedding_norms",
+    "multimodal_meta_stats",
+    "multimodal_frame_sample",
+    "events_hourly",
+    "events_pivot_by_type",
+    "events_sessionize",
+    "events_range_join_binned",
+    "embeddings_drift_psi",
+    "streaming_drift_psi",
+    "docs_packing_efficiency",
+    "docs_mixture_reweight",
+    "events_key_skew",
+    "events_type_transitions",
+    "dedup_semantic",
+    "streaming_dedup_screen",
+    "docs_dup_span_coverage",
+    "acctbal_dispersion",
+    "customer_rfm",
+    "customers_order_coverage",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "docs_ngram_counts",
+    "docs_pii_scrub",
+    "docs_repetition_score",
+    "docs_vocab_coverage",
+    "embedding_quantize",
+    "integrity_checks",
+    "knn_lsh_multiprobe",
+    "lineitem_price_histogram",
+]
+
+_ROUND15_WINDOW = [
     # ROUND 15 WINDOW — the standing staleness rotation, executing
     # round-14 verdict item 1. Source: `python tools/make_window.py
     # --through-round 14` — the committed list below is the tool's
