@@ -87,6 +87,16 @@ PRIORITY_ORDER = [
     # locally oracle-verified at sf0.001 on every pytest run
     # (tests/test_oracle.py); the builder's logged driver simulation
     # repeats the comparison at sf0.01.
+    #
+    # NEW this round (list regenerated as each landed, per the standing
+    # convention; each NEW entry takes a slot from the fill tail — the
+    # ceding rows, owed the r17 fill head, documented per entry):
+    # multimodal_phash_staleness (perceptual-index staleness audit,
+    # round-15 verdict item 5; ceded: lineitem_price_histogram);
+    # multimodal_phash_rebuild (perceptual-index delete-rewrite action,
+    # same verdict item; ceded: knn_lsh_multiprobe).
+    "multimodal_phash_staleness",  # NEW
+    "multimodal_phash_rebuild",  # NEW
     "ref_days_available",
     "ref_num_types",
     "ref_range_window",
@@ -135,8 +145,6 @@ PRIORITY_ORDER = [
     "docs_vocab_coverage",
     "embedding_quantize",
     "integrity_checks",
-    "knn_lsh_multiprobe",
-    "lineitem_price_histogram",
 ]
 
 _ROUND15_WINDOW = [

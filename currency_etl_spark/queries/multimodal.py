@@ -617,3 +617,271 @@ def multimodal_asset_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bytes_reclaimed"),
     ).orderBy("checksum")
+
+#: The gradient-phash CTE chain shared by the two index-lifecycle
+#: oracles below (the same chain multimodal_phash_dedup /
+#: multimodal_phash_near inline verbatim — kept as one constant here so
+#: a third and fourth copy don't drift; ``ph`` is (doc_id, phash) and
+#: ``d`` additionally carries the md5 checksum for payload counting).
+_PH_SQL = """
+        d AS (
+            SELECT doc_id, text, md5(text) AS checksum,
+                   octet_length(encode(text)) AS total
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, text, unnest(generate_series(1, total)) AS i
+            FROM d
+        ),
+        counts AS (
+            SELECT doc_id, ord(substring(text, i, 1)) % 16 AS bin, count(*) AS c
+            FROM pos GROUP BY doc_id, ord(substring(text, i, 1)) % 16
+        ),
+        grid AS (
+            SELECT d.doc_id, g.bin
+            FROM d, (SELECT unnest(generate_series(0, 15)) AS bin) g
+        ),
+        dense AS (
+            SELECT g.doc_id, g.bin, CAST(coalesce(c.c, 0) AS BIGINT) AS c
+            FROM grid g
+            LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+        ),
+        ph AS (
+            SELECT a.doc_id,
+                   CAST(coalesce(sum(CASE WHEN a.c > b.c
+                        THEN (CAST(1 AS BIGINT) << a.bin) END), 0) AS BIGINT)
+                       AS phash
+            FROM dense a
+            JOIN dense b ON b.doc_id = a.doc_id AND b.bin = (a.bin + 1) % 16
+            GROUP BY a.doc_id
+        )"""
+
+
+@register(
+    "multimodal_phash_staleness",
+    oracle=f"""
+        WITH {_PH_SQL},
+        stored AS (SELECT * FROM ph WHERE doc_id % 10 <> 7),
+        batch AS (SELECT * FROM ph WHERE doc_id % 10 = 7),
+        sb AS (SELECT DISTINCT phash FROM stored),
+        probes AS (
+            SELECT b.doc_id, b.phash,
+                   CASE WHEN f.i = 16 THEN b.phash
+                        ELSE xor(b.phash, CAST(1 AS BIGINT) << f.i) END AS probe
+            FROM batch b, (SELECT unnest(generate_series(0, 16)) AS i) f
+        ),
+        per AS (
+            SELECT p.doc_id,
+                   max(CASE WHEN sb.phash IS NOT NULL AND p.probe = p.phash
+                            THEN 1 ELSE 0 END) AS hit,
+                   max(CASE WHEN sb.phash IS NOT NULL THEN 1 ELSE 0 END)
+                       AS any_hit
+            FROM probes p LEFT JOIN sb ON sb.phash = p.probe
+            GROUP BY p.doc_id
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(hit) AS BIGINT) AS h,
+                   CAST(sum(any_hit) AS BIGINT) AS ah
+            FROM per
+        ),
+        sc AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_index_assets,
+                   CAST(count(DISTINCT phash) AS BIGINT) AS index_buckets
+            FROM stored
+        ),
+        bc AS (
+            SELECT CAST(count(DISTINCT phash) AS BIGINT) AS batch_buckets
+            FROM batch
+        )
+        SELECT sc.n_index_assets,
+               sc.index_buckets,
+               s.nb AS n_batch_assets,
+               bc.batch_buckets,
+               s.h AS hit_assets,
+               s.ah - s.h AS rescued_assets,
+               s.nb - s.ah AS novel_assets,
+               round(CAST(s.nb - s.h AS DOUBLE) / s.nb, 6) AS exact_miss_share,
+               round(CAST(s.nb - s.ah AS DOUBLE) / s.nb, 6) AS novel_share,
+               ((s.nb - s.h) * 2 > s.nb OR (s.nb - s.ah) * 4 > s.nb) AS rebuild
+        FROM s, sc, bc
+    """,
+    tags=("llm", "multimodal", "dedup", "index", "incremental", "eval"),
+    doc=(
+        "Perceptual-index staleness audit — the multimodal rung of the "
+        "decision layer text_index_staleness and knn_index_staleness "
+        "give their modalities, completing the screen → staleness → "
+        "rewrite verb set for the third (perceptual) index family: the "
+        "ARRIVING asset slice (doc_id % 10 = 7, the shared maintenance "
+        "batch) is fingerprinted and held against the STORED bucket "
+        "index (the old-slice rows of the memoized phash_base "
+        "checkpoint — the same frozen artifact streaming_phash_screen "
+        "serves from), and the audit reports how the bucket structure "
+        "is eroding: per arriving asset, does its EXACT phash bucket "
+        "exist in the index (hit — the cheap groupBy layer still "
+        "catches it), does only a Hamming-1 flip probe land (rescued — "
+        "the 17x multiprobe is compensating, at 17x the join fanout), "
+        "or does nothing land (novel — invisible even to radius-1 "
+        "probing)? One summary row: index/batch asset and bucket "
+        "counts, the hit/rescued/novel split, the exact-miss and "
+        "novel shares, and the integer-exact rebuild flag — retrain "
+        "when the exact layer misses over half the arrivals "
+        "((nb-h)*2 > nb) or radius-1 probing misses over a quarter "
+        "((nb-ah)*4 > nb); cross-multiplication, never a float "
+        "threshold. The screen answers per-asset 'is this a dup'; "
+        "this audit answers the MAINTENANCE question 'is the stored "
+        "bucket index still shaped like the traffic' — exactly the "
+        "division of labor between streaming_knn_screen and "
+        "knn_index_staleness. Cross-entry pin: hit+rescued == the "
+        "screen's n_candidates>0 count (same probes, same stored "
+        "side). Scale shape: both sides read the ONE memoized Arrow "
+        "fingerprint pass (zero parquet scans in the final plan — "
+        "plan-pinned), the probe fanout is a bounded 17x of 16-byte "
+        "rows, and everything downstream is hash equi-joins and "
+        "map-side-combinable counts over 64-bit keys; at 100 TB the "
+        "audit costs one distinct over the stored index plus "
+        "17·|batch| probe rows — no pairs, no blob bytes past the "
+        "scan."
+    ),
+)
+def multimodal_phash_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.multimodal import _phash_base
+
+    ph = _phash_base(spark, sf_dir).select("doc_id", "phash")
+    stored = ph.filter(F.col("doc_id") % 10 != 7)
+    batch = ph.filter(F.col("doc_id") % 10 == 7)
+    sb = stored.select("phash").distinct().withColumnRenamed("phash", "sbk")
+    probes = batch.select(
+        "doc_id", "phash", F.explode(hamming1_probes("phash")).alias("probe")
+    )
+    per = (
+        probes.join(sb, probes["probe"] == sb["sbk"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                (F.col("sbk").isNotNull() & (F.col("probe") == F.col("phash")))
+                .cast("long")
+            ).alias("hit"),
+            F.max(F.col("sbk").isNotNull().cast("long")).alias("any_hit"),
+        )
+    )
+    s = per.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("hit").cast("long").alias("h"),
+        F.sum("any_hit").cast("long").alias("ah"),
+    )
+    sc = stored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_index_assets"),
+        F.countDistinct("phash").alias("index_buckets"),
+    )
+    bc = batch.agg(F.countDistinct("phash").alias("batch_buckets"))
+    return (
+        s.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(bc))
+        .select(
+            "n_index_assets",
+            "index_buckets",
+            F.col("nb").alias("n_batch_assets"),
+            "batch_buckets",
+            F.col("h").alias("hit_assets"),
+            (F.col("ah") - F.col("h")).alias("rescued_assets"),
+            (F.col("nb") - F.col("ah")).alias("novel_assets"),
+            F.round(
+                (F.col("nb") - F.col("h")).cast("double") / F.col("nb"), 6
+            ).alias("exact_miss_share"),
+            F.round(
+                (F.col("nb") - F.col("ah")).cast("double") / F.col("nb"), 6
+            ).alias("novel_share"),
+            (
+                ((F.col("nb") - F.col("h")) * 2 > F.col("nb"))
+                | ((F.col("nb") - F.col("ah")) * 4 > F.col("nb"))
+            ).alias("rebuild"),
+        )
+    )
+
+
+@register(
+    "multimodal_phash_rebuild",
+    oracle=f"""
+        WITH {_PH_SQL},
+        ph2 AS (
+            SELECT ph.doc_id, ph.phash, d.checksum
+            FROM ph JOIN d ON d.doc_id = ph.doc_id
+        ),
+        g AS (
+            SELECT phash,
+                   CAST(sum(CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN doc_id % 10 <> 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_live,
+                   min(CASE WHEN doc_id % 10 <> 3 THEN doc_id END) AS canon,
+                   CAST(count(DISTINCT CASE WHEN doc_id % 10 <> 3
+                                            THEN checksum END)
+                        AS BIGINT) AS n_payloads_live
+            FROM ph2 GROUP BY phash
+        )
+        SELECT phash, n_removed, n_live,
+               COALESCE(canon, -1) AS canonical_doc,
+               n_payloads_live,
+               (n_live = 0) AS bucket_dropped
+        FROM g
+        WHERE n_removed > 0
+        ORDER BY phash
+    """,
+    tags=("llm", "multimodal", "dedup", "index", "action"),
+    doc=(
+        "Perceptual-index rewrite — the ACTION the staleness audit and "
+        "the tombstone cohort decide on, giving the phash family the "
+        "same delete-rewrite verb the other two index modalities have "
+        "(knn_index_compact / text_index_compact; same shared tombstone "
+        "slice, doc_id % 10 = 3 — the cohort multimodal_asset_gc "
+        "collects and the erasure cascade audits): every bucket PAGE "
+        "the deletion touches is rewritten from the stored fingerprint "
+        "index by masking the tombstoned members and re-deriving the "
+        "page stats — removed/live member counts, the new canonical "
+        "(min live doc_id; -1 when the bucket dropped, never a silent "
+        "NULL), the live DISTINCT-payload count (the n_payloads "
+        "semantics of multimodal_phash_dedup, post-delete), and the "
+        "dropped flag (last member died — the bucket leaves the "
+        "index). THE ORACLE IS THE CONTRACT: the Spark side rewrites "
+        "pages by masking the ONE memoized fingerprint checkpoint "
+        "(zero parquet scans in the final plan, zero blob re-decodes — "
+        "deletion is METADATA-speed, the asset_gc property), while the "
+        "DuckDB side re-derives the same pages from a from-scratch "
+        "REBUILD over the survivors; the driver's exact hash compare "
+        "is the deletion-equals-rebuild proof, the invariant every "
+        "index maintainer must hold (the knn_index_compact / "
+        "customers_erasure_execute contract). Untouched buckets are "
+        "not emitted (the touched-page convention of "
+        "text_index_merge); a cross-entry test pins every untouched "
+        "bucket's census row to multimodal_phash_dedup's. Scale "
+        "shape: one groupBy over 24-byte fingerprint rows with "
+        "map-side combine — no pairs, no blob bytes, output bounded "
+        "by the touched-bucket count."
+    ),
+)
+def multimodal_phash_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.queries.multimodal import _phash_base
+
+    ph = _phash_base(spark, sf_dir)
+    tomb = F.col("doc_id") % 10 == 3
+    g = ph.groupBy("phash").agg(
+        F.sum(tomb.cast("long")).cast("long").alias("n_removed"),
+        F.sum((~tomb).cast("long")).cast("long").alias("n_live"),
+        F.min(F.when(~tomb, F.col("doc_id"))).alias("canon"),
+        F.countDistinct(F.when(~tomb, F.col("checksum"))).alias(
+            "n_payloads_live"
+        ),
+    )
+    return (
+        g.filter(F.col("n_removed") > 0)
+        .select(
+            "phash",
+            "n_removed",
+            "n_live",
+            F.coalesce("canon", F.lit(-1)).cast("long").alias("canonical_doc"),
+            "n_payloads_live",
+            (F.col("n_live") == 0).alias("bucket_dropped"),
+        )
+        .orderBy("phash")
+    )

@@ -709,6 +709,29 @@ HEADLINERS = {
         "sessionize operator on the emitted subset in "
         "tests/test_streaming.py)."
     ),
+    # --- r16 headliners ---
+    "multimodal_phash_staleness": (
+        "Perceptual-index staleness audit (the phash family's "
+        "maintenance decision rung). Check: ZERO parquet scans — both "
+        "the stored bucket keys and the batch's 17-probe fanout read "
+        "the ONE memoized phash_base checkpoint (Scan ExistingRDD); "
+        "the probe fanout is a bounded 17x Generate of 16-byte rows; "
+        "everything downstream is hash equi-joins + "
+        "map-side-combinable counts; the two 1-row side aggregates "
+        "enter via broadcast cross joins; the rebuild flag is integer "
+        "cross-multiplication, never a float threshold."
+    ),
+    "multimodal_phash_rebuild": (
+        "Perceptual-index delete-rewrite ACTION (deletion-equals-"
+        "rebuild contract, tombstone cohort doc_id % 10 = 3). Check: "
+        "ZERO parquet scans and NO MapInPandas — the page rewrite "
+        "masks the memoized fingerprint checkpoint (metadata-speed "
+        "deletion, no blob re-decode); one phash-keyed hash aggregate "
+        "with map-side combine; output bounded by the touched-bucket "
+        "count (n_removed > 0 filter); canonical re-election is a "
+        "conditional min, -1 when the bucket dropped (never a silent "
+        "NULL)."
+    ),
 }
 
 
