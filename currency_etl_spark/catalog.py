@@ -94,9 +94,12 @@ PRIORITY_ORDER = [
     # multimodal_phash_staleness (perceptual-index staleness audit,
     # round-15 verdict item 5; ceded: lineitem_price_histogram);
     # multimodal_phash_rebuild (perceptual-index delete-rewrite action,
-    # same verdict item; ceded: knn_lsh_multiprobe).
+    # same verdict item; ceded: knn_lsh_multiprobe);
+    # docs_bpe_staleness (tokenizer drift monitor, round-15 verdict
+    # item 6; ceded: integrity_checks).
     "multimodal_phash_staleness",  # NEW
     "multimodal_phash_rebuild",  # NEW
+    "docs_bpe_staleness",  # NEW
     "ref_days_available",
     "ref_num_types",
     "ref_range_window",
@@ -144,7 +147,6 @@ PRIORITY_ORDER = [
     "docs_repetition_score",
     "docs_vocab_coverage",
     "embedding_quantize",
-    "integrity_checks",
 ]
 
 _ROUND15_WINDOW = [

@@ -1401,6 +1401,22 @@ _CATALOG["docs_mixture_reweight"].oracle = f"""
 BPE_TOP_TOKENS = 20
 
 
+def _bpe_finish(enc: DataFrame, merges: list, k: int) -> DataFrame:
+    """Apply the merges the trainer recorded but never paid (a full
+    run's k-th; none after early vocab exhaustion) — the 'finish the
+    chain instead of re-deriving it' step shared by docs_bpe_encode and
+    docs_bpe_staleness."""
+    applied = len(merges) - 1 if len(merges) == k else len(merges)
+    for _, tl, tr, _m, _c in merges[applied:]:
+        enc = enc.select(
+            "freq",
+            F.replace(
+                F.col("enc"), F.lit(f"|{tl}|{tr}"), F.lit(f"|{tl}{tr}")
+            ).alias("enc"),
+        )
+    return enc
+
+
 def _bpe_encode_oracle(k: int, top_n: int) -> str:
     """Chained-CTE oracle for encode-after-k-merges: the loop oracle's
     exact training chain extended by the final merge application, then
@@ -1502,15 +1518,7 @@ def docs_bpe_encode(
     """Graded defaults are the module constants; ``k`` merges are
     trained-and-applied, ``top_n`` census rows return."""
     merges, enc = _bpe_train(spark, sf_dir, k)
-    # the trainer applied every recorded merge except a full run's k-th
-    applied = len(merges) - 1 if len(merges) == k else len(merges)
-    for _, tl, tr, _m, _c in merges[applied:]:
-        enc = enc.select(
-            "freq",
-            F.replace(
-                F.col("enc"), F.lit(f"|{tl}|{tr}"), F.lit(f"|{tl}{tr}")
-            ).alias("enc"),
-        )
+    enc = _bpe_finish(enc, merges, k)
     toks = (
         enc.select("freq", F.explode(F.split("enc", r"\|")).alias("token"))
         .filter(F.length("token") > 0)
@@ -1537,15 +1545,16 @@ def docs_bpe_encode(
     )
 
 
-def _bpe_stream_census_oracle(k: int, top_n: int) -> str:
-    """Oracle for tokenize-on-ingest (the streaming encode twin): the
-    k-merge training chain runs over the STORED corpus slice only
-    (doc_id % 10 <> 7 — the tokenizer is a pre-batch artifact), then the
-    ARRIVING slice's distinct words are boundary-encoded from scratch
-    and pushed through the same k learned merges (chained replaces —
-    OOV batch words encode fine, they just never merge), and the census
-    is the batch's frequency-weighted post-encoding token count.
-    MATERIALIZED hints as in _bpe_loop_oracle."""
+def _bpe_stream_parts(k: int, full_stored_enc: bool = False) -> list:
+    """The shared CTE prefix of the stored-slice tokenizer oracles
+    (streaming census + staleness audit): train k merges on the STORED
+    corpus slice (doc_id % 10 <> 7), then boundary-encode the ARRIVING
+    slice's distinct words from scratch and push them through the same
+    k learned merges (chained replaces — OOV batch words encode fine,
+    they just never merge). ``full_stored_enc`` additionally emits
+    enc{k} — the stored encoding with the final merge applied (the
+    staleness audit censuses the stored side too; the census oracle
+    never reads it). MATERIALIZED hints as in _bpe_loop_oracle."""
     parts = [
         """words AS (
             SELECT w, CAST(count(*) AS BIGINT) AS freq
@@ -1564,7 +1573,7 @@ def _bpe_stream_census_oracle(k: int, top_n: int) -> str:
             f"top{i} AS MATERIALIZED (SELECT l AS tl, r AS tr, cnt "
             f"FROM pc{i} ORDER BY cnt DESC, l, r LIMIT 1)"
         )
-        if i < k - 1:
+        if i < k - 1 or full_stored_enc:
             parts.append(
                 f"enc{i + 1} AS MATERIALIZED (SELECT freq, "
                 f"replace(enc, '|' || tl || '|' || tr, '|' || tl || tr) AS enc "
@@ -1587,6 +1596,14 @@ def _bpe_stream_census_oracle(k: int, top_n: int) -> str:
             f"replace(enc, '|' || tl || '|' || tr, '|' || tl || tr) AS enc "
             f"FROM benc{i}, top{i})"
         )
+    return parts
+
+
+def _bpe_stream_census_oracle(k: int, top_n: int) -> str:
+    """Oracle for tokenize-on-ingest (the streaming encode twin): the
+    shared stored-slice training + batch-encode prefix, closed by the
+    batch's frequency-weighted post-encoding token census."""
+    parts = _bpe_stream_parts(k)
     parts.append(
         f"""toks AS (
             SELECT t AS token, CAST(sum(bfreq) AS BIGINT) AS n_occurrences
@@ -1612,3 +1629,189 @@ def _bpe_stream_census_oracle(k: int, top_n: int) -> str:
         ), tot
         ORDER BY rank
     """
+
+
+def _bpe_staleness_oracle(k: int) -> str:
+    """Oracle for the tokenizer drift monitor: the shared stored-slice
+    training + batch-encode prefix (with the stored side's final merge
+    applied), closed by the two post-encoding censuses and the
+    integer-exact retrain decision."""
+    parts = _bpe_stream_parts(k, full_stored_enc=True)
+    parts.append(
+        f"""st AS (
+            SELECT t AS token, CAST(sum(freq) AS BIGINT) AS n_occ
+            FROM (SELECT freq, unnest(string_split(enc, '|')) AS t FROM enc{k})
+            WHERE t <> '' GROUP BY t
+        )"""
+    )
+    parts.append(
+        f"""bt AS (
+            SELECT t AS token, CAST(sum(bfreq) AS BIGINT) AS n_occ
+            FROM (SELECT bfreq, unnest(string_split(enc, '|')) AS t FROM benc{k})
+            WHERE t <> '' GROUP BY t
+        )"""
+    )
+    parts.append(
+        """ssum AS (
+            SELECT CAST(sum(n_occ) AS BIGINT) AS stored_tokens,
+                   CAST(sum(CASE WHEN length(token) > 1 THEN n_occ ELSE 0 END)
+                        AS BIGINT) AS stored_merged,
+                   CAST(count(*) AS BIGINT) AS stored_vocab
+            FROM st
+        )"""
+    )
+    parts.append(
+        """bsum AS (
+            SELECT CAST(sum(bt.n_occ) AS BIGINT) AS batch_tokens,
+                   CAST(sum(CASE WHEN length(bt.token) > 1 THEN bt.n_occ
+                                 ELSE 0 END) AS BIGINT) AS batch_merged,
+                   CAST(count(*) AS BIGINT) AS batch_vocab,
+                   CAST(sum(CASE WHEN st.token IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS oov_types,
+                   CAST(sum(CASE WHEN st.token IS NULL THEN bt.n_occ ELSE 0 END)
+                        AS BIGINT) AS oov_tokens
+            FROM bt LEFT JOIN st ON st.token = bt.token
+        )"""
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT CAST({k} AS BIGINT) AS n_merges,
+               stored_tokens, stored_merged, stored_vocab,
+               batch_tokens, batch_merged, batch_vocab,
+               oov_types, oov_tokens,
+               round(CAST(stored_merged AS DOUBLE) / stored_tokens, 6)
+                   AS merged_share_stored,
+               round(CAST(batch_merged AS DOUBLE) / batch_tokens, 6)
+                   AS merged_share_batch,
+               round(CAST(oov_tokens AS DOUBLE) / batch_tokens, 6) AS oov_share,
+               (CAST(batch_merged AS DECIMAL(18,0))
+                    * CAST(stored_tokens AS DECIMAL(18,0)) * 2
+                  < CAST(stored_merged AS DECIMAL(18,0))
+                    * CAST(batch_tokens AS DECIMAL(18,0))
+                OR oov_tokens * 10 > batch_tokens) AS retrain
+        FROM ssum, bsum
+    """
+
+
+@register(
+    "docs_bpe_staleness",
+    oracle=_bpe_staleness_oracle(BPE_MERGES),
+    tags=("llm", "text", "tokenizer", "incremental", "eval"),
+    doc=(
+        "Tokenizer staleness audit — the drift monitor deciding WHEN "
+        "the stored merge table retrains, completing the BPE family's "
+        "lifecycle the way embeddings_drift_psi / text_index_staleness "
+        "complete theirs (train = bpe_merge_loop, apply = "
+        "docs_bpe_encode, stream-apply = streaming_bpe_encode, monitor "
+        "= this): the PERSISTED tokenizer (the k-merge table trained on "
+        "the stored corpus slice, doc_id % 10 <> 7 — the identical "
+        "cached artifact streaming_bpe_encode serves with, same tag, "
+        "same corpus key) encodes both the stored corpus and the "
+        "ARRIVING slice, and the audit compares what the merge budget "
+        "buys on each: merge-hit mass (occurrences of multi-char "
+        "merged tokens — learned merges firing less on new traffic is "
+        "the leading sign the token distribution moved) and OOV mass "
+        "(batch occurrences of post-encoding tokens the stored "
+        "vocabulary never produced — unseen chars or merge contexts "
+        "the tokenizer fragments into novel units, exactly the tokens "
+        "a downstream embedding table has no row for). One summary "
+        "row: merge count, stored/batch token totals, merged-token "
+        "masses, vocab sizes, OOV type/occurrence counts, the three "
+        "round-6 shares, and the integer-exact retrain flag — fires "
+        "when the batch's merge-hit RATE falls below half the stored "
+        "rate (batch_merged x stored_tokens x 2 < stored_merged x "
+        "batch_tokens, decimal(18,0) cross products — the "
+        "text_index_staleness wrap-safety device) or OOV mass tops "
+        "10% (oov x 10 > batch_tokens); never a float threshold. "
+        "Scale shape: training reads the ONE session-cached merge "
+        "table (a memo hit when the stream pool already trained it); "
+        "both censuses are vocab-sized (the distinct-word relation, "
+        "never per-occurrence), the OOV check is one token-keyed "
+        "LEFT join between two vocab-sized censuses, and the summary "
+        "is two 1-row aggregates joined by broadcast. At 100 TB the "
+        "merge table is k tiny rows and the audit costs two "
+        "vocabulary scans — the monitor is deliberately cheaper than "
+        "the retrain it guards, the drift-family contract."
+    ),
+)
+def docs_bpe_staleness(
+    spark: SparkSession, sf_dir: str, *, k: int = BPE_MERGES
+) -> DataFrame:
+    """Graded default is the module constant; ``k`` is the stored
+    tokenizer's merge count."""
+    merges, enc = _bpe_train(
+        spark,
+        sf_dir,
+        k,
+        "bpe_enc_stream",
+        words=_bpe_words(spark, sf_dir, F.col("doc_id") % 10 != 7),
+        corpus_key="stored_slice_mod10ne7",
+    )
+    senc = _bpe_finish(enc, merges, k)
+
+    def census(rel: DataFrame) -> DataFrame:
+        return (
+            rel.select("freq", F.explode(F.split("enc", r"\|")).alias("token"))
+            .filter(F.length("token") > 0)
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("n_occ"))
+        )
+
+    st = census(senc)
+    bexpr = _bpe_enc0(F.col("w"))
+    for _step, tl, tr, _m, _c in merges:
+        bexpr = F.replace(bexpr, F.lit(f"|{tl}|{tr}"), F.lit(f"|{tl}{tr}"))
+    bt = census(
+        _bpe_words(spark, sf_dir, F.col("doc_id") % 10 == 7).select(
+            "freq", bexpr.alias("enc")
+        )
+    )
+    merged_occ = F.when(F.length("token") > 1, F.col("n_occ")).otherwise(0)
+    ssum = st.agg(
+        F.sum("n_occ").cast("long").alias("stored_tokens"),
+        F.sum(merged_occ).cast("long").alias("stored_merged"),
+        F.count(F.lit(1)).cast("long").alias("stored_vocab"),
+    )
+    marked = bt.join(
+        st.select("token").withColumn("known", F.lit(1)), "token", "left"
+    )
+    oov = F.col("known").isNull()
+    bsum = marked.agg(
+        F.sum("n_occ").cast("long").alias("batch_tokens"),
+        F.sum(merged_occ).cast("long").alias("batch_merged"),
+        F.count(F.lit(1)).cast("long").alias("batch_vocab"),
+        F.sum(oov.cast("long")).cast("long").alias("oov_types"),
+        F.sum(F.when(oov, F.col("n_occ")).otherwise(0))
+        .cast("long")
+        .alias("oov_tokens"),
+    )
+
+    def _d(c: str):
+        return F.col(c).cast("decimal(18,0)")
+
+    return ssum.crossJoin(F.broadcast(bsum)).select(
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+        "stored_tokens",
+        "stored_merged",
+        "stored_vocab",
+        "batch_tokens",
+        "batch_merged",
+        "batch_vocab",
+        "oov_types",
+        "oov_tokens",
+        F.round(
+            F.col("stored_merged").cast("double") / F.col("stored_tokens"), 6
+        ).alias("merged_share_stored"),
+        F.round(
+            F.col("batch_merged").cast("double") / F.col("batch_tokens"), 6
+        ).alias("merged_share_batch"),
+        F.round(
+            F.col("oov_tokens").cast("double") / F.col("batch_tokens"), 6
+        ).alias("oov_share"),
+        (
+            (_d("batch_merged") * _d("stored_tokens") * 2
+             < _d("stored_merged") * _d("batch_tokens"))
+            | (F.col("oov_tokens") * 10 > F.col("batch_tokens"))
+        ).alias("retrain"),
+    )

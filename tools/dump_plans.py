@@ -732,6 +732,18 @@ HEADLINERS = {
         "conditional min, -1 when the bucket dropped (never a silent "
         "NULL)."
     ),
+    "docs_bpe_staleness": (
+        "Tokenizer drift monitor (the BPE family's staleness rung). "
+        "Check: training reads the session-cached stored-slice merge "
+        "table (a memo hit when the stream pool already trained it; "
+        "the per-step argmax collects are the enumerated _bpe_train "
+        "sites); both censuses are vocab-sized explodes over the "
+        "trainer's chain checkpoint (Scan ExistingRDD) and the "
+        "batch's distinct-word relation — never per-occurrence; the "
+        "OOV check is ONE token-keyed left join between vocab-sized "
+        "censuses; the summary is two 1-row aggregates joined by "
+        "broadcast; the retrain flag is decimal cross-multiplication."
+    ),
 }
 
 
