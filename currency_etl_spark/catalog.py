@@ -96,10 +96,13 @@ PRIORITY_ORDER = [
     # multimodal_phash_rebuild (perceptual-index delete-rewrite action,
     # same verdict item; ceded: knn_lsh_multiprobe);
     # docs_bpe_staleness (tokenizer drift monitor, round-15 verdict
-    # item 6; ceded: integrity_checks).
+    # item 6; ceded: integrity_checks);
+    # supplier_triangle_stats (graph local-structure rung, round-15
+    # verdict item 7; ceded: embedding_quantize).
     "multimodal_phash_staleness",  # NEW
     "multimodal_phash_rebuild",  # NEW
     "docs_bpe_staleness",  # NEW
+    "supplier_triangle_stats",  # NEW
     "ref_days_available",
     "ref_num_types",
     "ref_range_window",
@@ -146,7 +149,6 @@ PRIORITY_ORDER = [
     "docs_pii_scrub",
     "docs_repetition_score",
     "docs_vocab_coverage",
-    "embedding_quantize",
 ]
 
 _ROUND15_WINDOW = [

@@ -5184,35 +5184,21 @@ _BFS_VIEW_SEQ = 0
     ),
 )
 def supplier_reach_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from currency_etl_spark.queries.graph import supplier_affinity_edges
 
-    li = table(spark, sf_dir, "lineitem")
-    rev = li.groupBy(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("r"))
-    sp = (
-        rev.withColumn(
-            "rn", F.row_number().over(W.partitionBy("s").orderBy(F.desc("r"), "p"))
-        )
-        .where(F.col("rn") <= BFS_TOP_PARTS)
-        .select("s", "p")
-    )
-    a = sp.select(F.col("p"), F.col("s").alias("a"))
-    b = sp.select(F.col("p"), F.col("s").alias("b"))
-    edges = (
-        a.join(b, "p").where(F.col("a") != F.col("b")).select("a", "b").distinct()
-    )
-    # Materialize the graph before recursing: a temp view is a LOGICAL
-    # plan, so without this every recursion round would re-run the
-    # aggregate + window + self-join that build the edge list (measured
-    # 6.3 s -> ~1 s at sf0.1). Same checkpoint-the-graph move as
-    # dedup_clusters and graph_pagerank_bipartite. One checkpoint stays
-    # live at a time: re-invoking releases the previous call's blocks
-    # (they are never freed otherwise), and the per-invocation view name
-    # keeps concurrent builders in one session from racing on a shared
-    # name (round-5 advice).
+    # The graph is MATERIALIZED before recursing: a temp view is a
+    # LOGICAL plan, so without this every recursion round would re-run
+    # the aggregate + window + self-join that build the edge list
+    # (measured 6.3 s -> ~1 s at sf0.1). Since r16 the edge list is the
+    # family's shared memoized artifact (one build per session per SF,
+    # read by this BFS and supplier_triangle_stats alike — the dedup
+    # family's shared-index shape; memo_checkpoint keeps the same
+    # one-live-per-tag release discipline the old per-invocation
+    # swap_checkpoint had). The per-invocation view name keeps
+    # concurrent builders in one session from racing on a shared name
+    # (round-5 advice).
     global _BFS_VIEW_SEQ
-    edges = _swap_checkpoint("bfs_edges", edges)
+    edges = supplier_affinity_edges(spark, sf_dir, BFS_TOP_PARTS)
     _BFS_VIEW_SEQ += 1
     view = f"ces_bfs_edges_{_BFS_VIEW_SEQ}"
     edges.createOrReplaceTempView(view)

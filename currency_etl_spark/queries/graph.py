@@ -149,3 +149,217 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOPK)
         .select("node_type", "node_key", "rank")
     )
+
+
+#: The sparsified supplier affinity graph's SQL construction (oracle
+#: twin of supplier_affinity_edges below): each supplier keeps its
+#: top-{cap} revenue parts, suppliers sharing a kept part are adjacent.
+#: Shared with supplier_reach_bfs's oracle semantics (extras.py).
+def _affinity_edges_sql(cap: int) -> str:
+    return f"""
+        rev AS (
+            SELECT l_suppkey AS s, l_partkey AS p,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS r
+            FROM lineitem GROUP BY l_suppkey, l_partkey
+        ),
+        sp AS (
+            SELECT s, p FROM (
+                SELECT s, p,
+                       row_number() OVER (PARTITION BY s ORDER BY r DESC, p) AS rn
+                FROM rev
+            ) WHERE rn <= {cap}
+        ),
+        edges AS (
+            SELECT DISTINCT a.s AS a, b.s AS b
+            FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+        )"""
+
+
+def supplier_affinity_edges(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    """The MEMOIZED symmetric distinct edge list (a, b) of the
+    primary-part supplier affinity graph — each supplier's top-``cap``
+    revenue parts, suppliers sharing a kept part adjacent (the
+    hub-capping sparsification documented at supplier_reach_bfs). One
+    aggregate + window + part-keyed self-join per session per
+    (sf_dir, cap); the BFS, triangle, and any future graph entry read
+    the same stored relation (the dedup family's shared-index shape),
+    under the one-live-per-tag release discipline."""
+    from pyspark.sql import Window as W
+
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem")
+        rev = li.groupBy(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("r"))
+        sp = (
+            rev.withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("s").orderBy(F.desc("r"), "p")),
+            )
+            .where(F.col("rn") <= cap)
+            .select("s", "p")
+        )
+        a = sp.select(F.col("p"), F.col("s").alias("a"))
+        b = sp.select(F.col("p"), F.col("s").alias("b"))
+        return (
+            a.join(b, "p").where(F.col("a") != F.col("b")).select("a", "b").distinct()
+        )
+
+    return memo_checkpoint("affinity_edges", (sf_dir, cap), build)
+
+
+@register(
+    "supplier_triangle_stats",
+    oracle=None,  # assigned below (needs the BFS cap constant)
+    tags=("graph", "triangles", "clustering"),
+    doc=(
+        "Triangle count + clustering coefficient over the sparsified "
+        "supplier affinity graph — the graph family's local-structure "
+        "rung beside reachability (supplier_reach_bfs) and centrality "
+        "(graph_pagerank_bipartite), on the SAME memoized edge list "
+        "(one build per session, shared with the BFS). The algorithm "
+        "is the canonical distributed one (node-iterator with "
+        "degree-ordered orientation, Suri & Vassilvitskii's MapReduce "
+        "discipline): orient every edge from the (degree, id)-smaller "
+        "endpoint to the larger, form wedges only between a node's "
+        "ordered out-neighbor pairs, close them with one equi-join "
+        "back to the oriented edges — each triangle materializes "
+        "EXACTLY once, and a node's out-degree in this orientation is "
+        "O(sqrt(m)) however hubby the raw graph, which is what keeps "
+        "the wedge fanout bounded at any scale. Per-node triangle "
+        "counts come from exploding each found triangle to its three "
+        "corners (exact int64); the graded output is the per-DEGREE "
+        "rollup — supplier count, total triangle incidences, and the "
+        "bin's mean local clustering coefficient, which for constant "
+        "degree d is the single exact division 2·ΣT / (d·(d-1)·n): "
+        "every quantity an exact integer until one IEEE division, so "
+        "Spark and DuckDB agree bit-for-bit (the graph module's "
+        "integer-determinism rule; float-summing per-node coefficients "
+        "across partitions would not be deterministic — binning by "
+        "degree is what makes the mean exact). Scale shape: the edge "
+        "list reads the stored checkpoint (zero parquet scans "
+        "plan-pinned); orientation is two degree joins; the wedge "
+        "self-join and the closing join are hash equi-joins on "
+        "(node) / (v, w) keys; the rollup is degree-keyed with "
+        "map-side combine."
+    ),
+)
+def supplier_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+    from currency_etl_spark.queries.extras import BFS_TOP_PARTS
+
+    edges = supplier_affinity_edges(spark, sf_dir, BFS_TOP_PARTS)
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    # orientation: low (deg, id) -> high (deg, id); checkpointed because
+    # the oriented relation feeds THREE branches (two wedge arms + the
+    # closing join) and would otherwise re-run its joins per branch
+    d1 = swap_checkpoint(
+        "tri_oriented",
+        edges.join(da, "a")
+        .join(db, "b")
+        .where(
+            (F.col("dega") < F.col("degb"))
+            | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("u"), F.col("b").alias("v"), F.col("degb").alias("dv")),
+    )
+    x = d1.select("u", "v", "dv")
+    y = d1.select(F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw"))
+    wedges = x.join(y, "u").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = d1.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    pern = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    nodes = deg.join(pern, "node", "left").fillna({"t": 0})
+    return (
+        nodes.groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum("t").cast("long").alias("sum_triangles"),
+        )
+        .select(
+            F.col("deg").cast("long").alias("degree"),
+            "n_suppliers",
+            "sum_triangles",
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    (F.col("sum_triangles") * 2).cast("double")
+                    / (F.col("deg") * (F.col("deg") - 1) * F.col("n_suppliers")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_cc"),
+        )
+        .orderBy("degree")
+    )
+
+
+def _triangle_oracle(cap: int) -> str:
+    return f"""
+        WITH {_affinity_edges_sql(cap)},
+        deg AS (
+            SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY a
+        ),
+        d1 AS (
+            SELECT e.a AS u, e.b AS v, db.deg AS dv
+            FROM edges e
+            JOIN deg da ON da.node = e.a
+            JOIN deg db ON db.node = e.b
+            WHERE da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+        ),
+        wdg AS (
+            SELECT x.u, x.v, y.v AS w
+            FROM d1 x JOIN d1 y ON x.u = y.u
+            WHERE x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v)
+        ),
+        tris AS (
+            SELECT wdg.u, wdg.v, wdg.w
+            FROM wdg JOIN d1 c ON c.u = wdg.v AND c.v = wdg.w
+        ),
+        pern AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS t
+            FROM (SELECT u AS node FROM tris
+                  UNION ALL SELECT v FROM tris
+                  UNION ALL SELECT w FROM tris)
+            GROUP BY node
+        ),
+        nodes AS (
+            SELECT d.node, d.deg, coalesce(p.t, CAST(0 AS BIGINT)) AS t
+            FROM deg d LEFT JOIN pern p ON p.node = d.node
+        )
+        SELECT CAST(deg AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(t) AS BIGINT) AS sum_triangles,
+               CASE WHEN deg >= 2
+                    THEN round(CAST(sum(t) * 2 AS DOUBLE)
+                               / (deg * (deg - 1) * count(*)), 6)
+                    ELSE 0.0 END AS avg_cc
+        FROM nodes
+        GROUP BY deg
+        ORDER BY degree
+    """
+
+
+def _assign_triangle_oracle() -> None:
+    from currency_etl_spark.catalog import CATALOG
+    from currency_etl_spark.queries.extras import BFS_TOP_PARTS
+
+    CATALOG["supplier_triangle_stats"].oracle = _triangle_oracle(BFS_TOP_PARTS)
+
+
+_assign_triangle_oracle()

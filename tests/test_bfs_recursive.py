@@ -57,21 +57,30 @@ def test_bfs_matches_python_reference(spark, sf_dir):
     assert sorted(got_map) == list(range(len(got_map)))
 
 
-def test_bfs_repeat_invocation_releases_checkpoint(spark, sf_dir):
-    """Re-invoking the builder must not accumulate checkpointed edge
-    blocks (round-5 advice): exactly one edge-list checkpoint stays
-    cached, and each invocation's distinct temp view keeps concurrent
-    builders from racing on a shared name."""
+def test_bfs_repeat_invocation_shares_then_releases_checkpoint(spark, sf_dir):
+    """The edge list is the graph family's shared memoized artifact
+    (r16): re-invoking the builder in one session is a memo HIT (the
+    identical live checkpoint, no rebuild), a memo reset forces the
+    next invocation to rebuild and the swap releases the previous
+    blocks (round-5 release discipline, now through memo_checkpoint),
+    and each invocation's distinct temp view keeps concurrent builders
+    from racing on a shared name."""
     from currency_etl_spark.operators import ckpt
+    from currency_etl_spark.operators.ckpt import reset_memos
     from currency_etl_spark.queries import extras
 
     first = CATALOG["supplier_reach_bfs"].spark_fn(spark, sf_dir).toPandas()
-    edges_first = ckpt._LIVE["bfs_edges"]
+    edges_first = ckpt._LIVE["affinity_edges"]
     seq_first = extras._BFS_VIEW_SEQ
     second = CATALOG["supplier_reach_bfs"].spark_fn(spark, sf_dir).toPandas()
     assert first.equals(second)
     assert extras._BFS_VIEW_SEQ == seq_first + 1
-    assert ckpt._LIVE["bfs_edges"] is not edges_first
-    # the first invocation's checkpoint blocks were released
+    # within a session: one build, shared (the stored-artifact shape)
+    assert ckpt._LIVE["affinity_edges"] is edges_first
+    reset_memos()
+    third = CATALOG["supplier_reach_bfs"].spark_fn(spark, sf_dir).toPandas()
+    assert first.equals(third)
+    assert ckpt._LIVE["affinity_edges"] is not edges_first
+    # the pre-reset checkpoint's blocks were released by the swap
     assert edges_first.storageLevel.useMemory is False
     assert edges_first.storageLevel.useDisk is False

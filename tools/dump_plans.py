@@ -744,6 +744,17 @@ HEADLINERS = {
         "censuses; the summary is two 1-row aggregates joined by "
         "broadcast; the retrain flag is decimal cross-multiplication."
     ),
+    "supplier_triangle_stats": (
+        "Degree-ordered triangle counting (graph local structure). "
+        "Check: ZERO parquet scans — the edge list reads the shared "
+        "affinity_edges memo (Scan ExistingRDD, one build per session "
+        "shared with the BFS) and the oriented relation its own "
+        "checkpoint; orientation is two broadcast-eligible degree "
+        "joins; the wedge self-join and the closing join are hash "
+        "equi-joins (never nested-loop); the per-degree rollup is a "
+        "map-side-combinable aggregate and the clustering coefficient "
+        "one exact integer division per bin."
+    ),
 }
 
 
