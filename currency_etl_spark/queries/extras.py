@@ -3953,7 +3953,18 @@ BASKET_MIN_PAIR = 2
     ),
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # The distinct (orderkey, partkey) basket relation feeds FOUR
+    # branches (frequent-part table, both self-join sides, the n_orders
+    # scalar); Catalyst does not dedupe common subplans, so unmaterialized
+    # it re-ran the lineitem scan + distinct shuffle five times (plan
+    # audit r16: 5 parquet scans + 5 distinct HashAggregates → 1).
+    # Materialize it once — at 100 TB this is the persist(MEMORY_AND_DISK)
+    # a production basket job would put on its deduped fact anyway
+    # (guide §5: reused AND expensive to recompute).
+    li = _swap_checkpoint(
+        "basket_li",
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct(),
+    )
     freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     top = freq.orderBy(F.desc("cnt"), "l_partkey").limit(BASKET_TOP_PARTS)
     fli = li.join(F.broadcast(top), "l_partkey")

@@ -91,24 +91,36 @@ def _sql_pr_iter(prev: str, it: int) -> str:
     ),
 )
 def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    pairs = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    edges = (
-        pairs.select((F.col("p") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
-        .unionByName(
-            pairs.select((F.col("s") * 2 + 1).alias("src"), (F.col("p") * 2).alias("dst"))
-        )
-    )
-    # the out-degree rides each edge via a window on src — one shuffle, no
-    # separate degree aggregation + join — and the (src, dst, deg) list
-    # materializes ONCE for every iteration to read, already partitioned
-    # by the key each round's join uses
     from pyspark.sql import Window as W
 
     from currency_etl_spark.operators.ckpt import swap_checkpoint
 
+    li = table(spark, sf_dir, "lineitem")
+    # symmetric edge doubling as ONE in-row Generate (explode of the
+    # 2-element struct array) instead of a self-union — the union's two
+    # branches each re-ran the lineitem scan AND the fact-sized distinct
+    # shuffle, because Catalyst does not dedupe common subplans (plan
+    # audit r16: 2 parquet scans + 2 distinct HashAggregates → 1;
+    # guide §2.4: remove shuffles outright).
+    pairs = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("p") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+                ),
+                F.struct(
+                    (F.col("s") * 2 + 1).alias("src"), (F.col("p") * 2).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # the out-degree rides each edge via a window on src — one shuffle, no
+    # separate degree aggregation + join — and the (src, dst, deg) list
+    # materializes ONCE for every iteration to read, already partitioned
+    # by the key each round's join uses
     ed = swap_checkpoint(
         "pr_edges",
         edges.withColumn("deg", F.count(F.lit(1)).over(W.partitionBy("src"))),

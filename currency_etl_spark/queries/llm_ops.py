@@ -645,6 +645,36 @@ def _pairs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _overlap_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized exact shingle-overlap pair relation (doc_a, doc_b,
+    n_common) from DF_CAP-capped 60-bit-digest posting lists — the
+    family's ground-truth pair table. The verify stage
+    (minhash_jaccard_est's `common`) and the recall calibration
+    (dedup_lsh_recall's `truth`) each computed this IDENTICAL relation
+    privately — the single most expensive sub-plan in both entries
+    (capped window + posting-list collect + pair explode + pair-keyed
+    count, ~1-2 s at sf0.1 each) paid twice per session (guide §1.2:
+    don't compute things twice; r16 plan audit). One memoized build now
+    serves both, under the family's standard one-live-per-tag release
+    discipline; pair count is bounded by the same DF_CAP posting-list
+    cap, so the checkpoint is dup-rate-proportional, never all-pairs."""
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    def build() -> DataFrame:
+        sh = _sh_base(spark, sf_dir).select("doc_id", "sx")
+        return (
+            _cap_groups(sh, ["sx"])
+            .groupBy("sx")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+            .filter(F.size("docs") > 1)
+            .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("n_common"))
+        )
+
+    return memo_checkpoint("minhash_overlap", sf_dir, build)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -1615,22 +1645,12 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed once per sf_dir, shared with the other seven dedup
     # entries). At cluster scale the same role is played by
     # persist(MEMORY_AND_DISK) over the stored dedup index.
-    sh = _sh_base(spark, sf_dir)
     sig = _sig_base(spark, sf_dir)
     pairs = _pairs_base(spark, sf_dir)  # bounded candidate set
-    # exact overlap for candidate pairs only: posting-list pair-gen keyed
-    # on the 60-bit digest prefix — an 8-byte shuffle key instead of the
-    # ~30-byte shingle string
-    shx2 = sh.select("doc_id", "sx")
-    common = (
-        _cap_groups(shx2, ["sx"])
-        .groupBy("sx")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
-        .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    # exact overlap pairs: the family's memoized ground-truth relation
+    # (shared with dedup_lsh_recall — previously each entry re-ran the
+    # identical posting-list pair-gen; see _overlap_base)
+    common = _overlap_base(spark, sf_dir)
     # per-doc shingle counts ride on the signature aggregation (no
     # separate cnt pass over the shingle relation) AND on the per-side
     # signature joins (nsh_a/nsh_b come along with h0..h15 — two sig
@@ -1753,17 +1773,10 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _sh_base(spark, sf_dir).select("doc_id", "sx")
     sig = _sig_base(spark, sf_dir).select("doc_id", "nsh")
-    truth = (
-        _cap_groups(sh, ["sx"])
-        .groupBy("sx")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") > 1)
-        .select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
+    # ground-truth pairs: the family's memoized overlap relation (shared
+    # with minhash_jaccard_est — see _overlap_base)
+    truth = _overlap_base(spark, sf_dir)
     na = sig.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a"))
     nb = sig.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b"))
     cand = _pairs_base(spark, sf_dir).withColumn("hit", F.lit(1))

@@ -652,18 +652,25 @@ def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods = _topk_per_query(lsh).withColumn("method", F.lit("lsh")).unionByName(
         _topk_per_query(mp).withColumn("method", F.lit("lsh_multiprobe"))
     )
-    ret = methods.groupBy("method", "qid").agg(F.count(F.lit(1)).alias("n_retrieved"))
-    ov = (
-        methods.join(ex_k, ["qid", "vec_id"])
-        .groupBy("method", "qid")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    # ONE pass computes retrieved + overlap counts: a LEFT join against the
+    # exact top-k (unique (qid, vec_id), so cardinality is preserved) flags
+    # hits, and a single aggregate counts rows and non-null flags. The
+    # previous two-aggregate form (separate `ret` and `ov` relations)
+    # executed the whole `methods` subtree — both candidate joins and all
+    # four salted top-k windows — TWICE, one full re-run per aggregate
+    # (guide §1.2: don't compute things twice; plan audit r16).
+    flagged = methods.join(
+        ex_k.withColumn("__hit", F.lit(1)), ["qid", "vec_id"], "left"
+    )
+    agg = flagged.groupBy("method", "qid").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.count("__hit").alias("n_overlap"),
     )
     frame = q.select("qid").crossJoin(
         spark.createDataFrame([("lsh",), ("lsh_multiprobe",)], "method string")
     )
     return (
-        frame.join(ret, ["qid", "method"], "left")
-        .join(ov, ["qid", "method"], "left")
+        frame.join(agg, ["qid", "method"], "left")
         .select(
             F.col("qid").alias("query_id"),
             "method",
@@ -879,7 +886,6 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     withc = q.crossJoin(F.broadcast(cents))
-    cells = withc.select("vec_id", best_cell(N_CENTROIDS)["cid"].alias("cid"))
     # the query's IVF_NPROBE nearest cells: sort the same struct list
     # in-row, slice, explode → a ≤2-row broadcast relation
     qcells = (
@@ -925,14 +931,28 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         lambda m: F.transform(F.col("cb"), lambda cent: sub_dist(m, cent)),
     )
-    coded = q.crossJoin(F.broadcast(cb)).select("vec_id", "label", "qv", dm.alias("dm"))
+    # the coarse cell id is computed INLINE over the same broadcast
+    # codebook row rather than as a separate `cells` relation joined back
+    # on vec_id — the join shuffled the corpus twice (both sides derive
+    # from the same scan) to attach a column a map-side expression
+    # produces for free (guide §2.4: remove shuffles outright; plan
+    # audit r16: SortMergeJoin on vec_id + one whole corpus subtree gone)
+    coded = (
+        withc.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "label",
+            "qv",
+            best_cell(N_CENTROIDS)["cid"].alias("cid"),
+            dm.alias("dm"),
+        )
+    )
     qside = coded.filter(F.col("vec_id") == 0).select(
         F.col("dm").alias("dtab"), F.col("qv").alias("tqv")
     )
 
     cand = (
-        coded.join(cells, "vec_id")
-        .join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        coded.join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
         .filter(F.col("vec_id") != 0)
     )
     adc = F.aggregate(
