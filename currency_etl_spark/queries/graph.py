@@ -201,6 +201,8 @@ def supplier_affinity_edges(spark: SparkSession, sf_dir: str, cap: int) -> DataF
     from currency_etl_spark.operators.ckpt import memo_checkpoint
 
     def build() -> DataFrame:
+        from currency_etl_spark.queries.llm_ops import _ordered_pairs
+
         li = table(spark, sf_dir, "lineitem")
         rev = li.groupBy(
             F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
@@ -213,11 +215,37 @@ def supplier_affinity_edges(spark: SparkSession, sf_dir: str, cap: int) -> DataF
             .where(F.col("rn") <= cap)
             .select("s", "p")
         )
-        a = sp.select(F.col("p"), F.col("s").alias("a"))
-        b = sp.select(F.col("p"), F.col("s").alias("b"))
-        return (
-            a.join(b, "p").where(F.col("a") != F.col("b")).select("a", "b").distinct()
+        # pair generation via the dedup family's posting-list pattern
+        # (groupBy part → sorted supplier list → in-row ordered-pair
+        # explode) instead of the part-keyed self-join: the join form
+        # shuffled `sp` twice — re-running the lineitem aggregate + the
+        # top-`cap` window for EACH side, since Catalyst doesn't dedupe
+        # the common subplan — and generated both directed duplicates
+        # before the distinct (r16 build audit: the family's costliest
+        # memo at 1.7-3.2 s). One shuffle on p, undirected a<b pairs
+        # dedup FIRST (half the distinct's input), then the symmetric
+        # doubling is an in-row Generate. Per-part lists are bounded by
+        # the suppliers-per-part fanout (11-52 on this corpus; the
+        # top-`cap` sparsification is what keeps the graph itself
+        # sparse), so no collect buffer can blow up. Output is
+        # set-identical to the join form: same (a, b), a != b, both
+        # directions, distinct.
+        und = (
+            sp.groupBy("p")
+            .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+            .filter(F.size("ss") > 1)
+            .select(F.explode(_ordered_pairs(F.col("ss"))).alias("e"))
+            .select(F.col("e.doc_a").alias("a"), F.col("e.doc_b").alias("b"))
+            .distinct()
         )
+        return und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
 
     return memo_checkpoint("affinity_edges", (sf_dir, cap), build)
 

@@ -429,8 +429,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across branches, so the old count branch re-ran the whole shingle
     # explode. Zero-shingle docs get nsh=0 here vs no row in the exploded
     # form; they can never reach a pair, so the join result is identical.
-    cnt = docs.select(
-        "doc_id", F.size(F.array_distinct(_shingles(F.col("t")))).alias("nsh")
+    # materialized once: BOTH join sides (ca / cb) consume this relation,
+    # and each broadcast build otherwise re-ran the documents scan plus
+    # the tokenize + 3-gram + array_distinct chain — the entry's most
+    # CPU-expensive projection — a third and fourth time (plan audit r16:
+    # 3 documents scans → 2; the checkpoint is |docs| × 16 B)
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    cnt = swap_checkpoint(
+        "ngram_cnt",
+        docs.select(
+            "doc_id", F.size(F.array_distinct(_shingles(F.col("t")))).alias("nsh")
+        ),
     )
     # Pair generation WITHOUT a self-join: group the inverted index by
     # shingle, then explode ordered pairs from each posting list. One scan
@@ -2740,6 +2750,28 @@ def _text_df_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_checkpoint("text_df", sf_dir, build)
 
 
+def _text_dls_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl) document lengths over the stored tf relation —
+    doc-count-sized; memoized per session/SF (memo tag ``text_dls``).
+    Three retrieval families (docs_bm25_search, the hybrid arms, the
+    escalation ladder) each derived this groupBy privately, and inside
+    each plan it executed 2-4x (once per scoring join side plus once per
+    1-row stats broadcast it feeds) — up to ~10 token-relation shuffles
+    per session for one relation (guide §1.2; r16 plan audit). The 1-row
+    BM25 stats aggregate stays per-entry: it reads this checkpoint, so
+    it costs a doc-count-sized fold, not a token shuffle."""
+    from currency_etl_spark.operators.ckpt import memo_checkpoint
+
+    def build():
+        return (
+            _text_tf_base(spark, sf_dir)
+            .groupBy("doc_id")
+            .agg(F.sum("cnt").cast("long").alias("dl"))
+        )
+
+    return memo_checkpoint("text_dls", sf_dir, build)
+
+
 @register(
     "docs_inverted_index",
     oracle=f"""
@@ -2971,8 +3003,10 @@ def docs_bm25_search(
     tf = _text_tf_base(spark, sf_dir)
     dfreq = _text_df_base(spark, sf_dir)
     # dl = sum(cnt) over the doc's terms == the doc's token count, so the
-    # stored tf relation serves doc lengths too — zero documents scans
-    dls = tf.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
+    # stored tf relation serves doc lengths too — zero documents scans;
+    # memoized (_text_dls_base) so neither this entry nor its siblings
+    # re-shuffle the token relation per consumer
+    dls = _text_dls_base(spark, sf_dir)
     stats = dls.agg(
         F.count(F.lit(1)).alias("nd"), F.sum("dl").cast("long").alias("s_tokens")
     )
@@ -3162,8 +3196,9 @@ def _hybrid_arms(spark: SparkSession, sf_dir: str, arm_n: int):
 
     tf = _text_tf_base(spark, sf_dir)
     dfreq = _text_df_base(spark, sf_dir)
-    # dl from the stored tf (sum(cnt) == token count) — zero documents scans
-    dls = tf.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
+    # dl from the stored tf (sum(cnt) == token count) — zero documents
+    # scans; memoized (_text_dls_base), shared across the BM25 entries
+    dls = _text_dls_base(spark, sf_dir)
     stats = dls.agg(
         F.count(F.lit(1)).alias("nd"), F.sum("dl").cast("long").alias("s_tokens")
     )
@@ -3873,14 +3908,23 @@ def docs_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def docs_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = spread(table(spark, sf_dir, "documents"))
     tok = _with_tokens(docs)
     sh = tok.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("t")))).alias("s")
     )
-    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    # first-claimant via a min() window on the shingle key instead of a
+    # groupBy + join-back: the join form executed the scan + tokenize +
+    # shingle explode subtree TWICE (once per join side) and shuffled the
+    # exploded relation on s twice — the window form is one execution and
+    # one s-keyed exchange, with identical per-row first_doc values
+    # (guide §2.4: two operations keyed the same way share one exchange;
+    # r16 plan audit: 2 documents scans → 1)
+    first_doc = F.min("doc_id").over(W.partitionBy("s"))
     per = (
-        sh.join(first, "s")
+        sh.withColumn("first_doc", first_doc)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -3958,16 +4002,22 @@ def docs_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("w")
     )
-    counts = toks.groupBy("w").agg(
-        F.count(F.lit(1)).alias("c_w"),
-        F.sum((F.col("lang") != "en").cast("long")).alias("t_w"),
-    )
+    # per-word corpus/target counts via two aggregate windows on the word
+    # key instead of a groupBy + shuffle-join-back: the join form executed
+    # the scan + tokenize + explode subtree TWICE (once per join side) and
+    # shuffled the token relation on w twice — the window form is one
+    # execution and one w-keyed exchange carrying identical per-row
+    # counts (guide §2.4; r16 plan audit: 2 documents scans → 1; the
+    # no-vocab-broadcast design note still holds — this is the same
+    # word-keyed shuffle, minus the duplicate)
+    from pyspark.sql import Window as W
+
+    ww = W.partitionBy("w")
     ilog2 = lambda c: F.length(F.bin(c)) - 1  # noqa: E731 — exact floor(log2)
-    sw = counts.select(
-        "w", (ilog2(F.col("t_w") + 1) - ilog2(F.col("c_w") + 1)).alias("s_w")
-    )
+    c_w = F.count(F.lit(1)).over(ww)
+    t_w = F.sum((F.col("lang") != "en").cast("long")).over(ww)
     per = (
-        toks.join(sw, "w")
+        toks.withColumn("s_w", ilog2(t_w + 1) - ilog2(c_w + 1))
         .groupBy("doc_id")
         .agg(
             F.max("lang").alias("lang"),
@@ -4430,7 +4480,10 @@ def docs_bm25_escalate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = _text_tf_base(spark, sf_dir)
     dfreq = _text_df_base(spark, sf_dir)
-    dls = tf.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("dl"))
+    # memoized doc lengths (_text_dls_base): this plan consumed dls FOUR
+    # times (scoring join + stats broadcast, in both the heads build and
+    # the full-posting remainder tier) — each a token-relation shuffle
+    dls = _text_dls_base(spark, sf_dir)
     stats = dls.agg(
         F.count(F.lit(1)).alias("nd"),
         F.sum("dl").cast("long").alias("s_tokens"),

@@ -472,8 +472,13 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize it once — localCheckpoint here, persist() on a cluster
     from currency_etl_spark.operators.ckpt import swap_checkpoint
 
+    # NOTE: tag must NOT be "ivf_cents" — that is the memo tag of the
+    # family's STORED codebook (_ivf_cents_base); swapping this retrained
+    # k-means codebook under the same tag evicted the memoized artifact
+    # and forced every later ivf consumer in the session (tombstone
+    # screen, staleness audit, ...) to rebuild it (r16 audit).
     cents1 = swap_checkpoint(
-        "ivf_cents",
+        "ivf_kmeans_cents",
         cm.select(
             F.struct(F.col("cell0").alias("cid"), F.col("cm")).alias("c")
         ).agg(F.sort_array(F.collect_list("c")).alias("cents")),
