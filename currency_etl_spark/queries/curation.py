@@ -435,7 +435,18 @@ def docs_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("w")
     ).where(F.col("w") != "")
-    csw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    # the (source, word) frequency grid is vocab-sized and feeds FOUR
+    # references (per-source totals, word totals → grand total, and the
+    # scoring join) — unmaterialized, each re-ran the documents scan +
+    # token explode + groupBy (r16 plan audit: 8 parquet scans → 1; the
+    # downstream agg/top-word branches then re-read checkpoint blocks,
+    # not parquet)
+    from currency_etl_spark.operators.ckpt import swap_checkpoint
+
+    csw = swap_checkpoint(
+        "tokdiv_csw",
+        toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw")),
+    )
     ns = csw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
     cw = csw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
     tot = cw.agg(F.sum("c_w").alias("n_total"))

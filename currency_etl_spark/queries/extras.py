@@ -3660,11 +3660,16 @@ def events_hourly_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
+    # the (type, day) rollup is tiny and feeds FOUR references (span,
+    # the type list, and the gap-filled grid that self-joins) —
+    # unmaterialized, each re-ran the events scan + daily aggregate
+    # (r16 plan audit: 6 parquet scans → 1)
+    daily = _swap_checkpoint(
+        "typecorr_daily",
         table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .groupBy("event_type", F.col("ts").cast("date").alias("d"))
-        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v"))
+        .agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("v")),
     )
     span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     types = daily.select("event_type").distinct()
@@ -4492,8 +4497,15 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.round(F.col("value") * 10000).cast("long")).alias("q")
     )
-    series = days.join(daily, "day", "left").select(
-        "day", (F.coalesce(F.col("q"), F.lit(0)).cast("double") / 10000).alias("x")
+    # the gap-filled daily series is days-sized (≪ events) and feeds FOUR
+    # consumers (mean, denominator, both lag-pair sides) — unmaterialized,
+    # each re-ran the events scan + daily aggregate + extrema join
+    # (r16 plan audit: 10 parquet scans → 2)
+    series = _swap_checkpoint(
+        "acf_series",
+        days.join(daily, "day", "left").select(
+            "day", (F.coalesce(F.col("q"), F.lit(0)).cast("double") / 10000).alias("x")
+        ),
     )
     mu = series.agg(
         (
@@ -4913,23 +4925,32 @@ def docs_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    rev = (
+    # the supplier-revenue rollup feeds the per-nation totals AND the
+    # share projection — unmaterialized, the lineitem scan + join +
+    # groupBy re-ran once per reference (3x including the duplicated
+    # totals broadcast below; r16 plan audit: 7 parquet scans → 3).
+    # The checkpoint is |suppliers|-sized.
+    rev = _swap_checkpoint(
+        "hhi_rev",
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .groupBy("s_nationkey", "s_suppkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("r"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("r")),
     )
     tot = rev.groupBy("s_nationkey").agg(
         F.sum("r").alias("rt"), F.count(F.lit(1)).alias("n_suppliers")
     )
     share = F.col("r").cast("double") / F.col("rt").cast("double")
+    # rt / n_suppliers ride the ONE totals join (the old second
+    # broadcast(tot) join re-derived the totals subtree a second time)
     shares = rev.join(F.broadcast(tot), "s_nationkey").select(
         "s_nationkey",
         F.round(share * share * 1000000000000).cast("long").alias("sq"),
+        "rt",
+        "n_suppliers",
     )
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        shares.join(F.broadcast(tot), "s_nationkey")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        shares.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.max("n_suppliers").cast("long").alias("n_suppliers"),

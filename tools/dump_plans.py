@@ -67,12 +67,12 @@ HEADLINERS = {
     ),
     "minhash_jaccard_est": (
         "LSH verify stage. Check: ZERO parquet scans — every branch reads "
-        "the family's memoized checkpoints (Scan ExistingRDD: shingles, "
-        "signatures, candidate pairs — shared with the seven sibling "
-        "dedup entries), so the shingle explode and the 16-min signature "
-        "aggregation each ran exactly once per session per SF; the "
-        "overlap pair-gen exchanges an 8-byte sx key, not shingle "
-        "strings."
+        "the family's memoized checkpoints (Scan ExistingRDD: "
+        "signatures, candidate pairs, and — since r16 — the exact-"
+        "overlap pair relation shared verbatim with dedup_lsh_recall "
+        "via the minhash_overlap memo), so the shingle explode, the "
+        "16-min signature aggregation AND the capped posting-list "
+        "pair-gen each ran exactly once per session per SF."
     ),
     "knn_lsh_multiprobe": (
         "Multi-probe ANN. Check: the widened probe set still enters as a "
@@ -132,7 +132,11 @@ HEADLINERS = {
         "ANN recall eval. Check: the query set and probe list enter as "
         "broadcasts; each per-query top-k runs the salted two-phase "
         "Window ((qid, salt) then qid) so no single task sorts a query's "
-        "full candidate list; the overlap joins touch only NQ×K rows."
+        "full candidate list; ONE aggregate computes n_retrieved and "
+        "n_overlap together off a LEFT join against the exact top-k "
+        "(r16: the two-aggregate form executed the whole methods "
+        "subtree — both candidate joins and all four salted windows — "
+        "twice; 22 parquet scans → 14)."
     ),
     "embedding_pq": (
         "Product quantization. Check: the codebook is ONE broadcast row "
@@ -143,9 +147,13 @@ HEADLINERS = {
     "graph_pagerank_bipartite": (
         "Iterative PageRank. Check: the edge list (with window-derived "
         "degrees) reads from ONE checkpointed relation (ExistingRDD) in "
-        "every iteration — no parquet re-scan per round; each round is "
-        "one join + integer partial_sum exchange; the final top-k is "
-        "TakeOrderedAndProject, never a global sort."
+        "every iteration — no parquet re-scan per round; the symmetric "
+        "edge doubling is an in-row Generate (r16: the old self-union "
+        "re-ran the scan + fact-sized distinct once per branch — ONE "
+        "Scan parquet and ONE distinct HashAggregate in the checkpoint "
+        "build now); each round is one join + integer partial_sum "
+        "exchange; the final top-k is TakeOrderedAndProject, never a "
+        "global sort."
     ),
     "events_sketch_rollup": (
         "Mergeable-sketch rollup. Check: two aggregation levels — "
@@ -227,12 +235,15 @@ HEADLINERS = {
         "aggregation state however hot the term."
     ),
     "orders_market_basket": (
-        "Market-basket lift. Check: the frequent-part top-200 enters the "
-        "(orderkey, partkey) relation as a BroadcastHashJoin (Apriori "
-        "prefilter BEFORE the pair self-join); pairs materialize per "
-        "order behind the orderkey join, never globally; the 1-row "
-        "n_orders scalar is the only SinglePartition stage; the rounded-"
-        "lift top-25 is TakeOrderedAndProject."
+        "Market-basket lift. Check: ZERO parquet scans — the distinct "
+        "(orderkey, partkey) basket relation is checkpointed once "
+        "(r16: it feeds four branches, which previously re-ran the "
+        "lineitem scan + distinct shuffle 5x) and every branch reads "
+        "Scan ExistingRDD; the frequent-part top-200 enters as a "
+        "BroadcastHashJoin (Apriori prefilter BEFORE the pair "
+        "self-join); pairs materialize per order behind the orderkey "
+        "join, never globally; the rounded-lift top-25 is "
+        "TakeOrderedAndProject."
     ),
     "customers_interorder_gap": (
         "Repurchase cadence. Check: the lag() Window partitions on "
@@ -315,10 +326,12 @@ HEADLINERS = {
         "ordered unpartitioned window runs on the 10-row decile curve."
     ),
     "docs_shingle_novelty": (
-        "Shingle novelty. Check: the only joins key on the shingle "
-        "(dictionary relation) — no doc×doc pairing, no "
-        "CartesianProduct; min(doc_id) folds map-side; per-doc counts "
-        "re-aggregate on doc_id."
+        "Shingle novelty. Check: NO join at all since r16 — the first-"
+        "claimant doc is a min() window on the shingle key (the old "
+        "groupBy + join-back executed the scan + shingle explode twice "
+        "and shuffled the exploded relation twice); one s-keyed "
+        "exchange, then per-doc counts re-aggregate on doc_id; still no "
+        "doc×doc pairing anywhere."
     ),
     "events_transition_dwell": (
         "Transition dwell. Check: the lag() Window partitions on "
@@ -410,7 +423,10 @@ HEADLINERS = {
     ),
     "knn_pq_adc": (
         "IVF-PQ asymmetric-distance search. Check: codebook and distance "
-        "table enter as 1-row broadcasts; candidates come from the "
+        "table enter as 1-row broadcasts; the coarse cell id is a "
+        "map-side argmin INSIDE the coded projection (r16: previously a "
+        "separate corpus-sized relation joined back on vec_id — the "
+        "corpus shuffled twice at scale); candidates come from the "
         "nprobe cell equi-join; ADC scoring is a narrow in-row "
         "projection over PQ codes — full embeddings never touched at "
         "probe time."
@@ -422,11 +438,13 @@ HEADLINERS = {
         "never text; partial_count/partial_min fold map-side."
     ),
     "dedup_lsh_recall": (
-        "LSH recall calibration. Check: truth pairs come from the capped "
-        "posting-list relation and candidates from the memoized band "
-        "pairs (Scan ExistingRDD, no rebuild); the decile histogram is "
-        "a ≤10-row aggregate — no corpus-sized join above the pair "
-        "relations."
+        "LSH recall calibration. Check: truth pairs read the memoized "
+        "minhash_overlap checkpoint (r16: shared verbatim with "
+        "minhash_jaccard_est — the capped posting-list pair-gen runs "
+        "once per session, not once per entry) and candidates the "
+        "memoized band pairs (Scan ExistingRDD, no rebuild); the decile "
+        "histogram is a ≤10-row aggregate — no corpus-sized join above "
+        "the pair relations."
     ),
     "customers_k_anonymity": (
         "k-anonymity audit. Check: one narrow-QI exchange (the "
