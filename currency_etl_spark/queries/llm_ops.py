@@ -429,18 +429,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across branches, so the old count branch re-ran the whole shingle
     # explode. Zero-shingle docs get nsh=0 here vs no row in the exploded
     # form; they can never reach a pair, so the join result is identical.
-    # materialized once: BOTH join sides (ca / cb) consume this relation,
-    # and each broadcast build otherwise re-ran the documents scan plus
-    # the tokenize + 3-gram + array_distinct chain — the entry's most
-    # CPU-expensive projection — a third and fourth time (plan audit r16:
-    # 3 documents scans → 2; the checkpoint is |docs| × 16 B)
-    from currency_etl_spark.operators.ckpt import swap_checkpoint
-
-    cnt = swap_checkpoint(
-        "ngram_cnt",
-        docs.select(
-            "doc_id", F.size(F.array_distinct(_shingles(F.col("t")))).alias("nsh")
-        ),
+    # NOT checkpointed (r16 measured both ways): the two broadcast-side
+    # builds (ca / cb) DO re-run the documents scan + shingle chain, but
+    # they overlap with the pair-generation stages on otherwise-idle
+    # cores, while an eager checkpoint job serializes that same tokenize
+    # work onto the critical path — 1.4 s duplicated vs 3.3 s
+    # checkpointed at sf0.1 (min-of-2 subset). At 100 TB the relation is
+    # doc-count-sized and the broadcast would be replaced by the shuffle
+    # join AQE picks; the duplicate scan is the cheaper local trade.
+    cnt = docs.select(
+        "doc_id", F.size(F.array_distinct(_shingles(F.col("t")))).alias("nsh")
     )
     # Pair generation WITHOUT a self-join: group the inverted index by
     # shingle, then explode ordered pairs from each posting list. One scan

@@ -29,17 +29,16 @@ def get_spark(app_name: str = "currency_etl_spark", cpus: int | None = None) -> 
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Respect the advisory target size (64 MB default) when coalescing
-        # instead of maximizing parallelism — Spark's own conf reference
-        # recommends false: with the default `true`, AQE keeps ~|cores|
-        # near-empty post-shuffle partitions however small the stage
-        # input; with `false` the partition count follows bytes/
-        # advisorySize at EVERY scale (the guide-§2.2 "fewer, larger
-        # reduce partitions" behavior a 100 TB shuffle needs). Measured
-        # neutral at sf0.1 on local[32] (in-session A/B, 6 shuffle-heavy
-        # entries: medians 11.1 s vs 11.2 s) — kept for the scale story,
-        # not as a local win; see OPTIMIZATION_r16.md.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # coalescePartitions.parallelismFirst stays at its DEFAULT (true):
+        # r16 A/B'd `false` (the conf reference's recommendation for
+        # byte-sized partitions) and it regressed the CPU-dense/small-byte
+        # operators 1.2-1.5x — AQE coalesced token-pair explodes and
+        # collect_list stages to ONE task because their input is
+        # kilobytes, serializing per-row work 32 cores should share
+        # (measured: dedup_ngram_jaccard 1.4 → 2.0 s, docs_shingle_novelty
+        # 1.1 → 1.35 s, in-session A/B ×3). Bytes are the wrong proxy for
+        # CPU here; on a real 100 TB cluster set `false` + a tuned
+        # advisory size in cluster conf where partitions are byte-bound.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

@@ -211,7 +211,12 @@ def test_checkpoint_tags_are_bounded_source_literals():
     offenders = [o for o in offenders if o[2] != "name tag 'tag'"]
     assert not offenders, f"dynamic checkpoint tags found: {offenders}"
     assert literals, "scan found no checkpoint call sites — regex drifted?"
-    assert len(literals) < 64, "tag family set unexpectedly large"
+    # sanity bound only (boundedness comes from every tag being a source
+    # literal, asserted above) — raised 64 → 96 in r16 when the
+    # optimization round added nine multi-consumer materialization tags
+    # (minhash_overlap, text_dls, hhi_rev, acf_series, typecorr_daily,
+    # tokdiv_csw, trunc_sims, ngram_cnt, ivf_kmeans_cents)
+    assert len(literals) < 96, "tag family set unexpectedly large"
 
 
 def test_memo_touches_carry_build_time(spark):
