@@ -33,7 +33,8 @@ KNOWN_MEMO_TAGS = frozenset(
      "phash_base", "stream_pool", "dup_hits", "ivf_cents", "ivf_index",
      "surp_base", "text_tf", "text_df", "text_batch_tf",
      "bpe_enc", "bpe_enc_stream", "affinity_edges",
-     "text_posting_heads", "minhash_overlap", "text_dls"}
+     "text_posting_heads", "minhash_overlap", "text_dls",
+     "stale_probes", "stale_truth"}
 )
 
 
