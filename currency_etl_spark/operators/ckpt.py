@@ -85,6 +85,28 @@ def swap_checkpoint(tag: str, df: DataFrame) -> DataFrame:
 #: loses records.
 _BUILT: deque = deque(maxlen=4096)
 
+#: Per-thread stack of in-flight memo builds (each frame accumulates the
+#: FULL wall seconds of completed nested builds). memo builds nest —
+#: cc_map's build invokes the MinHash pair builder, whose build invokes
+#: the signature builder, and so on — and the outer build's wall timer
+#: CONTAINS every nested build it triggered. Recording each tag's raw
+#: wall time therefore double-counted nested work: bench.py sums the
+#: per-tag build lines into the total AND subtracts their sum from the
+#: paying entry, so one cold dedup_clusters run reported ~6.2 s of
+#: "memo_build:*" overhead for ~2.7 s of actual wall (r17 measurement
+#: audit). Each build now reports its MARGINAL cost (own wall minus
+#: completed nested builds), so the per-tag lines are disjoint and their
+#: sum equals the true build wall. Thread-local because pool threads
+#: build concurrently and must not see each other's frames.
+_BUILD_STACK = threading.local()
+
+
+def _build_frames() -> list:
+    frames = getattr(_BUILD_STACK, "v", None)
+    if frames is None:
+        frames = _BUILD_STACK.v = []
+    return frames
+
 #: Cache-invalidation hooks for memo layers that live OUTSIDE this
 #: module (the BPE trainer's merge-table cache in queries/training.py
 #: pairs a Python-side artifact with its live checkpoint, which
@@ -115,8 +137,15 @@ def note_build(tag: str, built: bool, build_sec: float) -> None:
     memo_checkpoint feeds, so bench.py attributes an external cache's
     build cost exactly like a memo_checkpoint build: subtracted from the
     paying entry's time and reported as its own ``memo_build:<tag>``
-    overhead line (round-8 verdict item 3 semantics)."""
+    overhead line (round-8 verdict item 3 semantics). An external build
+    completing inside a memo build's frame charges its wall to that
+    frame, same as a nested memo build — its seconds must not be
+    reported twice."""
     _BUILT.append((tag, built, round(build_sec, 3) if built else 0.0))
+    if built:
+        frames = _build_frames()
+        if frames:
+            frames[-1] += build_sec
 
 
 def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
@@ -160,10 +189,22 @@ def memo_checkpoint(tag: str, key, build: Callable[[], DataFrame]) -> DataFrame:
         if got is not None and _KEYS.get(tag) == (key, app):
             _BUILT.append((tag, False, 0.0))
             return got
+        frames = _build_frames()
+        frames.append(0.0)
         t0 = time.perf_counter()
-        out = swap_checkpoint(tag, build())
+        try:
+            out = swap_checkpoint(tag, build())
+        finally:
+            nested = frames.pop()
+        total = time.perf_counter() - t0
+        if frames:
+            # charge my FULL wall (marginal + my own nested children) to
+            # the enclosing build — the parent's timer contains all of it
+            frames[-1] += total
         _KEYS[tag] = (key, out.sparkSession.sparkContext.applicationId)
-        _BUILT.append((tag, True, round(time.perf_counter() - t0, 3)))
+        # ledger carries the MARGINAL cost: own wall minus nested builds
+        # (clamped — timer jitter between inner/outer reads can go <0)
+        _BUILT.append((tag, True, round(max(total - nested, 0.0), 3)))
         return out
 
 

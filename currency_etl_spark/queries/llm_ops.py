@@ -1433,11 +1433,16 @@ def _propagate_min_labels(edges: DataFrame) -> DataFrame:
     from currency_etl_spark.operators.ckpt import chain_checkpoint, swap_checkpoint
 
     edges = swap_checkpoint("cc_edges", edges)
-    labels = swap_checkpoint(
-        "cc_labels",
+    # labels₀ is DERIVED, not checkpointed (r17): it is read only by
+    # iteration 1's plan (join side + union side — two executions of a
+    # distinct over the already-checkpointed graph-sized edge relation),
+    # so materializing it bought lineage truncation nobody needs and
+    # cost one eager job per build. Iterations 2+ read the chain
+    # checkpoint, never this subtree.
+    labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("cluster_id", F.col("node")),
+        .withColumn("cluster_id", F.col("node"))
     )
     # Min-label propagation until fixpoint (diameter-bounded; typically 2-4).
     # One join + union + min-agg per iteration (message passing), not the
@@ -1445,12 +1450,16 @@ def _propagate_min_labels(edges: DataFrame) -> DataFrame:
     # labels only ever DECREASE, so sum(cluster_id) is strictly decreasing
     # until the fixpoint — a 1-row agg over the just-checkpointed labels
     # replaces a join-based changed-row count (one cheap action, no join).
+    # The check compares CONSECUTIVE iteration sums (r17): the old
+    # labels₀ pre-sum collect ran one extra 1-row job per build and only
+    # ever saved an iteration on an edgeless graph (candidate pairs
+    # empty), where the iterations are free anyway.
     # Each iteration checkpoints — without lineage truncation, iteration
     # k replays all k-1 predecessors and the loop goes quadratic.
     # chain_checkpoint releases iteration k-1's blocks only AFTER k is
     # materialized (the new plan reads them), so the loop carries one
     # live labels checkpoint instead of accumulating one per iteration.
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    prev_sum: object = object()  # sentinel: no previous sum yet
     for _ in range(20):
         msgs = edges.join(labels, edges.dst == labels.node).select(
             edges.src.alias("node"), "cluster_id"

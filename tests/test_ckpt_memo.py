@@ -215,7 +215,8 @@ def test_checkpoint_tags_are_bounded_source_literals():
     # literal, asserted above) — raised 64 → 96 in r16 when the
     # optimization round added nine multi-consumer materialization tags
     # (minhash_overlap, text_dls, hhi_rev, acf_series, typecorr_daily,
-    # tokdiv_csw, trunc_sims, ngram_cnt, ivf_kmeans_cents)
+    # tokdiv_csw, trunc_sims, basket_li, ivf_kmeans_cents — ngram_cnt
+    # was built then reverted in-round; basket_li is the ninth tag)
     assert len(literals) < 96, "tag family set unexpectedly large"
 
 
@@ -233,6 +234,44 @@ def test_memo_touches_carry_build_time(spark):
     assert [(t[0], t[1]) for t in touches] == [("t_timed", True), ("t_timed", False)]
     assert touches[0][2] > 0.0 and touches[1][2] == 0.0
     assert ckpt.drain_memo_touches() == []  # drained
+
+
+def test_nested_memo_builds_report_marginal_time(spark):
+    """Nested memo builds (cc_map → minhash_pairs → minhash_sig → …)
+    must report MARGINAL wall time, not raw wall time: the outer build's
+    timer contains every nested build it triggers, and bench.py both
+    sums the per-tag lines into the total and subtracts their sum from
+    the paying entry — raw times double-counted the nested seconds
+    (r17 measurement audit: a cold dedup_clusters reported ~6.2 s of
+    memo_build lines for ~2.7 s of wall). The per-tag lines must be
+    disjoint: sum(marginals) ≈ the outer build's true wall."""
+    import time as _time
+
+    from currency_etl_spark.operators import ckpt
+
+    ckpt.reset_memos()
+
+    def inner():
+        _time.sleep(0.2)
+        return spark.range(5)
+
+    def outer():
+        ckpt.memo_checkpoint("t_nest_inner", "k", inner)
+        _time.sleep(0.2)
+        return spark.range(5)
+
+    t0 = _time.perf_counter()
+    ckpt.memo_checkpoint("t_nest_outer", "k", outer)
+    wall = _time.perf_counter() - t0
+    touches = {t[0]: t[2] for t in ckpt.drain_memo_touches() if t[1]}
+    assert set(touches) == {"t_nest_inner", "t_nest_outer"}
+    # inner's full wall (sleep + materialization) must NOT appear inside
+    # outer's reported number: outer's marginal excludes at least the
+    # inner sleep, and the disjoint lines sum to ≈ the true outer wall
+    assert touches["t_nest_inner"] >= 0.2
+    assert touches["t_nest_outer"] <= wall - 0.2 + 0.05
+    assert abs((touches["t_nest_inner"] + touches["t_nest_outer"]) - wall) < 0.15
+    ckpt.release_all()
 
 
 def test_memo_same_tag_concurrent_builds_once(spark):
