@@ -109,7 +109,16 @@ def main() -> None:
     # then no longer fits and the dump silently degrades to passes=1,
     # losing exactly the episode-filtering the min-of-2 exists for. Same
     # methodology (two timed passes, per-query MIN), just room for it.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+    # Low-core runs get a larger default budget (r16 verdict item 6): at
+    # 8 cores one full-catalog pass is ~250-320 s, so the 600 s budget
+    # that fits two 32-core passes degrades the c8 leg to passes=1 —
+    # losing exactly the episode filter min-of-2 exists for, which is why
+    # the r16 scaling block was uninterpretable (28.7 s contention spikes
+    # taken at face value). Same methodology at every core count: two
+    # timed passes, per-query MIN; only the wall-clock room differs.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    default_budget = "600" if cpus >= 32 else "900"
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", default_budget))
     bench_t0 = time.perf_counter()
     times: dict[str, float] = {}
     passes = 0
@@ -231,6 +240,13 @@ def main() -> None:
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
     tag = f"r{max(rounds) + 1:02d}" if rounds else "latest"
+    # Non-default core counts get their own dump name (r16 verdict item
+    # 4): the driver's low-core scaling leg runs the same full catalog at
+    # the same SF, and in r16 its dump squatted on bench_queries_r17.json
+    # — colliding with the real r17 full-catalog artifact the next
+    # verdict diffs against.
+    if cpus != 32:
+        tag = f"{tag}_c{cpus}"
     payload = {
         "metric": "catalog_total_runtime",
         "value": total,
@@ -256,6 +272,16 @@ def main() -> None:
     # Detailed per-query line first; a SHORT summary line LAST so the
     # driver's tail capture always parses a complete JSON object (round 1's
     # single ~4 KB line was truncated mid-object → "parsed": null).
+    # r16 verdict item 2 asked for a compact per-query map on the LAST
+    # line so the driver's PERF can diff rounds; checked against the
+    # observed capture window and it cannot work: BENCH_r16.json stores
+    # exactly tail[-2000:] and its "parsed" is the last complete line,
+    # while 232 query names alone serialize to ~7 KB
+    # (separators=(",",":"), 3-decimal times) — a last line that long is
+    # the round-1 failure again, truncated at the FRONT, leaving parsed
+    # null and losing even the total. The per-query contract therefore
+    # stays the committed bench_queries_r{N}.json dump (same payload as
+    # the full first line below), which the judge already diffs.
     print(json.dumps(payload))
     print(
         json.dumps(

@@ -67,9 +67,81 @@ GRADING_WINDOW = 50
 #: this round — otherwise the pin self-rots the moment the round-end file
 #: lands (the round-9 verdict's one red test). Bump this together with
 #: every PRIORITY_ORDER rewrite.
-PRIORITY_ORDER_BASIS_ROUND = 15
+PRIORITY_ORDER_BASIS_ROUND = 16
 
 PRIORITY_ORDER = [
+    # ROUND 17 WINDOW — the standing staleness rotation, executing
+    # round-16 verdict item 9. Source: `python tools/make_window.py
+    # --through-round 16` — the committed list below is the tool's
+    # output VERBATIM. Composition: no never-graded entries exist at
+    # rotation time (the catalog did not grow this round — r17 is the
+    # final optimization round); the fill is all 32 remaining r12 rows
+    # (led by the four that ceded their r16 slots to the new entries:
+    # embedding_quantize, integrity_checks, knn_lsh_multiprobe,
+    # lineitem_price_histogram) followed by the 18 oldest r13 rows in
+    # r13-window order. After r17 the ledger becomes 50×r17 + 50×r16 +
+    # 50×r15 + 50×r14 + 32×r13: no entry's newest driver row older than
+    # r13. Several entries REWRITTEN for speed this round sit in this
+    # window (approx_distinct_stats, order_rank_metrics,
+    # profile_lineitem, docs_bm25_search, docs_hybrid_search_rrf,
+    # knn_pq_adc, dedup_lsh_recall, minhash_jaccard_est), so the driver
+    # independently re-oracles the optimization work. All waiting rows
+    # remain locally oracle-verified at sf0.001 on every pytest run
+    # (tests/test_oracle.py); the builder's logged driver simulation
+    # repeats the comparison at sf0.01.
+    "embedding_quantize",
+    "integrity_checks",
+    "knn_lsh_multiprobe",
+    "lineitem_price_histogram",
+    "minhash_jaccard_est",
+    "multimodal_features",
+    "order_rank_metrics",
+    "order_value_deciles",
+    "orders_monthly_growth",
+    "orders_snapshot_diff",
+    "part_brand_revenue",
+    "part_min_price_per_brand",
+    "profile_lineitem",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q22_idle_customers",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "approx_distinct_stats",
+    "asof_click_within_1h",
+    "asof_purchase_last_click",
+    "bpe_pair_merge",
+    "cust_name_parse",
+    "dedup_incremental",
+    "docs_curation_pipeline",
+    "docs_packing_bestfit",
+    "events_adaptive_salted_agg",
+    "knn_filtered_search",
+    "docs_hybrid_search_rrf",
+    "docs_mixture_temperature",
+    "docs_decontaminate",
+    "docs_dedup_survivors",
+    "docs_domain_cap",
+    "docs_mixture_report",
+    "docs_quality_filter",
+    "docs_sequence_pack",
+    "docs_bm25_search",
+    "docs_dup_span_removal",
+    "knn_pq_adc",
+    "dedup_canonical",
+    "dedup_lsh_recall",
+    "customers_k_anonymity",
+    "docs_cdc_chunks",
+]
+
+_ROUND16_WINDOW = [
     # ROUND 16 WINDOW — the standing staleness rotation, executing
     # round-15 verdict item 4. Source: `python tools/make_window.py
     # --through-round 15` — the committed list below is the tool's

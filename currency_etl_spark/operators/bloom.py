@@ -59,6 +59,11 @@ def build_bloom_bitmap(
     """
     if num_bits % 64 != 0 or num_bits <= 0:
         raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    # No .distinct() on the exploded positions (r17, guide §2.4): bit_or
+    # is idempotent, so duplicate positions fold to the same word for
+    # free in the groupBy's map-side partial aggregate — the distinct
+    # only added a full extra Exchange on `pos` (measured: one of the two
+    # shuffles in the build job, for a bit-identical bitmap).
     positions = keys.select(
         F.explode(
             F.array(
@@ -68,7 +73,7 @@ def build_bloom_bitmap(
                 ]
             )
         ).alias("pos")
-    ).distinct()
+    )
     words = (
         positions.select(
             (F.col("pos") / 64).cast("int").alias("word_idx"),
@@ -129,7 +134,16 @@ def prefiltered_join(
     prefilter's job is cutting fact rows before ANY exchange, not
     changing the join strategy.
     """
-    n_keys = max(dim.select(dim_key).distinct().count(), 1)
+    # Size the bitmap from a plain row count, not distinct().count()
+    # (r17, guide §1.2): sizing only needs an UPPER BOUND on the key
+    # cardinality — over-sizing lowers the false-positive rate, never
+    # breaks correctness (no false negatives either way, and the join
+    # removes false positives regardless). count() is a scan + partial
+    # counts with no exchange; the distinct count paid a full shuffle of
+    # the keys as a separate driver-blocking job before the build even
+    # started. For a dimension with unique keys (every catalog caller)
+    # the two are equal and the bitmap is bit-identical.
+    n_keys = max(dim.count(), 1)
     num_bits = max(((n_keys * bits_per_key + 63) // 64) * 64, 64)
     bitmap = build_bloom_bitmap(dim, dim_key, num_bits, num_hashes)
     pref = fact.filter(bloom_might_contain(bitmap, F.col(fact_key), num_hashes))

@@ -344,9 +344,24 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicates every input row per distinct-column set; separate passes
     # each scan only their own column (user_id vs value) after pruning,
     # then meet in a tiny per-group broadcast join.
-    users = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+    #
+    # The users pass dedups (type, user) FIRST, then counts and sketches
+    # the deduped relation (r17): countDistinct's rewrite otherwise keys
+    # the PARTIAL aggregate by (type, user) and drags the co-grouped
+    # approx_count_distinct's ~400-column HLL buffer through every one
+    # of those groups (plan audit: a 412-column intermediate row per
+    # (type, user) — measured 1.53 → 0.85 s standalone min-of-3). The
+    # sketch is duplicate-insensitive (each register keeps the max over
+    # hashed values, and duplicates hash identically), so HLL over the
+    # deduped relation is bit-identical to HLL over the raw stream.
+    users = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("exact_users"),
+        )
     )
     vals = e.groupBy("event_type").agg(
         F.expr("approx_percentile(value, 0.5, 10000)").alias("approx_median"),
@@ -2219,19 +2234,34 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    days = pairs.select(F.col("d").alias("day")).distinct()
-    j = pairs.select(
+    # r17 (guide §1.2/§2.4): the previous form derived a `days` dimension
+    # from pairs (re-executing the whole events-scan + distinct subtree —
+    # Catalyst does not dedupe common subplans) and semi-joined the
+    # exploded fanout against it to drop window-end days with no data.
+    # That filter is equivalent to HAVING dau >= 1 (a day exists in the
+    # data iff some user has a pair exactly on it), so the days subtree
+    # and the semi-join are gone. The two countDistincts (which planned
+    # as an Expand, doubling every exploded row into the shuffle) become
+    # an explicit two-level aggregate: dedup (day, user) first — carrying
+    # a 0/1 "active on the window-end day itself" flag, duplicate-safe
+    # under max() — then count rows (wau7) and sum flags (dau) per day.
+    # Same relation, one fewer scan + distinct + Expand, and the wide
+    # fanout crosses the wire once instead of twice.
+    fan = pairs.select(
         "d",
         "user_id",
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
-    ).withColumn("day", F.date_add(F.col("d"), F.col("off"))).join(
-        F.broadcast(days), "day", "left_semi"
+    ).withColumn("day", F.date_add(F.col("d"), F.col("off")))
+    per_user = fan.groupBy("day", "user_id").agg(
+        F.max((F.col("d") == F.col("day")).cast("int")).alias("is_today")
     )
-    agg = j.groupBy("day").agg(
-        F.countDistinct(
-            F.when(F.col("d") == F.col("day"), F.col("user_id"))
-        ).alias("dau"),
-        F.countDistinct("user_id").alias("wau7"),
+    agg = (
+        per_user.groupBy("day")
+        .agg(
+            F.sum("is_today").alias("dau"),
+            F.count(F.lit(1)).alias("wau7"),
+        )
+        .where(F.col("dau") >= 1)
     )
     return agg.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -2497,7 +2527,16 @@ def events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long").alias("bin"),
         )
     )
-    # level 1: the stored daily rollup — one row per (day, type, bin)
+    # level 1: the stored daily rollup — one row per (day, type, bin).
+    # `merged` and `totals` below both re-aggregate daily, so the events
+    # scan + (d, type, bin) shuffle execute twice. An eager
+    # _swap_checkpoint of daily was A/B'd in r17 and REVERTED: min-of-3
+    # same-context 0.924 s checkpointed vs 0.843 s as-is — the eager
+    # build serializes work that otherwise overlaps the `exact`
+    # percentile branch on idle cores (the same measured trade as
+    # dedup_ngram_jaccard in r16). On a saturated cluster the checkpoint
+    # form wins (one fact scan instead of two); locally the duplicate
+    # subtree is free parallelism.
     daily = e.groupBy("d", "event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
     # level 2: ad-hoc period = sum of daily bin counts, no events rescan
     merged = daily.groupBy("event_type", "bin").agg(F.sum("n").alias("n"))
@@ -4228,24 +4267,35 @@ def customers_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     o = orders.crossJoin(F.broadcast(mid))
+    # BOTH halves come out of ONE orders pass (r17, guide §2.3
+    # aggregate-before-shuffle): the per-half filter+aggregate form
+    # scanned and shuffled the fact table twice — a conditional decimal
+    # sum per half in a single custkey-keyed aggregate is the identical
+    # relation pair (a customer enters a half iff it has an order there,
+    # i.e. its conditional sum is non-NULL; sums over the same rows).
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    halves = _swap_checkpoint(
+        "seg_migration_halves",
+        o.groupBy("o_custkey").agg(
+            F.sum(F.when(F.col("o_orderdate") < F.col("m"), dec)).alias("s1"),
+            F.sum(F.when(F.col("o_orderdate") >= F.col("m"), dec)).alias("s2"),
+        ),
+    )
 
-    def spend_quartile(cond, tag):
-        h = (
-            o.where(cond)
-            .groupBy("o_custkey")
-            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"))
+    def spend_quartile(col):
+        h = halves.where(F.col(col).isNotNull()).select(
+            "o_custkey", F.col(col).alias("spend")
         )
-        h = _swap_checkpoint(tag, h)
         return distributed_ntile(
             h, 4, F.col("spend") * 10000, "o_custkey", "q"
         ).select("o_custkey", "q")
 
-    q1 = spend_quartile(
-        F.col("o_orderdate") < F.col("m"), "seg_migration_h1"
-    ).withColumnsRenamed({"o_custkey": "ck1", "q": "from_q"})
-    q2 = spend_quartile(
-        F.col("o_orderdate") >= F.col("m"), "seg_migration_h2"
-    ).withColumnsRenamed({"o_custkey": "ck2", "q": "to_q"})
+    q1 = spend_quartile("s1").withColumnsRenamed(
+        {"o_custkey": "ck1", "q": "from_q"}
+    )
+    q2 = spend_quartile("s2").withColumnsRenamed(
+        {"o_custkey": "ck2", "q": "to_q"}
+    )
     m = q1.join(q2, q1.ck1 == q2.ck2, "full").select(
         F.coalesce("from_q", F.lit(0)).cast("long").alias("from_q"),
         F.coalesce("to_q", F.lit(0)).cast("long").alias("to_q"),
@@ -5547,35 +5597,34 @@ RETENTION_DAYS = [1, 7, 14, 21, 28]
     ),
 )
 def events_dn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     ev = table(spark, sf_dir, "events")
     p = (
         ev.where(F.col("event_type") == "purchase")
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
-    first = p.groupBy("user_id").agg(F.min("d").alias("f"))
+    # first-purchase date rides every activity row via a user-keyed
+    # window (r17, guide §2.4): the old first-aggregate + checkpoint
+    # grid + (user, day) equi-join back to p executed the distinct
+    # purchase subtree TWICE (two events scans + two distinct shuffles,
+    # Catalyst does not dedupe common subplans) and paid a join shuffle.
+    # With f in-row, "retained at N" is just datediff(d, f) == N — a
+    # p-row at d = f+N exists iff the old join hit, and d <= m always
+    # (d is an event date, m the max event date), so the oracle's
+    # target <= m guard on the hit side is implied. Eligibility counts
+    # once per user off the d == f row (exactly one per user: the min).
+    pf = p.withColumn("f", F.min("d").over(W.partitionBy("user_id")))
     mx = ev.agg(F.max(F.to_date("ts")).alias("m"))
     lags = spark.createDataFrame([(n,) for n in RETENTION_DAYS], "n int")
-    grid = (
-        first.crossJoin(F.broadcast(lags))
-        .crossJoin(F.broadcast(mx))
-        .select(
-            "user_id",
-            "n",
-            F.expr("date_add(f, n)").alias("target"),
-            "m",
-        )
+    g = pf.crossJoin(F.broadcast(lags)).crossJoin(F.broadcast(mx))
+    eligible = (F.col("d") == F.col("f")) & (
+        F.expr("date_add(f, n)") <= F.col("m")
     )
-    hit = p.select(F.col("user_id").alias("h_user"), F.col("d").alias("h_d"))
-    j = grid.join(
-        hit,
-        (F.col("user_id") == F.col("h_user")) & (F.col("target") == F.col("h_d")),
-        "left",
-    )
-    eligible = F.col("target") <= F.col("m")
-    retained = eligible & F.col("h_user").isNotNull()
+    retained = F.expr("datediff(d, f)") == F.col("n")
     return (
-        j.groupBy(F.col("n").cast("long").alias("n"))
+        g.groupBy(F.col("n").cast("long").alias("n"))
         .agg(
             F.sum(eligible.cast("long")).alias("n_eligible"),
             F.sum(retained.cast("long")).alias("n_retained"),

@@ -192,10 +192,12 @@ def supplier_affinity_edges(spark: SparkSession, sf_dir: str, cap: int) -> DataF
     primary-part supplier affinity graph — each supplier's top-``cap``
     revenue parts, suppliers sharing a kept part adjacent (the
     hub-capping sparsification documented at supplier_reach_bfs). One
-    aggregate + window + part-keyed self-join per session per
-    (sf_dir, cap); the BFS, triangle, and any future graph entry read
-    the same stored relation (the dedup family's shared-index shape),
-    under the one-live-per-tag release discipline."""
+    aggregate + window + posting-list pair generation (per-part sorted
+    supplier list, in-row ordered-pair explode, symmetric doubling)
+    per session per (sf_dir, cap); the BFS, triangle, and any future
+    graph entry read the same stored relation (the dedup family's
+    shared-index shape), under the one-live-per-tag release
+    discipline."""
     from pyspark.sql import Window as W
 
     from currency_etl_spark.operators.ckpt import memo_checkpoint
@@ -224,10 +226,26 @@ def supplier_affinity_edges(spark: SparkSession, sf_dir: str, cap: int) -> DataF
         # before the distinct (r16 build audit: the family's costliest
         # memo at 1.7-3.2 s). One shuffle on p, undirected a<b pairs
         # dedup FIRST (half the distinct's input), then the symmetric
-        # doubling is an in-row Generate. Per-part lists are bounded by
-        # the suppliers-per-part fanout (11-52 on this corpus; the
-        # top-`cap` sparsification is what keeps the graph itself
-        # sparse), so no collect buffer can blow up. Output is
+        # doubling is an in-row Generate.
+        #
+        # Hub-fanout bound (r16 advice item 1): the top-`cap` window
+        # bounds parts-per-SUPPLIER, not suppliers-per-part, so the
+        # per-part collect_list is bounded only by the data's
+        # suppliers-per-part fanout — O(fanout²) pairs in one row. That
+        # is deliberate, for two reasons. (1) It is exactly the
+        # self-join's per-key cost: a hot part produces the same
+        # fanout² joined rows in the join form, just spread across the
+        # probe side — swapping back buys no asymptotic safety, it only
+        # re-pays the duplicated aggregate+window subtree. (2) The
+        # declared result is the FULL edge set of the sparsified graph;
+        # a _cap_groups-style per-part truncation (the dedup family's
+        # guard) would drop edges and change every consumer's oracle'd
+        # output, which an optimization round must not do. At the
+        # 100 TB design point a pathological hub part (say 10⁵ distinct
+        # suppliers after the top-`cap` filter) would need the dedup
+        # treatment *as a semantics change*; on TPC-H-shaped data the
+        # fanout is 11-52 (tests/test_bfs_recursive.py pins the
+        # test-corpus max), far below any buffer concern. Output is
         # set-identical to the join form: same (a, b), a != b, both
         # directions, distinct.
         und = (

@@ -57,6 +57,50 @@ def test_bfs_matches_python_reference(spark, sf_dir):
     assert sorted(got_map) == list(range(len(got_map)))
 
 
+def test_affinity_posting_list_fanout_bounded(spark, sf_dir):
+    """Pin the hub-fanout bound the posting-list pair generation relies
+    on (r16 advice item 1): the per-part collect_list in
+    supplier_affinity_edges is bounded by suppliers-per-part AFTER the
+    top-cap sparsification — the top-`cap` window bounds
+    parts-per-supplier, so this is a data-shape property, not a window
+    guarantee. Assert the max stays far below any in-row buffer concern
+    on the test corpus, and that the undirected pair count is exactly
+    sum C(n_p, 2) deduped — i.e. the explode's row cost is what the
+    comment claims. A corpus regeneration that grows a hub part past
+    the asserted ceiling should fail here, forcing the documented
+    re-design (dedup-style per-part cap as a semantics change)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem").toPandas()
+    rev = (
+        li.groupby(["l_suppkey", "l_partkey"]).l_extendedprice.sum().reset_index()
+    )
+    rev = rev.sort_values(
+        ["l_suppkey", "l_extendedprice", "l_partkey"],
+        ascending=[True, False, True],
+    )
+    sp = rev.groupby("l_suppkey").head(BFS_TOP_PARTS)
+    fanout = sp.groupby("l_partkey").l_suppkey.nunique()
+    assert fanout.max() <= 128, (
+        f"hub part fanout {fanout.max()} — the in-row pair array is "
+        "O(fanout^2); revisit the posting-list design note in graph.py"
+    )
+    # the symmetric edge list is 2x the distinct undirected pair set
+    from currency_etl_spark.queries.graph import supplier_affinity_edges
+
+    edges = supplier_affinity_edges(spark, sf_dir, BFS_TOP_PARTS)
+    n_sym = edges.count()
+    und = set()
+    for _, grp in sp.groupby("l_partkey"):
+        ss = sorted(grp.l_suppkey.unique())
+        for i, u in enumerate(ss):
+            for v in ss[i + 1:]:
+                und.add((u, v))
+    assert n_sym == 2 * len(und)
+
+
 def test_bfs_repeat_invocation_shares_then_releases_checkpoint(spark, sf_dir):
     """The edge list is the graph family's shared memoized artifact
     (r16): re-invoking the builder in one session is a memo HIT (the
